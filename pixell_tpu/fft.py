@@ -1,0 +1,420 @@
+"""FFT / DCT / NUFFT layer, XLA-native.
+
+Replaces the reference's pluggable engine zoo (pixell/fft.py: numpy_FFTW,
+ducc_FFTW, pyfftw, Intel-MKL) with a single XLA engine: everything lowers to
+``jnp.fft`` so it fuses and runs on the TPU. DCT/DST types I-IV are built by
+zero-embedding into larger FFTs (the FFTW r2r definitions). The NUFFT suite
+(u2nu/nu2u, reference fft.py:436-668 over ducc0.nufft) is a JAX
+gather/scatter implementation with an exponential-of-semicircle kernel.
+
+Note on dtypes: TPUs have no complex128; complex transforms run in complex64
+on TPU and complex128 on CPU when x64 is enabled.
+"""
+from __future__ import annotations
+import functools
+import numpy as np
+import jax
+import jax.numpy as jnp
+from . import utils
+
+# Engine interface retained for API parity; only one engine ("xla").
+engines = {}
+engine  = "xla"
+def set_engine(name):
+	global engine
+	if name not in ["xla"]: raise ValueError("Only the 'xla' engine exists in pixell_tpu")
+	engine = name
+
+def nthread_fft(): return 1
+def nthread_ifft(): return 1
+
+
+def _norm_axes(a, axes):
+	if axes is None: axes = list(range(a.ndim))
+	axes = [ax % a.ndim for ax in np.atleast_1d(axes)]
+	return tuple(axes)
+
+def fft(tod, ft=None, nthread=0, axes=(-1,), flags=None, normalize=False):
+	"""Complex FFT along the given axes (reference fft.fft:133). Unlike numpy,
+	the default is unnormalized in both directions (FFTW convention)."""
+	a = jnp.asarray(tod)
+	if a.dtype.kind != 'c': a = a.astype(utils.complex_dtype(a.dtype))
+	res = jnp.fft.fftn(a, axes=_norm_axes(a, axes))
+	if normalize: res = res/np.prod([a.shape[ax] for ax in _norm_axes(a, axes)])
+	return res
+
+def ifft(tod, ft=None, nthread=0, axes=(-1,), flags=None, normalize=False):
+	"""Inverse complex FFT, unnormalized by default (multiply-by-N convention
+	of FFTW: ifft(fft(x)) = N*x unless normalize=True)."""
+	a = jnp.asarray(tod)
+	if a.dtype.kind != 'c': a = a.astype(utils.complex_dtype(a.dtype))
+	axs = _norm_axes(a, axes)
+	res = jnp.fft.ifftn(a, axes=axs)
+	if not normalize: res = res*np.prod([a.shape[ax] for ax in axs])
+	return res
+
+def rfft(tod, ft=None, nthread=0, axes=(-1,), flags=None, normalize=False):
+	"""Real-to-complex FFT over the last of the given axes (complex over the
+	rest) (reference fft.rfft:186)."""
+	a = jnp.asarray(tod)
+	axs = _norm_axes(a, axes)
+	res = jnp.fft.rfftn(a.real if a.dtype.kind == 'c' else a, axes=axs)
+	if normalize: res = res/np.prod([a.shape[ax] for ax in axs])
+	return res
+
+def irfft(ft, tod=None, n=None, nthread=0, axes=(-1,), flags=None, normalize=False):
+	"""Complex-to-real inverse FFT. n (or tod's shape) gives the real length
+	of the last transformed axis."""
+	a = jnp.asarray(ft)
+	axs = _norm_axes(a, axes)
+	if n is None and tod is not None: n = tod.shape[axs[-1]]
+	if n is None: n = 2*(a.shape[axs[-1]]-1)
+	s = [a.shape[ax] for ax in axs[:-1]] + [n]
+	res = jnp.fft.irfftn(a, s=s, axes=axs)
+	if not normalize: res = res*np.prod(s)
+	return res
+
+def redft00(a, b=None, nthread=0, normalize=False, flags=None):
+	"""DCT-I (reference fft.redft00:290)."""
+	return dct(a, type="DCT-I", axes=(-1,), normalize=normalize)
+
+def chebt(a, b=None, nthread=0):
+	"""Chebyshev coefficients of samples at Chebyshev nodes, via DCT-I."""
+	n = a.shape[-1]
+	res = redft00(a)/(n-1)
+	return _scale_ends(res, 0.5)
+
+def ichebt(a, b=None, nthread=0):
+	a = _scale_ends(jnp.asarray(a), 2.0)
+	return redft00(a)*0.5
+
+def _scale_ends(a, fac):
+	a = jnp.asarray(a)
+	return a.at[..., 0].mul(fac).at[..., -1].mul(fac)
+
+
+# ---------------------------------------------------------------------------
+# DCT/DST of all 8 types via zero-embedded FFTs (FFTW r2r definitions,
+# reference fft.py:211-289). Unnormalized, like FFTW.
+# ---------------------------------------------------------------------------
+_dct_names = {
+	"dct-i": "redft00", "dct-ii": "redft10", "dct-iii": "redft01", "dct-iv": "redft11",
+	"dst-i": "rodft00", "dst-ii": "rodft10", "dst-iii": "rodft01", "dst-iv": "rodft11",
+	"cos": "redft10", "sin": "rodft10",
+}
+def _canon_type(type):
+	t = str(type).lower()
+	if t in _dct_names: return _dct_names[t]
+	return t
+
+def _dct1d(x, kind):
+	"""Unnormalized FFTW-style r2r transform along the last axis."""
+	n = x.shape[-1]
+	if kind == "redft00":
+		if n < 2: return 2.0*x
+		y = jnp.concatenate([x, x[..., -2:0:-1]], -1)       # length 2(n-1)
+		return jnp.fft.fft(y)[..., :n].real
+	elif kind == "redft10":
+		z = jnp.zeros(x.shape[:-1] + (4*n,), x.dtype)
+		z = z.at[..., 1:2*n:2].set(x)
+		return 2*jnp.fft.fft(z)[..., :n].real
+	elif kind == "redft01":
+		z = jnp.zeros(x.shape[:-1] + (4*n,), x.dtype)
+		z = z.at[..., :n].set(x)
+		return 2*jnp.fft.fft(z)[..., 1:2*n:2].real - x[..., :1]
+	elif kind == "redft11":
+		z = jnp.zeros(x.shape[:-1] + (8*n,), x.dtype)
+		z = z.at[..., 1:2*n:2].set(x)
+		return 2*jnp.fft.fft(z)[..., 1:2*n:2].real
+	elif kind == "rodft00":
+		z = jnp.zeros(x.shape[:-1] + (2*(n+1),), x.dtype)
+		z = z.at[..., 1:n+1].set(x)
+		return -2*jnp.fft.fft(z)[..., 1:n+1].imag
+	elif kind == "rodft10":
+		z = jnp.zeros(x.shape[:-1] + (4*n,), x.dtype)
+		z = z.at[..., 1:2*n:2].set(x)
+		return -2*jnp.fft.fft(z)[..., 1:n+1].imag
+	elif kind == "rodft01":
+		z = jnp.zeros(x.shape[:-1] + (4*n,), x.dtype)
+		z = z.at[..., 1:n+1].set(x)
+		return -2*jnp.fft.fft(z)[..., 1:2*n:2].imag - x[..., -1:]*jnp.where(
+			jnp.arange(n) % 2 == 0, -1.0, 1.0).astype(x.dtype)*(-1)
+	elif kind == "rodft11":
+		z = jnp.zeros(x.shape[:-1] + (8*n,), x.dtype)
+		z = z.at[..., 1:2*n:2].set(x)
+		return -2*jnp.fft.fft(z)[..., 1:2*n:2].imag
+	else:
+		raise ValueError("Unknown r2r kind '%s'" % kind)
+
+_inverse_kind = {"redft00": "redft00", "redft10": "redft01", "redft01": "redft10",
+	"redft11": "redft11", "rodft00": "rodft00", "rodft10": "rodft01",
+	"rodft01": "rodft10", "rodft11": "rodft11"}
+def _logical_size(kind, n):
+	if kind in ["redft00"]: return 2*(n-1)
+	if kind in ["rodft00"]: return 2*(n+1)
+	return 2*n
+
+def dct(a, b=None, nthread=0, type="DCT-I", axes=(-2, -1), normalize=False, flags=None):
+	"""Multi-dimensional DCT/DST of the given type (reference fft.dct:211).
+	Unnormalized like FFTW unless normalize=True (which makes it orthogonal-ish
+	by dividing by the logical transform size)."""
+	x = jnp.asarray(a)
+	if x.dtype.kind == 'c': x = x.real
+	kind = _canon_type(type)
+	axs = _norm_axes(x, axes)
+	norm = 1.0
+	for ax in axs:
+		x = jnp.moveaxis(x, ax, -1)
+		x = _dct1d(x, kind)
+		x = jnp.moveaxis(x, -1, ax)
+		norm *= _logical_size(kind, x.shape[ax])
+	if normalize: x = x/norm
+	return x
+
+def idct(a, b=None, nthread=0, type="DCT-I", axes=(-2, -1), normalize=False, flags=None):
+	"""Inverse DCT/DST: the FFTW inverse kind, unnormalized (idct(dct(x)) =
+	prod(logical sizes)*x) unless normalize=True."""
+	x = jnp.asarray(a)
+	if x.dtype.kind == 'c': x = x.real
+	kind = _inverse_kind[_canon_type(type)]
+	axs = _norm_axes(x, axes)
+	norm = 1.0
+	for ax in axs:
+		x = jnp.moveaxis(x, ax, -1)
+		x = _dct1d(x, kind)
+		x = jnp.moveaxis(x, -1, ax)
+		norm *= _logical_size(kind, x.shape[ax])
+	if normalize: x = x/norm
+	return x
+
+def dst(a, b=None, nthread=0, type="DST-I", axes=(-2, -1), normalize=False, flags=None):
+	return dct(a, b, nthread=nthread, type=type, axes=axes, normalize=normalize)
+def idst(a, b=None, nthread=0, type="DST-I", axes=(-2, -1), normalize=False, flags=None):
+	return idct(a, b, nthread=nthread, type=type, axes=axes, normalize=normalize)
+
+
+# ---------------------------------------------------------------------------
+# Size and frequency helpers (reference fft.py:319-349)
+# ---------------------------------------------------------------------------
+def fft_len(n, direction="below", factors=None):
+	"""Closest fast FFT size to n (products of 2,3,5,7)."""
+	if factors is None: factors = [2, 3, 5, 7]
+	def ok(m):
+		for f in factors:
+			while m % f == 0: m //= f
+		return m == 1
+	m = int(n)
+	step = -1 if direction == "below" else 1
+	while m > 1 and not ok(m): m += step
+	return max(m, 1)
+
+def fftfreq(n, d=1.0): return np.fft.fftfreq(n, d)
+def rfftfreq(n, d=1.0): return np.fft.rfftfreq(n, d)
+
+def ind2freq(n, i, d=1.0):
+	"""Fourier bin index -> frequency, with wrapping above the Nyquist."""
+	i = np.asanyarray(i)
+	return ((i + n//2) % n - n//2)/(d*n)
+
+def freq2ind(n, f, d=1.0):
+	f = np.asanyarray(f)
+	return (f*d*n) % n
+
+def shift(a, shift, axes=None, nofft=False, deriv=None):
+	"""Shift the array a by a (possibly fractional) number of pixels along
+	axes using Fourier shifting (reference fft.shift:350). deriv: take the
+	derivative along the given axis index (into axes) instead."""
+	a = jnp.asarray(a)
+	ca = a if nofft else fft(a, axes=axes if axes is not None else tuple(range(a.ndim)))
+	if axes is None: axes = list(range(a.ndim))
+	axes = [ax % a.ndim for ax in np.atleast_1d(axes)]
+	shifts = np.zeros(len(axes)) + np.asarray(shift)
+	for i, ax in enumerate(axes):
+		n = a.shape[ax]
+		f = jnp.asarray(np.fft.fftfreq(n))
+		phase = jnp.exp(-2j*np.pi*f*shifts[i])
+		if deriv is not None and deriv == i:
+			phase = phase*(2j*np.pi*f)
+		sl = [None]*ca.ndim; sl[ax] = slice(None)
+		ca = ca*phase[tuple(sl)]
+	if nofft: return ca
+	res = ifft(ca, axes=axes, normalize=True)
+	return res.real if a.dtype.kind != 'c' else res
+
+def resample(fa, n, axes=(-1,), norm=True):
+	"""Fourier-space resample: truncate/zero-pad the spectrum fa to produce
+	new sample count(s) n along the given axes."""
+	fa = jnp.asarray(fa)
+	axes = [ax % fa.ndim for ax in np.atleast_1d(axes)]
+	ns = np.zeros(len(axes), int) + np.asarray(n)
+	for ax, n_new in zip(axes, ns):
+		n_old = fa.shape[ax]
+		n_new = int(n_new)
+		fa = jnp.moveaxis(fa, ax, -1)
+		nh_old, nh_new = n_old//2, n_new//2
+		if n_new < n_old:
+			keep_lo = (n_new+1)//2
+			fa = jnp.concatenate([fa[..., :keep_lo], fa[..., n_old-nh_new:]], -1)
+		elif n_new > n_old:
+			keep_lo = (n_old+1)//2
+			zeros = jnp.zeros(fa.shape[:-1] + (n_new-n_old,), fa.dtype)
+			fa = jnp.concatenate([fa[..., :keep_lo], zeros, fa[..., keep_lo:]], -1)
+		fa = jnp.moveaxis(fa, -1, ax)
+	return fa
+
+def resample_fft(d, n, axes=(-1,)):
+	"""Resample real/complex samples d to n points along axes via FFT."""
+	d = jnp.asarray(d)
+	axes = [ax % d.ndim for ax in np.atleast_1d(axes)]
+	ns = np.zeros(len(axes), int) + np.asarray(n)
+	fd = fft(d, axes=tuple(axes))
+	fd = resample(fd, ns, axes=tuple(axes))
+	norm = np.prod([fd.shape[ax] for ax in axes])/np.prod([d.shape[ax] for ax in axes])
+	res = ifft(fd, axes=tuple(axes), normalize=True)*norm
+	return res.real if d.dtype.kind != 'c' else res
+
+
+# ---------------------------------------------------------------------------
+# NUFFT suite (reference fft.py:436-668; ducc0.nufft there).
+# JAX implementation: oversampled FFT + exponential-of-semicircle kernel.
+# ---------------------------------------------------------------------------
+def _es_params(epsilon, sigma=2.0):
+	"""Kernel width and beta for target accuracy epsilon at oversampling sigma."""
+	w = max(2, int(np.ceil(np.log10(1.0/epsilon))) + 1)
+	w = min(w, 16)
+	beta = 2.30*w  # standard choice for sigma=2 (Barnett et al 2019)
+	return w, beta
+
+def _es_kernel(z, beta):
+	"""phi(z) = exp(beta*(sqrt(1-z^2)-1)) for |z|<=1 else 0."""
+	z2 = jnp.clip(z*z, 0, 1)
+	return jnp.where(jnp.abs(z) <= 1, jnp.exp(beta*(jnp.sqrt(1-z2)-1)), 0.0)
+
+def _es_correction(n, w, beta, dtype):
+	"""Fourier-space grid correction 1/phi_hat for a length-n fine grid.
+	Computed by quadrature of the kernel transform at each output frequency."""
+	# phi_hat(k) = integral_{-1}^{1} phi(z) exp(i pi k z w / n_fine) dz * (w/2)
+	# evaluate with Gauss-Legendre quadrature on [-1,1]
+	# the integrand oscillates with max phase ~pi*w/2 over [-1,1]; scale the
+	# quadrature order accordingly
+	q = int(3*w + 24)
+	x, wq = np.polynomial.legendre.leggauss(q)
+	k = np.fft.fftfreq(n)*n  # integer freqs
+	phi = np.exp(beta*(np.sqrt(1-x**2)-1))
+	# kernel support half-width in fine-grid units is w/2
+	ph = (phi*wq) @ np.cos(np.pi*np.outer(x*(w/2.), k)*2/n)
+	ph *= 0.5*w  # Gauss-Legendre on z in [-1,1] with dz -> du = (w/2) dz
+	return (1.0/ph).astype(dtype)
+
+def _spread_inds_weights(pos, nfine, w, beta):
+	"""For flat positions pos[npt] in fine-grid pixel units, return gather
+	indices [npt,w] and weights [npt,w]."""
+	i0 = jnp.floor(pos - w/2.0).astype(jnp.int32) + 1
+	offs = jnp.arange(w)
+	inds = i0[:, None] + offs[None, :]
+	z = (pos[:, None] - inds)/(w/2.0)
+	wt = _es_kernel(z, beta)
+	return inds % nfine, wt
+
+@functools.partial(jax.jit, static_argnames=("nfine", "w", "beta"))
+def _u2nu_2d_core(fgrid, py, px, nfine, w, beta):
+	iy, wy = _spread_inds_weights(py, nfine[0], w, beta)
+	ix, wx = _spread_inds_weights(px, nfine[1], w, beta)
+	# gather [npt, w, w]
+	vals = fgrid[iy[:, :, None], ix[:, None, :]]
+	return jnp.einsum("pyx,py,px->p", vals, wy, wx)
+
+def u2nu(grid, coords, forward=False, epsilon=None, nthread=None, out=None,
+		periodicity=2*np.pi, fft_order=True):
+	"""Evaluate the Fourier series given by the uniform grid of coefficients
+	``grid[...,ny,nx]`` at the nonuniform points coords[npt,ndim] (in radians,
+	periodic with the given periodicity). Type-2 NUFFT
+	(reference fft.u2nu:457)."""
+	grid = jnp.asarray(grid)
+	coords = jnp.asarray(coords)
+	ndim = coords.shape[-1]
+	assert ndim == 2, "Only 2D u2nu implemented"
+	rdt = utils.real_dtype(grid.dtype)
+	if epsilon is None:
+		epsilon = 1e-5 if rdt == np.float32 else 1e-10
+	w, beta = _es_params(epsilon)
+	ny, nx = grid.shape[-2:]
+	sigma = 2
+	nfy, nfx = fft_len(int(ny*sigma), "above"), fft_len(int(nx*sigma), "above")
+	# Deconvolve and zero-pad the spectrum, then inverse FFT to the fine grid
+	cy = _es_correction(nfy, w, beta, rdt)
+	cx = _es_correction(nfx, w, beta, rdt)
+	# place grid freqs into fine spectrum (grid in fft order if fft_order)
+	g = grid if fft_order else jnp.fft.ifftshift(grid, axes=(-2, -1))
+	if g.dtype.kind != 'c': g = g.astype(utils.complex_dtype(g.dtype))
+	spec = resample(g, (nfy, nfx), axes=(-2, -1))
+	# correction indexed by original freq: after resample, fine grid fft-order
+	spec = spec*jnp.asarray(cy)[:, None]*jnp.asarray(cx)[None, :]
+	sign = -2j*np.pi if forward else 2j*np.pi
+	fine = jnp.fft.ifftn(spec, axes=(-2, -1))*(nfy*nfx)
+	if forward: fine = jnp.conj(jnp.fft.ifftn(jnp.conj(spec), axes=(-2, -1)))*(nfy*nfx)
+	# positions in fine-grid units
+	py = (coords[:, 0]/periodicity % 1.0)*nfy
+	px = (coords[:, 1]/periodicity % 1.0)*nfx
+	pre = grid.shape[:-2]
+	fine = fine.reshape((-1, nfy, nfx))
+	res = jnp.stack([_u2nu_2d_core(fine[i], py, px, (nfy, nfx), w, float(beta))
+		for i in range(fine.shape[0])])
+	return res.reshape(pre + (coords.shape[0],))
+
+@functools.partial(jax.jit, static_argnames=("nfine", "w", "beta"))
+def _nu2u_2d_core(vals, py, px, nfine, w, beta):
+	iy, wy = _spread_inds_weights(py, nfine[0], w, beta)
+	ix, wx = _spread_inds_weights(px, nfine[1], w, beta)
+	contrib = jnp.einsum("p,py,px->pyx", vals, wy, wx)
+	fine = jnp.zeros(nfine, vals.dtype)
+	fine = fine.at[iy[:, :, None], ix[:, None, :]].add(contrib)
+	return fine
+
+def nu2u(vals, coords, out=None, oshape=None, forward=True, epsilon=None,
+		nthread=None, periodicity=2*np.pi, fft_order=True):
+	"""Adjoint of u2nu: spread nonuniform samples vals[...,npt] at coords onto
+	a uniform Fourier grid of shape oshape (type-1 NUFFT, reference fft.nu2u:502)."""
+	vals = jnp.asarray(vals)
+	coords = jnp.asarray(coords)
+	if oshape is None and out is not None: oshape = out.shape[-2:]
+	ny, nx = oshape[-2:]
+	rdt = utils.real_dtype(vals.dtype)
+	if epsilon is None:
+		epsilon = 1e-5 if rdt == np.float32 else 1e-10
+	w, beta = _es_params(epsilon)
+	sigma = 2
+	nfy, nfx = fft_len(int(ny*sigma), "above"), fft_len(int(nx*sigma), "above")
+	py = (coords[:, 0]/periodicity % 1.0)*nfy
+	px = (coords[:, 1]/periodicity % 1.0)*nfx
+	pre = vals.shape[:-1]
+	flat = vals.reshape((-1, vals.shape[-1]))
+	if flat.dtype.kind != 'c': flat = flat.astype(utils.complex_dtype(flat.dtype))
+	specs = []
+	cy = _es_correction(nfy, w, beta, rdt)
+	cx = _es_correction(nfx, w, beta, rdt)
+	for i in range(flat.shape[0]):
+		fine = _nu2u_2d_core(flat[i], py, px, (nfy, nfx), w, float(beta))
+		spec = jnp.fft.fftn(jnp.conj(fine), axes=(-2, -1)) if forward else jnp.fft.fftn(fine, axes=(-2, -1))
+		if forward: spec = jnp.conj(spec)
+		spec = spec*jnp.asarray(cy)[:, None]*jnp.asarray(cx)[None, :]
+		spec = resample(spec, (ny, nx), axes=(-2, -1))
+		specs.append(spec)
+	res = jnp.stack(specs).reshape(pre + (ny, nx))
+	if not fft_order: res = jnp.fft.fftshift(res, axes=(-2, -1))
+	return res
+
+def interpol_nufft(map, inds, out=None, epsilon=None, nthread=None, nofft=False):
+	"""Interpolate the periodic uniform-grid map at fractional pixel positions
+	inds[{y,x},...] using the NUFFT (reference fft.interpol_nufft:436)."""
+	map = jnp.asarray(map)
+	inds = jnp.asarray(inds)
+	ishape = inds.shape[1:]
+	flat = inds.reshape(2, -1).T
+	ny, nx = map.shape[-2:]
+	coords = jnp.stack([flat[:, 0]/ny, flat[:, 1]/nx], -1)*2*np.pi
+	if nofft: fmap = map
+	else:     fmap = jnp.fft.fftn(map, axes=(-2, -1))/(ny*nx)
+	res = u2nu(fmap, coords, epsilon=epsilon)
+	if map.dtype.kind != 'c': res = res.real.astype(map.dtype)
+	return res.reshape(map.shape[:-2] + ishape)

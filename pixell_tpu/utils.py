@@ -1,0 +1,612 @@
+"""General math / array / angle utilities.
+
+TPU-native re-implementation of the horizontal stdlib the rest of the package
+builds on (reference: pixell/utils.py). Functions that participate in jitted
+compute paths are written against ``jax.numpy``; host-side glue (slice
+parsing, box algebra) is plain numpy/python.
+"""
+from __future__ import annotations
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Constants (reference: pixell/utils.py:20-40)
+# ---------------------------------------------------------------------------
+degree  = np.pi/180
+arcmin  = degree/60
+arcsec  = arcmin/60
+fwhm    = 1.0/(8*np.log(2))**0.5
+T_cmb   = 2.7255
+c       = 299792458.0
+h       = 6.62607004e-34
+k       = 1.38064853e-23
+e       = 1.60217662e-19
+G       = 6.67430e-11
+sb      = 5.670374419e-8
+day2sec = 86400.
+yr2days = 365.2422
+minute  = 60.
+hour    = 3600.
+
+
+def _xp(*args):
+	"""Return jnp if any argument is a jax array / tracer, else np."""
+	for a in args:
+		if type(a).__module__.startswith("jax") or hasattr(a, "aval"):
+			import jax.numpy as jnp
+			return jnp
+	return np
+
+
+# ---------------------------------------------------------------------------
+# Small scalar/array helpers
+# ---------------------------------------------------------------------------
+def nint(a):
+	"""Round to nearest integer, returning int dtype (reference utils.nint)."""
+	return np.round(a).astype(int)
+
+def ceil(a):  return int(np.ceil(a))
+def floor(a): return int(np.floor(a))
+
+def first_importable(*args):
+	for name in args:
+		try:
+			__import__(name)
+			return name
+		except ImportError:
+			continue
+	return None
+
+def moveaxis(a, o, n): return np.moveaxis(a, o, n)
+
+def cumsum(a, endpoint=False):
+	"""Exclusive cumsum [0, a0, a0+a1, ...]; include total if endpoint."""
+	res = np.concatenate([[0], np.cumsum(a)])
+	return res if endpoint else res[:-1]
+
+def between_angles(a, range, period=2*np.pi):
+	a = rewind(a, ref=np.mean(range), period=period)
+	return (a >= range[0]) & (a < range[1])
+
+
+# ---------------------------------------------------------------------------
+# Angle wrapping (reference utils.unwind:297, rewind:333)
+# ---------------------------------------------------------------------------
+def rewind(a, ref=0, period=2*np.pi):
+	"""Map angles into (ref-period/2, ref+period/2]."""
+	xp = _xp(a, ref)
+	a  = xp.asarray(a)
+	if isinstance(ref, str) and ref == "auto":
+		ref = xp.sort(a.reshape(-1))[a.size//2]
+	return ref + (a - ref + period/2) % period - period/2
+
+def unwind(a, period=2*np.pi, axes=[-1], ref=None, refmode="left", mask_nan=False):
+	"""Remove period jumps along axes so the result is continuous."""
+	xp = _xp(a)
+	a  = xp.asarray(a).astype(float)
+	for ax in axes:
+		a = xp.moveaxis(a, ax, -1)
+		diffs = (xp.diff(a, axis=-1) + period/2) % period - period/2
+		first = a[..., :1]
+		if refmode == "middle":
+			first = rewind(first, 0, period)
+		a = xp.concatenate([first, first + xp.cumsum(diffs, axis=-1)], -1)
+		a = xp.moveaxis(a, -1, ax)
+	if ref is not None:
+		# shift by a whole number of periods to bring the first element near ref
+		a = a - period*xp.round((a.reshape(-1)[0] - ref)/period)
+	return a
+
+
+# ---------------------------------------------------------------------------
+# Coordinate geometry (reference utils.ang2rect:1944, rect2ang, angdist)
+# ---------------------------------------------------------------------------
+def ang2rect(angs, zenith=False, axis=0):
+	"""Convert [{phi,theta},...] angles to [{x,y,z},...] unit vectors.
+	With zenith=False (default), theta is the latitude (dec); with
+	zenith=True it is the colatitude."""
+	xp   = _xp(angs)
+	angs = xp.asarray(angs)
+	phi, theta = xp.moveaxis(angs, axis, 0)
+	if zenith:
+		st, ct = xp.sin(theta), xp.cos(theta)
+		return xp.moveaxis(xp.stack([st*xp.cos(phi), st*xp.sin(phi), ct]), 0, axis)
+	else:
+		st, ct = xp.sin(theta), xp.cos(theta)
+		return xp.moveaxis(xp.stack([ct*xp.cos(phi), ct*xp.sin(phi), st]), 0, axis)
+
+def rect2ang(rect, zenith=False, axis=0):
+	xp   = _xp(rect)
+	rect = xp.asarray(rect)
+	x, y, z = xp.moveaxis(rect, axis, 0)
+	phi = xp.arctan2(y, x)
+	r   = xp.sqrt(x*x + y*y)
+	theta = xp.arctan2(r, z) if zenith else xp.arctan2(z, r)
+	return xp.moveaxis(xp.stack([phi, theta]), 0, axis)
+
+def angdist(a, b, zenith=False, axis=0):
+	"""Angular distance between angle-pairs a,b [{ra,dec},...] (radians),
+	numerically robust at small separations (Vincenty formula)."""
+	xp = _xp(a, b)
+	a  = xp.asarray(a); b = xp.asarray(b)
+	ra1, dec1 = xp.moveaxis(a, axis, 0)
+	ra2, dec2 = xp.moveaxis(b, axis, 0)
+	if zenith:
+		dec1 = np.pi/2 - dec1; dec2 = np.pi/2 - dec2
+	dra = ra2 - ra1
+	y = xp.hypot(xp.cos(dec2)*xp.sin(dra),
+		xp.cos(dec1)*xp.sin(dec2) - xp.sin(dec1)*xp.cos(dec2)*xp.cos(dra))
+	x = xp.sin(dec1)*xp.sin(dec2) + xp.cos(dec1)*xp.cos(dec2)*xp.cos(dra)
+	return xp.arctan2(y, x)
+
+def rotmatrix(ang, raxis, xp=np):
+	"""Rotation matrix for rotation by angle ang around axis 'x','y' or 'z'
+	(reference utils.rotmatrix:2006). Supports array ang with result
+	shape ang.shape+(3,3)."""
+	ang = xp.asarray(ang)
+	c_, s_ = xp.cos(ang), xp.sin(ang)
+	one, zero = xp.ones_like(c_), xp.zeros_like(c_)
+	raxis = raxis.lower()
+	if   raxis == "x": rows = [[one,zero,zero],[zero,c_,-s_],[zero,s_,c_]]
+	elif raxis == "y": rows = [[c_,zero,s_],[zero,one,zero],[-s_,zero,c_]]
+	elif raxis == "z": rows = [[c_,-s_,zero],[s_,c_,zero],[zero,zero,one]]
+	else: raise ValueError("Rotation axis %s not recognized" % raxis)
+	return xp.stack([xp.stack(r, -1) for r in rows], -2)
+
+
+# ---------------------------------------------------------------------------
+# Block reduce / expand (reference utils.block_reduce:2411, block_expand:2435)
+# ---------------------------------------------------------------------------
+def block_reduce(a, bsize, axis=-1, off=0, op=None, inclusive=True):
+	"""Reduce axis of a by factor bsize using op (default mean)."""
+	xp = _xp(a)
+	if op is None: op = xp.mean
+	a  = xp.moveaxis(xp.asarray(a), axis, -1)
+	n  = a.shape[-1]
+	nb = (n - off + bsize - 1)//bsize if inclusive else (n - off)//bsize
+	nfull = (n - off)//bsize
+	main  = a[..., off:off+nfull*bsize].reshape(a.shape[:-1] + (nfull, bsize))
+	res   = op(main, axis=-1)
+	if inclusive and nb > nfull:
+		rest = op(a[..., off+nfull*bsize:], axis=-1)[..., None]
+		res  = xp.concatenate([res, rest], -1)
+	return xp.moveaxis(res, -1, axis)
+
+def block_expand(a, bsize, osize=None, axis=-1, off=0, op="nearest"):
+	"""Inverse of block_reduce: expand axis by factor bsize."""
+	xp = _xp(a)
+	a  = xp.moveaxis(xp.asarray(a), axis, -1)
+	if osize is None: osize = a.shape[-1]*bsize + off
+	res = xp.repeat(a, bsize, axis=-1)
+	res = res[..., :osize-off]
+	if off:
+		res = xp.concatenate([xp.repeat(a[..., :1], off, -1), res], -1)
+	if op == "mean": pass
+	return xp.moveaxis(res, -1, axis)
+
+
+# ---------------------------------------------------------------------------
+# Binning (reference utils.linbin:2711, bin_data:2766)
+# ---------------------------------------------------------------------------
+def linbin(n, nbin=None, nmin=None, bsize=None):
+	"""Linear bin edges [nbin,{from,to}] for data of length n."""
+	if bsize is None:
+		if nbin is None: nbin = int(np.round(n**0.5))
+		bsize = n/nbin
+	if nmin is not None: bsize = max(bsize, nmin)
+	nbin  = int(np.ceil(n/bsize))
+	edges = np.arange(nbin+1)*bsize
+	return np.stack([edges[:-1], edges[1:]], -1).astype(int)
+
+def expbin(n, nbin=None, nmin=8, nmax=0):
+	"""Exponentially growing bin edges."""
+	if nbin is None: nbin = int(np.round(n**0.5))
+	edges = np.exp(np.linspace(0, np.log(n), nbin+1))
+	edges = np.unique(np.maximum(nint(edges)-1, 0))
+	res = np.stack([edges[:-1], edges[1:]], -1)
+	if nmin:
+		keep = []
+		last = 0
+		for i in range(len(res)):
+			if res[i,1]-last >= nmin or i == len(res)-1:
+				keep.append((last, res[i,1])); last = res[i,1]
+		res = np.array(keep)
+	if nmax:
+		res = res[res[:,1]-res[:,0] <= nmax]
+	return res
+
+def bin_data(bins, d, op=np.mean):
+	"""Bin the last dimension of d according to bins[nbin,{from,to}]."""
+	d  = np.asarray(d)
+	res = np.empty(d.shape[:-1] + (len(bins),), d.dtype)
+	for bi, b in enumerate(bins):
+		res[..., bi] = op(d[..., b[0]:b[1]], -1)
+	return res
+
+
+# ---------------------------------------------------------------------------
+# Interpolation helper (reference utils.interpol:630 — simplified nd version)
+# ---------------------------------------------------------------------------
+def interpol(a, inds, order=3, mode="nearest", cval=0.0, prefilter=True):
+	"""Interpolate a at fractional index positions inds[ndim,...]."""
+	from . import interpol as _ip
+	return _ip.map_coordinates(a, inds, order=order, border=mode, cval=cval,
+		prefilter=prefilter)
+
+def interp(x, xp_, fp):
+	xp = _xp(x, fp)
+	return xp.interp(x, xp_, fp)
+
+
+# ---------------------------------------------------------------------------
+# Beam helpers (reference utils.regularize_beam:1130-1186)
+# ---------------------------------------------------------------------------
+def gauss_beam(l, fwhm_rad):
+	"""Harmonic-space gaussian beam b(l) for given fwhm in radians."""
+	xp = _xp(l)
+	sigma = fwhm_rad*fwhm
+	return xp.exp(-0.5*l*(l+1)*sigma**2)
+
+def compress_beam(sigma, phi):
+	c = np.cos(2*phi); s = np.sin(2*phi)
+	sx, sy = sigma
+	return np.array([sx**2*c**2+sy**2*s**2, sx**2*s**2+sy**2*c**2, (sx**2-sy**2)*c*s])
+
+def expand_beam(irads, return_V=False):
+	C = np.array([[irads[0],irads[2]],[irads[2],irads[1]]])
+	E, V = np.linalg.eigh(C)
+	phi = np.arctan2(V[1,1], V[0,1])
+	sigma = E[::-1]**0.5
+	if return_V: return sigma, phi, V
+	return sigma, phi
+
+def regularize_beam(bl, cutoff=0.01, nl=None, normalize=False):
+	"""Replace beam transfer function tail below cutoff with gaussian-like
+	extrapolation so that dividing by it is safe (reference utils:1160)."""
+	bl = np.asarray(bl, float)
+	if normalize: bl = bl/bl[0]
+	if nl is None: nl = len(bl)
+	res = np.empty(nl)
+	n   = min(len(bl), nl)
+	res[:n] = bl[:n]
+	if nl > len(bl): res[len(bl):] = bl[-1]
+	below = np.where(res < cutoff)[0]
+	if len(below) > 0:
+		i0 = below[0]
+		if i0 > 1:
+			# continue with constant logarithmic slope
+			slope = np.log(res[i0-1]/res[i0-2])
+			l = np.arange(nl-i0)+1
+			res[i0:] = res[i0-1]*np.exp(slope*l)
+		else:
+			res[:] = np.maximum(res, cutoff)
+	return res
+
+
+# ---------------------------------------------------------------------------
+# Linear algebra (reference utils.eigpow:2789)
+# ---------------------------------------------------------------------------
+def eigpow(A, e, axes=[-2,-1], rlim=None, alim=None):
+	"""Raise matrix A (or stack of matrices over given axes) to power e via
+	eigen-decomposition, zeroing (for e>=0) or cutting tiny eigenvalues."""
+	xp = _xp(A)
+	A  = xp.asarray(A)
+	ax1, ax2 = axes[0] % A.ndim, axes[1] % A.ndim
+	A  = xp.moveaxis(A, (ax1, ax2), (-2, -1))
+	E, V = xp.linalg.eigh(A)
+	if rlim is None: rlim = xp.finfo(A.dtype).eps*100 if A.dtype.kind=='f' else 1e-13
+	good = E > xp.max(xp.abs(E), -1, keepdims=True)*rlim
+	if alim is not None: good = good & (xp.abs(E) > alim)
+	Ez = xp.where(good, E, 1.0)
+	Ep = xp.where(good, xp.sign(Ez)*xp.abs(Ez)**e, 0.0)
+	res = xp.einsum("...ij,...j,...kj->...ik", V, Ep, V)
+	return xp.moveaxis(res, (-2, -1), (ax1, ax2))
+
+def solve(A, b, axes=[0,1], masked=False):
+	"""Solve A x = b with A possibly singular (pseudo-inverse via eigpow)."""
+	xp = _xp(A, b)
+	iA = eigpow(A, -1, axes=axes)
+	ax1, ax2 = axes
+	return xp.einsum("...ij,...j->...i",
+		xp.moveaxis(iA, (ax1%iA.ndim, ax2%iA.ndim), (-2, -1)),
+		xp.moveaxis(b, ax1 % b.ndim, -1))
+
+
+# ---------------------------------------------------------------------------
+# Physics (reference utils.planck:2537, dplanck, graybody)
+# ---------------------------------------------------------------------------
+def planck(f, T=T_cmb):
+	"""Planck spectral radiance B(f,T) [W/sr/m^2/Hz]."""
+	xp = _xp(f, T)
+	return 2*h*f**3/c**2/(xp.exp(h*f/(k*T))-1)
+
+def dplanck(f, T=T_cmb):
+	"""Derivative of the planck spectrum dB/dT."""
+	xp = _xp(f, T)
+	x = h*f/(k*T)
+	return 2*h**2*f**4/(c**2*k*T**2)*xp.exp(x)/(xp.exp(x)-1)**2
+
+def graybody(f, T=10.0, beta=1.0):
+	return f**beta*planck(f, T)
+
+def blackbody(f, T=T_cmb):
+	return planck(f, T)
+
+def tsz_spectrum(f, T=T_cmb):
+	"""Thermal SZ frequency dependence in spectral radiance units."""
+	xp = _xp(f)
+	x  = h*f/(k*T)
+	return dplanck(f, T)*T*(x*(xp.exp(x)+1)/(xp.exp(x)-1) - 4)
+
+def flux_factor(beam_area, freq, T0=T_cmb):
+	"""Conversion uK -> mJy for a given beam solid angle and frequency."""
+	return dplanck(freq, T0)*1e-6*beam_area*1e26*1e3
+
+
+# ---------------------------------------------------------------------------
+# Slice parsing (reference utils.split_slice:3107, expand_slice, sliced shapes)
+# ---------------------------------------------------------------------------
+def parse_slice(desc):
+	"""Parse a string like '[0,:10,::2]' into a tuple of slices."""
+	if desc is None: return None
+	class Foo:
+		def __getitem__(self, s): return s
+	s = eval("Foo()" + desc, {"Foo": Foo})
+	if not isinstance(s, tuple): s = (s,)
+	return s
+
+def split_slice(sel, ndims):
+	"""Split a selection tuple into groups covering ndims[0], ndims[1], ...
+	dimensions each, handling Ellipsis."""
+	if not isinstance(sel, tuple): sel = (sel,)
+	# expand ellipsis
+	ntot = sum(ndims)
+	if Ellipsis in sel:
+		i = sel.index(Ellipsis)
+		ncur = len([s for s in sel if s is not Ellipsis and s is not None])
+		sel = sel[:i] + (slice(None),)*(ntot-ncur) + sel[i+1:]
+	res, i = [], 0
+	for nd in ndims:
+		group = []
+		while i < len(sel) and len([g for g in group if g is not None]) < nd:
+			group.append(sel[i]); i += 1
+		res.append(tuple(group))
+	if i < len(sel): res[-1] = res[-1] + sel[i:]
+	return res
+
+def expand_slice(sel, n, nowrap=False):
+	"""Expand a slice into one with explicit start/stop/step for length n."""
+	start, stop, step = sel.indices(n)
+	return slice(start, stop, step)
+
+def sbox_size(sbox):
+	"""Number of pixels covered by each dim of a slice-box [ndim,{start,stop,step}]."""
+	sbox = np.asarray(sbox)
+	return (np.abs(sbox[:,1]-sbox[:,0])+np.abs(sbox[:,2])-1)//np.abs(sbox[:,2])
+
+
+# ---------------------------------------------------------------------------
+# sbox algebra for extract/insert with sky wrapping
+# (reference utils.sbox_wrap:1842 — reimplemented)
+# ---------------------------------------------------------------------------
+def sbox_wrap(sbox, wrap=0, cap=0):
+	"""Split a possibly out-of-bounds slice-box sbox[ndim,{start,stop,step}]
+	into a list of (inner-sbox, outer-sbox) pairs such that reading each
+	inner sbox from a wrapped/capped array and writing to the corresponding
+	outer sbox of the output reproduces wrapped reads.
+
+	wrap: per-dim wrap length (0 = no wrap: clip instead).
+	cap:  per-dim max length (0 = no cap)."""
+	sbox = np.asarray(sbox, int)
+	ndim = len(sbox)
+	wrap = np.zeros(ndim, int) + wrap
+	cap  = np.zeros(ndim, int) + cap
+	# Per-dimension list of (isel, osel) 1d segment pairs
+	dim_segments = []
+	for d in range(ndim):
+		start, stop, step = sbox[d]
+		n = (abs(stop-start)+abs(step)-1)//abs(step)
+		segs = []
+		w = wrap[d]
+		c = cap[d] if cap[d] else (w if w else None)
+		if w == 0:
+			# no wrapping: clip to [0,c)
+			idx = start + step*np.arange(n)
+			if c is not None:
+				good = (idx >= 0) & (idx < c)
+			else:
+				good = np.ones(n, bool)
+			# contiguous runs of good
+			segs = _runs_to_segs(idx, good, step)
+		else:
+			idx  = start + step*np.arange(n)
+			widx = idx % w
+			good = np.ones(n, bool)
+			if c is not None and c < w:
+				good = widx < c
+			# split where wrapped index jumps
+			segs = _runs_to_segs(widx, good, step)
+		dim_segments.append(segs)
+	# cartesian product over dims
+	res = []
+	def rec(d, ibox, obox):
+		if d == ndim:
+			res.append((list(map(tuple, ibox)), list(map(tuple, obox))))
+			return
+		for iseg, oseg in dim_segments[d]:
+			rec(d+1, ibox+[iseg], obox+[oseg])
+	rec(0, [], [])
+	return res
+
+def _runs_to_segs(idx, good, step):
+	"""Convert an explicit index list into maximal contiguous (isel,osel) runs."""
+	n = len(idx)
+	segs = []
+	i = 0
+	while i < n:
+		if not good[i]:
+			i += 1; continue
+		j = i
+		while j+1 < n and good[j+1] and idx[j+1]-idx[j] == step:
+			j += 1
+		i0, i1 = int(idx[i]), int(idx[j])
+		isel = (i0, i1 + (1 if step > 0 else -1), step)
+		# normalize negative stop
+		if step < 0 and isel[1] < 0: isel = (i0, None, step)
+		osel = (i, j+1, 1)
+		segs.append((isel, osel))
+		i = j+1
+	return segs
+
+
+# ---------------------------------------------------------------------------
+# Iteration helper (reference utils.nditer:3707)
+# ---------------------------------------------------------------------------
+def nditer(shape):
+	"""Iterate over all index tuples of the given shape (like np.ndindex)."""
+	if len(shape) == 0:
+		yield ()
+		return
+	for I in np.ndindex(*shape):
+		yield I
+
+def real_dtype(dtype):
+	"""The real dtype corresponding to a possibly complex dtype."""
+	return np.zeros(1, dtype).real.dtype
+
+def complex_dtype(dtype):
+	"""The complex dtype corresponding to a possibly real dtype."""
+	return np.result_type(dtype, np.complex64)
+
+def fix_dtype(dtype):
+	return np.dtype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Conjugate gradients (reference utils.CG:3586) — lax.while_loop version in
+# ops/solvers.py; this host version supports arbitrary pytrees/callbacks.
+# ---------------------------------------------------------------------------
+class CG:
+	"""Preconditioned conjugate gradient solver for A x = b, where A is a
+	callable. Works on numpy or jax arrays. Mirrors reference utils.CG:3586."""
+	def __init__(self, A, b, x0=None, M=lambda x: x, dot=None):
+		self.A = A; self.M = M
+		self.b = b
+		if dot is None:
+			dot = lambda a, b: float(np.sum(np.conj(np.asarray(a))*np.asarray(b)).real)
+		self.dot = dot
+		self.x  = np.zeros_like(np.asarray(b)) if x0 is None else x0
+		self.r  = b - self.A(self.x) if x0 is not None else np.asarray(b).copy()
+		self.z  = self.M(self.r)
+		self.rz = self.dot(self.r, self.z)
+		self.rz0 = float(self.rz)
+		self.p  = self.z
+		self.i  = 0
+		self.err = np.inf
+	def step(self):
+		Ap = self.A(self.p)
+		alpha = self.rz/self.dot(self.p, Ap)
+		self.x = self.x + alpha*self.p
+		self.r = self.r - alpha*Ap
+		self.z = self.M(self.r)
+		next_rz = self.dot(self.r, self.z)
+		beta = next_rz/self.rz
+		self.rz = next_rz
+		self.p = self.z + beta*self.p
+		self.i += 1
+		self.err = self.rz/self.rz0
+		return self.x
+	def save(self, fname):
+		import h5py
+		with h5py.File(fname, "w") as f:
+			f["x"] = np.asarray(self.x); f["r"] = np.asarray(self.r)
+			f["p"] = np.asarray(self.p); f["rz"] = self.rz
+			f["rz0"] = self.rz0; f["i"] = self.i
+	def load(self, fname):
+		import h5py
+		with h5py.File(fname, "r") as f:
+			self.x = f["x"][()]; self.r = f["r"][()]; self.p = f["p"][()]
+			self.rz = float(f["rz"][()]); self.rz0 = float(f["rz0"][()])
+			self.i = int(f["i"][()])
+			self.z = self.M(self.r)
+
+
+class Minres:
+	"""Minimum-residual solver for symmetric (possibly indefinite) A."""
+	def __init__(self, A, b, x0=None, dot=None):
+		self.A = A
+		if dot is None:
+			dot = lambda a, b: float(np.sum(np.conj(np.asarray(a))*np.asarray(b)).real)
+		self.dot = dot
+		self.b = np.asarray(b)
+		self.x = np.zeros_like(self.b) if x0 is None else np.asarray(x0).copy()
+		self.r = self.b - A(self.x) if x0 is not None else self.b.copy()
+		self.p0 = self.r.copy()
+		self.s0 = A(self.p0)
+		self.p1 = None; self.s1 = None
+		self.i = 0
+		self.bnorm = self.dot(self.b, self.b)**0.5
+		self.err = 1.0
+	def step(self):
+		ss = self.dot(self.s0, self.s0)
+		alpha = self.dot(self.r, self.s0)/ss
+		self.x = self.x + alpha*self.p0
+		self.r = self.r - alpha*self.s0
+		p2, s2 = self.p1, self.s1
+		self.p1, self.s1 = self.p0, self.s0
+		p0 = self.s1.copy()
+		s0 = self.A(p0)
+		beta1 = self.dot(s0, self.s1)/ss
+		p0 = p0 - beta1*self.p1
+		s0 = s0 - beta1*self.s1
+		if p2 is not None:
+			ss2 = self.dot(s2, s2)
+			beta2 = self.dot(self.A(self.s1), s2)/ss2
+			p0 = p0 - beta2*p2
+			s0 = s0 - beta2*s2
+		self.p0, self.s0 = p0, s0
+		self.i += 1
+		self.err = self.dot(self.r, self.r)**0.5/max(self.bnorm, 1e-300)
+		return self.x
+
+
+# ---------------------------------------------------------------------------
+# Printing / verbosity (reference utils.Printer:2948)
+# ---------------------------------------------------------------------------
+class Printer:
+	def __init__(self, level=1, prefix=""):
+		self.level = level; self.prefix = prefix
+	def write(self, desc, level=1, exact=False, newline=True):
+		if level == self.level or (not exact and level <= self.level):
+			import sys
+			sys.stderr.write("%s%s%s" % (self.prefix, desc, "\n" if newline else ""))
+	def push(self, desc):
+		return Printer(self.level, self.prefix + desc)
+	def time(self, desc, level=1, exact=False):
+		return _PrintTimer(self, desc, level, exact)
+
+class _PrintTimer:
+	def __init__(self, printer, desc, level, exact):
+		self.printer, self.desc, self.level, self.exact = printer, desc, level, exact
+	def __enter__(self):
+		import time
+		self.t1 = time.time()
+		return self
+	def __exit__(self, *args):
+		import time
+		self.printer.write("%6.2f %s" % (time.time()-self.t1, self.desc),
+			self.level, self.exact)
+
+def allreduce(a, comm=None, op=None):
+	"""Single-process fallback allreduce (see parallel.dist for multi-host)."""
+	if comm is None or getattr(comm, "size", 1) == 1: return a
+	return comm.allreduce(a, op=op)
+
+def allgather(a, comm=None):
+	if comm is None or getattr(comm, "size", 1) == 1:
+		return np.asarray(a)[None]
+	return comm.allgather(a)
+
+def allgatherv(a, comm=None, axis=0):
+	if comm is None or getattr(comm, "size", 1) == 1:
+		return np.asarray(a)
+	return comm.allgatherv(a, axis=axis)
