@@ -1,0 +1,342 @@
+"""Ring-based spherical harmonic transforms (geometry-agnostic engine).
+
+Sits between the Legendre scan kernels (ops/sht_core.py) and the map-aware
+API (curvedsky.py). Works on explicit iso-latitude ring grids:
+maps are [..., nt, nphi] arrays with rings at colatitudes theta[nt], each
+ring sampled at phi_j = phi0 + 2 pi j / nphi.
+
+Replaces the ducc0 synthesis/analysis/adjoint entry points used by the
+reference (pixell/curvedsky.py:900-1120). All four directions are provided:
+  synthesis          alm -> map
+  adjoint_synthesis  map -> alm   (transpose of synthesis, no weights)
+  analysis           map -> alm   (adjoint_synthesis of quadrature-weighted map)
+  adjoint_analysis   alm -> map   (transpose of analysis)
+Exact quadrature weights for Clenshaw-Curtis ("CC") and Fejer-1 ("F1") ring
+layouts are computed analytically via DCTs (reference relies on
+ducc0.sht.experimental.get_gridweights, curvedsky.py:501).
+"""
+from __future__ import annotations
+import functools
+import numpy as np
+import jax
+import jax.numpy as jnp
+from .ops import sht_core
+
+
+# ---------------------------------------------------------------------------
+# alm layout: triangular m-major (healpy-compatible), same as reference
+# curvedsky.alm_info (curvedsky.py:409): index = m(2 lmax + 1 - m)/2 + l.
+# ---------------------------------------------------------------------------
+def nalm(lmax, mmax=None):
+	if mmax is None: mmax = lmax
+	return (mmax+1)*(2*lmax+2-mmax)//2
+
+def nalm2lmax(n):
+	return int((-1 + (1 + 8*n)**0.5)/2) - 1
+
+def lm2ind(lmax, l, m):
+	l = np.asarray(l); m = np.asarray(m)
+	return m*(2*lmax+1-m)//2 + l
+
+def _rect_indices(lmax, mmax):
+	"""Gather indices [nl, nm] into a triangular alm array, plus validity mask."""
+	l = np.arange(lmax+1)[:, None]
+	m = np.arange(mmax+1)[None, :]
+	valid = l >= m
+	idx = np.where(valid, m*(2*lmax+1-m)//2 + l, 0)
+	return idx, valid
+
+@functools.partial(jax.jit, static_argnames=("lmax", "mmax"))
+def alm2rect(alm, lmax, mmax=None):
+	"""Triangular alm [..., nalm] -> rectangular [..., nl, nm] (l-major)."""
+	if mmax is None: mmax = lmax
+	idx, valid = _rect_indices(lmax, mmax)
+	rect = jnp.asarray(alm)[..., jnp.asarray(idx)]
+	return jnp.where(jnp.asarray(valid), rect, 0)
+
+@functools.partial(jax.jit, static_argnames=("lmax", "mmax"))
+def rect2alm(rect, lmax, mmax=None):
+	"""Rectangular [..., nl, nm] -> triangular [..., nalm]."""
+	if mmax is None: mmax = lmax
+	n = nalm(lmax, mmax)
+	idx, valid = _rect_indices(lmax, mmax)
+	out = jnp.zeros(rect.shape[:-2] + (n,), rect.dtype)
+	iv = jnp.asarray(idx[valid])
+	lv, mv = np.where(valid)
+	return out.at[..., iv].set(rect[..., jnp.asarray(lv), jnp.asarray(mv)])
+
+
+# ---------------------------------------------------------------------------
+# Quadrature weights (host-side, cached)
+# ---------------------------------------------------------------------------
+@functools.lru_cache(maxsize=64)
+def ring_weights(variant, n):
+	"""Exact weights w[n] with sum_j w_j f(theta_j) = int_0^pi f sin(theta)
+	dtheta for f any cosine polynomial of degree < n.
+	variant "CC": theta_j = j pi/(n-1) (pole rings included);
+	variant "F1": theta_j = (j+1/2) pi/n."""
+	from scipy.fft import dct
+	# I_k = int_0^pi cos(k theta) sin(theta) dtheta
+	k = np.arange(n, dtype=np.float64)
+	I = np.zeros(n)
+	kk = k[k != 1]
+	I[k != 1] = (1 + np.cos(kk*np.pi))/(1 - kk**2 + (kk == 1))
+	variant = variant.upper()
+	if variant in ["CC", "CLENSHAW-CURTIS"]:
+		N = n - 1
+		eps = np.ones(n); eps[0] = eps[-1] = 0.5
+		y = eps*I
+		s = (dct(y, type=1) + y[0] + np.where(k.astype(int) % 2 == 0, 1, -1)*y[-1])/2
+		w = (2.0/N)*eps*s
+		return w
+	elif variant in ["F1", "FEJER1"]:
+		w = dct(I, type=3)/n
+		return w
+	elif variant in ["F2", "FEJER2"]:
+		# theta_j = (j+1) pi/(n+1): solve exactness with the DST-I-like basis
+		# via the sine expansion: use the CC machinery on the extended grid
+		theta = (np.arange(n)+1)*np.pi/(n+1)
+		C = np.cos(np.outer(np.arange(n), theta))
+		return np.linalg.lstsq(C, I, rcond=None)[0]
+	else:
+		raise ValueError("Unknown ring layout '%s'" % variant)
+
+def ring_theta(variant, n):
+	variant = variant.upper()
+	if variant in ["CC", "CLENSHAW-CURTIS"]:
+		return np.arange(n)*np.pi/(n-1)
+	elif variant in ["F1", "FEJER1"]:
+		return (np.arange(n)+0.5)*np.pi/n
+	elif variant in ["F2", "FEJER2"]:
+		return (np.arange(n)+1)*np.pi/(n+1)
+	else:
+		raise ValueError("Unknown ring layout '%s'" % variant)
+
+
+# ---------------------------------------------------------------------------
+# Ring FFT stage
+# ---------------------------------------------------------------------------
+def _cdtype(dtype):
+	return np.complex64 if np.dtype(dtype) == np.float32 else np.complex128
+
+@functools.partial(jax.jit, static_argnames=("nphi",))
+def ring_synthesis(G, phi0, nphi):
+	"""G[..., nm, nt] complex -> map [..., nt, nphi]:
+	map(t, j) = sum_{m=0}^{mmax} eps_m Re[G[m,t] e^{i m (phi0 + 2 pi j/nphi)}].
+	Handles mmax >= nphi by aliasing m onto m mod nphi."""
+	G = jnp.asarray(G)
+	nm = G.shape[-2]
+	m = jnp.arange(nm)
+	phase = jnp.exp(1j*m.astype(G.real.dtype)*phi0)
+	Gp = G*phase[:, None]
+	# build the full complex spectrum via scatter-add (aliasing-safe)
+	c = jnp.zeros(G.shape[:-2] + (G.shape[-1], nphi), G.dtype)
+	mpos = np.arange(nm) % nphi
+	mneg = (-np.arange(nm)) % nphi
+	Gt = jnp.moveaxis(Gp, -2, -1)  # [..., nt, nm]
+	c = c.at[..., jnp.asarray(mpos)].add(Gt)
+	# negative-m (conjugate) part; m=0 only counted once
+	scale = jnp.asarray(np.where(np.arange(nm) == 0, 0.0, 1.0), G.real.dtype)
+	c = c.at[..., jnp.asarray(mneg)].add(jnp.conj(Gt)*scale)
+	return jnp.fft.ifft(c, axis=-1).real*nphi
+
+@functools.partial(jax.jit, static_argnames=("nm",))
+def ring_analysis(maps, phi0, nm):
+	"""map [..., nt, nphi] -> F[..., nm, nt] with
+	F[m, t] = sum_j map(t,j) e^{-i m phi_j}."""
+	maps = jnp.asarray(maps)
+	nphi = maps.shape[-1]
+	spec = jnp.fft.fft(maps, axis=-1)  # sum_j map e^{-2pi i jk/nphi}
+	midx = np.arange(nm) % nphi
+	F = spec[..., jnp.asarray(midx)]
+	m = jnp.arange(nm, dtype=maps.dtype)
+	F = F*jnp.exp(-1j*m*phi0)
+	return jnp.moveaxis(F, -1, -2)
+
+
+# ---------------------------------------------------------------------------
+# complex <-> coefficient-stack helpers for the real-valued scan engine
+# ---------------------------------------------------------------------------
+def _c2coef(z):
+	"""[..., K, nl, nm] complex -> [nl, nm, 2K] real (K component axis)."""
+	r = jnp.stack([z.real, z.imag], -1)           # [..., K, nl, nm, 2]
+	r = jnp.moveaxis(r, -4, -2)                    # [..., nl, nm, K, 2]
+	return r.reshape(r.shape[:-2] + (-1,))         # [..., nl, nm, 2K]
+
+def _coef2c(r, K):
+	"""[..., C, nm, nt] real with C=2K -> [..., K, nm, nt] complex."""
+	shp = r.shape
+	r = r.reshape(shp[:-3] + (K, 2) + shp[-2:])
+	return jax.lax.complex(r[..., 0, :, :], r[..., 1, :, :])
+
+
+# ---------------------------------------------------------------------------
+# Core transforms. alm: [..., ncomp, nalm] complex (triangular layout).
+# maps: [..., ncomp, nt, nphi]. spin handled like the reference: the spin
+# list consumes components (spin 0 -> 1 comp, else 2).
+# ---------------------------------------------------------------------------
+def _spin_blocks(spin, ncomp):
+	blocks = []
+	i = 0; si = 0
+	spins = np.atleast_1d(spin).astype(int)
+	while i < ncomp:
+		s = int(spins[min(si, len(spins)-1)])
+		step = 1 if s == 0 else 2
+		if i + step > ncomp: step, s = ncomp - i, 0
+		blocks.append((s, i, i+step))
+		i += step; si += 1
+	return blocks
+
+def _leg_dtype(dtype):
+	"""Dtype for the Legendre recurrence: f64 unless explicitly f32 maps on a
+	backend without fast f64. We keep f64 by default for accuracy."""
+	return np.float64 if np.dtype(dtype) == np.float64 else np.float32
+
+
+def synthesis(alm, theta, nphi, phi0=0.0, lmax=None, mmax=None, spin=(0, 2),
+		deriv=False, map_dtype=None):
+	"""alm [..., ncomp, nalm] -> map [..., ncomp, nt, nphi].
+	If deriv, alm is [..., nalm] and output is [..., 2, nt, nphi] with
+	(d/dtheta, d/dphi) derivatives of the scalar synthesis."""
+	alm = jnp.asarray(alm)
+	theta = jnp.asarray(theta)
+	if lmax is None: lmax = nalm2lmax(alm.shape[-1])
+	if mmax is None: mmax = lmax
+	rdt = np.float32 if alm.dtype == np.complex64 else np.float64
+	if map_dtype is None: map_dtype = rdt
+	ldt = _leg_dtype(map_dtype)
+	if deriv:
+		rect = alm2rect(alm, lmax, mmax)                     # [..., nl, nm]
+		A = _c2coef(rect[..., None, :, :])                   # [..., nl, nm, 2]
+		G = sht_core.synthesis_scan(A, theta, lmax, mmax, mode="deriv", dtype=ldt)
+		Gc = _coef2c(G, 1)[..., 0, :, :]                     # [2(fun), nm, nt]
+		G_s, G_dt = Gc[..., 0, :, :], Gc[..., 1, :, :]
+		m = jnp.arange(mmax+1, dtype=ldt)[:, None]
+		G_dp = 1j*m*G_s
+		mdt = ring_synthesis(jnp.stack([G_dt, G_dp], -3), phi0, nphi)
+		return mdt.astype(map_dtype)
+	ncomp = alm.shape[-2]
+	outs = []
+	for s, i1, i2 in _spin_blocks(spin, ncomp):
+		sub = alm[..., i1:i2, :]
+		rect = alm2rect(sub, lmax, mmax)                     # [..., k, nl, nm]
+		if s == 0:
+			A = _c2coef(rect)                                # [..., nl, nm, 2k]
+			G = sht_core.synthesis_scan(A, theta, lmax, mmax, mode="scalar", dtype=ldt)
+			Gc = _coef2c(G, i2-i1)[..., 0, :, :, :]          # [..., k, nm, nt]
+			outs.append(ring_synthesis(Gc, phi0, nphi))
+		else:
+			A = _c2coef(rect)                                # [..., nl, nm, 4]
+			mode = "spin1" if s == 1 else "spin2"
+			if s > 2: raise NotImplementedError("spin > 2 not yet supported")
+			G = sht_core.synthesis_scan(A, theta, lmax, mmax, mode=mode, dtype=ldt)
+			Gc = _coef2c(G, 2)                               # [..., 2(fun), 2(EB), nm, nt]
+			# (P1 + iP2) = -sum (a1 + i a2) sY;  (P1 - iP2) = -(-1)^s sum (a1 - i a2) -sY
+			# both reduce to P1_m = -(w a1 + i x a2), P2_m = -(w a2 - i x a1)
+			GE = Gc[..., 0, 0, :, :]; GB = Gc[..., 0, 1, :, :]
+			XE = Gc[..., 1, 0, :, :]; XB = Gc[..., 1, 1, :, :]
+			P1 = -(GE + 1j*XB)
+			P2 = -(GB - 1j*XE)
+			outs.append(ring_synthesis(jnp.stack([P1, P2], -3), phi0, nphi))
+	return jnp.concatenate(outs, -3).astype(map_dtype)
+
+
+def adjoint_synthesis(maps, theta, lmax, mmax=None, phi0=0.0, spin=(0, 2),
+		deriv=False, alm_dtype=None):
+	"""Exact transpose of synthesis: map [..., ncomp, nt, nphi] -> alm.
+	Note: sum over pixels, no quadrature weights."""
+	maps = jnp.asarray(maps)
+	theta = jnp.asarray(theta)
+	if mmax is None: mmax = lmax
+	rdt = maps.dtype
+	ldt = _leg_dtype(rdt)
+	cdt = _cdtype(rdt) if alm_dtype is None else alm_dtype
+	nphi = maps.shape[-1]
+	if deriv:
+		F2 = ring_analysis(maps, phi0, mmax+1)               # [..., 2, nm, nt]
+		Fdt, Fdp = F2[..., 0, :, :], F2[..., 1, :, :]
+		m = jnp.arange(mmax+1, dtype=ldt)[:, None]
+		# transpose of (G_dp = i m G_s): F_s += conj(i m)* ... = -i m F_dp
+		Fs = -1j*m*Fdp
+		F = jnp.stack([Fs[..., None, :, :], Fdt[..., None, :, :]], -4)
+		Fr = jnp.concatenate([F.real, F.imag], -3)           # [...,2(fun),2,nm,nt]
+		A = sht_core.analysis_scan(Fr, theta, lmax, mmax, mode="deriv", dtype=ldt)
+		rect = jax.lax.complex(A[..., 0], A[..., 1])
+		# conjugate-symmetry factor: m>0 modes appear twice in a real map
+		rect = _m_degeneracy(rect, mmax)
+		return rect2alm(rect, lmax, mmax).astype(cdt)
+	ncomp = maps.shape[-3]
+	outs = []
+	for s, i1, i2 in _spin_blocks(spin, ncomp):
+		sub = maps[..., i1:i2, :, :]
+		Fm = ring_analysis(sub, phi0, mmax+1)                # [..., k, nm, nt]
+		if s == 0:
+			k = i2-i1
+			Fr = jnp.stack([Fm.real, Fm.imag], -3)           # [..., k, 2, nm, nt]
+			Fr = Fr.reshape(Fr.shape[:-4] + (1, 2*k,) + Fr.shape[-2:])
+			A = sht_core.analysis_scan(Fr, theta, lmax, mmax, mode="scalar", dtype=ldt)
+			A = A.reshape(A.shape[:-1] + (k, 2))
+			rect = jax.lax.complex(A[..., 0], A[..., 1])
+			rect = jnp.moveaxis(rect, -1, -3)
+			rect = _m_degeneracy(rect, mmax)
+			outs.append(rect2alm(rect, lmax, mmax))
+		else:
+			if s > 2: raise NotImplementedError("spin > 2 not yet supported")
+			mode = "spin1" if s == 1 else "spin2"
+			Qf = Fm[..., 0, :, :]; Uf = Fm[..., 1, :, :]
+			# aE = -sum w Qf - i sum x Uf ; aB = -sum w Uf + i sum x Qf
+			Fc = jnp.stack([jnp.stack([-Qf, -Uf], -3),
+				jnp.stack([-1j*Uf, 1j*Qf], -3)], -4)         # [..., fun, 2, nm, nt]
+			Fr = jnp.concatenate([
+				jnp.stack([Fc.real[..., 0, :, :], Fc.imag[..., 0, :, :]], -3),
+				jnp.stack([Fc.real[..., 1, :, :], Fc.imag[..., 1, :, :]], -3)], -3)
+			A = sht_core.analysis_scan(Fr, theta, lmax, mmax, mode=mode, dtype=ldt)
+			A = A.reshape(A.shape[:-1] + (2, 2))
+			rect = jax.lax.complex(A[..., 0], A[..., 1])
+			rect = jnp.moveaxis(rect, -1, -3)
+			rect = _m_degeneracy(rect, mmax)
+			outs.append(rect2alm(rect, lmax, mmax))
+	return jnp.concatenate(outs, -2).astype(cdt)
+
+
+def _m_degeneracy(rect, mmax):
+	"""Multiply m>0 columns by 2: a real map's m<0 modes mirror m>0, so the
+	transpose picks up both (m=0 appears once)."""
+	fac = jnp.asarray(np.where(np.arange(mmax+1) == 0, 1.0, 2.0), rect.real.dtype)
+	return rect*fac
+
+
+def analysis(maps, theta, lmax, weights, mmax=None, phi0=0.0, spin=(0, 2),
+		deriv=False, alm_dtype=None):
+	"""Quadrature-based analysis: apply ring weights (times 2 pi/nphi) to the
+	map, then the transpose of synthesis. Exact for band-limited maps on
+	CC/F1 full-sky grids."""
+	maps = jnp.asarray(maps)
+	nphi = maps.shape[-1]
+	# a_lm = sum_t W_t lambda(theta_t) (2 pi/nphi) sum_j map e^{-im phi_j}:
+	# fold (2 pi/nphi) W_t into the map, reuse the transpose, and undo the
+	# real-map m>0 doubling (the integral picks each (l,m) exactly once).
+	w = jnp.asarray(weights, maps.dtype)*(2*np.pi/nphi)
+	wm = maps*w[:, None]
+	alm = adjoint_synthesis(wm, theta, lmax, mmax=mmax, phi0=phi0, spin=spin,
+		deriv=deriv, alm_dtype=alm_dtype)
+	return _undo_m_degeneracy(alm, lmax, mmax if mmax is not None else lmax)
+
+
+def _undo_m_degeneracy(alm, lmax, mmax):
+	idx, valid = _rect_indices(lmax, mmax)
+	fac = np.ones(nalm(lmax, mmax))
+	lv, mv = np.where(valid)
+	fac[lm2ind(lmax, lv, mv)] = np.where(mv == 0, 1.0, 0.5)
+	return alm*jnp.asarray(fac, alm.real.dtype)
+
+
+def adjoint_analysis(alm, theta, nphi, weights, phi0=0.0, lmax=None, mmax=None,
+		spin=(0, 2), deriv=False, map_dtype=None):
+	"""Transpose of analysis: synthesis then multiply by the weight map."""
+	if lmax is None: lmax = nalm2lmax(jnp.asarray(alm).shape[-1])
+	alm = _undo_m_degeneracy(jnp.asarray(alm), lmax, mmax if mmax is not None else lmax)
+	maps = synthesis(alm, theta, nphi, phi0=phi0, lmax=lmax, mmax=mmax,
+		spin=spin, deriv=deriv, map_dtype=map_dtype)
+	w = jnp.asarray(weights, maps.dtype)*(2*np.pi/nphi)
+	return maps*w[:, None]
