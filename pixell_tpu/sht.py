@@ -340,3 +340,57 @@ def adjoint_analysis(alm, theta, nphi, weights, phi0=0.0, lmax=None, mmax=None,
 		spin=spin, deriv=deriv, map_dtype=map_dtype)
 	w = jnp.asarray(weights, maps.dtype)*(2*np.pi/nphi)
 	return maps*w[:, None]
+
+
+# ---------------------------------------------------------------------------
+# Exact theta-resampling via the torus extension. A band-limited sphere map
+# sampled on a full CC/F1 ring grid extends to a uniform periodic grid in
+# theta over [0, 2pi) (the "torus"), where FFT zero-padding resamples it
+# exactly. This lets analysis stay exact up to lmax ~ nrings-1 instead of
+# (nrings-1)/2 (ducc's analysis_2d does the equivalent internally).
+# ---------------------------------------------------------------------------
+def _torus_extend(maps, variant, spins):
+	"""maps [..., ncomp, nt, nphi] on a full-sky CC/F1 grid -> torus
+	[..., ncomp, NT, nphi] with theta uniform over [0, 2pi)."""
+	maps = jnp.asarray(maps)
+	nphi = maps.shape[-1]
+	fphi = jnp.fft.fft(maps, axis=-1)
+	k = jnp.asarray(np.arange(nphi))
+	phase = jnp.where(k % 2 == 0, 1.0, -1.0).astype(maps.dtype)  # shift phi by pi
+	sgn = jnp.asarray([(-1.0)**s for s in spins], maps.dtype)[:, None, None]
+	if variant.upper() in ["F1", "FEJER1"]:
+		mirror = fphi[..., ::-1, :]*phase*sgn
+	else:  # CC: poles are shared rows
+		mirror = fphi[..., -2:0:-1, :]*phase*sgn
+	torus_f = jnp.concatenate([fphi, mirror], -2)
+	return jnp.fft.ifft(torus_f, axis=-1), nphi
+
+def resample_theta(maps, variant, nt_out, spins, phase_only=False):
+	"""Exactly resample a full-sky CC/F1 ring map [..., ncomp, nt, nphi] to
+	nt_out rings of the same variant, assuming it is band-limited to
+	lmax < NT/2 on the torus."""
+	maps = jnp.asarray(maps)
+	rdt = maps.dtype
+	variant = variant.upper()
+	nt = maps.shape[-2]
+	torus, nphi = _torus_extend(maps, variant, spins)
+	NT_in  = torus.shape[-2]
+	NT_out = 2*nt_out if variant in ["F1", "FEJER1"] else 2*(nt_out-1)
+	ft = jnp.fft.fft(torus, axis=-2)
+	# grid offsets: F1 rows sit at (j+1/2)*dtheta -> adjust phases so both
+	# input and output grids are referenced to theta=0
+	if variant in ["F1", "FEJER1"]:
+		w_in  = jnp.asarray(np.fft.fftfreq(NT_in)*NT_in)   # integer freqs
+		w_out = jnp.asarray(np.fft.fftfreq(NT_out)*NT_out)
+		ft = ft*jnp.exp(-2j*np.pi*w_in*(0.5/NT_in))[:, None]
+	from . import fft as enfft
+	ft = enfft.resample(ft, NT_out, axes=(-2,))/NT_in*NT_out
+	if variant in ["F1", "FEJER1"]:
+		w_out = jnp.asarray(np.fft.fftfreq(NT_out)*NT_out)
+		ft = ft*jnp.exp(+2j*np.pi*w_out*(0.5/NT_out))[:, None]
+	res = jnp.fft.ifft(ft, axis=-2)[..., :nt_out, :]
+	if not jnp.iscomplexobj(maps):
+		res = res.real.astype(rdt)
+	else:
+		res = res.real.astype(rdt)
+	return res
