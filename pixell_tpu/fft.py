@@ -254,11 +254,21 @@ def resample(fa, n, axes=(-1,), norm=True):
 		nh_old, nh_new = n_old//2, n_new//2
 		if n_new < n_old:
 			keep_lo = (n_new+1)//2
-			fa = jnp.concatenate([fa[..., :keep_lo], fa[..., n_old-nh_new:]], -1)
+			fa2 = jnp.concatenate([fa[..., :keep_lo], fa[..., n_old-nh_new:]], -1)
+			if n_new % 2 == 0:
+				# new Nyquist bin must absorb both +-n_new/2 of the old spectrum
+				fa2 = fa2.at[..., keep_lo].add(fa[..., nh_new])
+			fa = fa2
 		elif n_new > n_old:
 			keep_lo = (n_old+1)//2
 			zeros = jnp.zeros(fa.shape[:-1] + (n_new-n_old,), fa.dtype)
-			fa = jnp.concatenate([fa[..., :keep_lo], zeros, fa[..., keep_lo:]], -1)
+			fa2 = jnp.concatenate([fa[..., :keep_lo], zeros, fa[..., keep_lo:]], -1)
+			if n_old % 2 == 0:
+				# split the old Nyquist bin symmetrically between +-n_old/2
+				nyq = fa[..., nh_old]
+				fa2 = fa2.at[..., n_new-nh_old].set(nyq/2)
+				fa2 = fa2.at[..., nh_old].set(nyq/2)
+			fa = fa2
 		fa = jnp.moveaxis(fa, -1, ax)
 	return fa
 

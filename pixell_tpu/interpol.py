@@ -1,0 +1,267 @@
+"""Spline/conv/lanczos interpolation of gridded data (map_coordinates).
+
+TPU-native replacement for the reference's Fortran interpolation core
+(fortran/interpol.F90 + pixell/interpol.py): scipy-ndimage-compatible
+``map_coordinates`` over the last two (or one) axes, with
+
+- orders 0 (nearest), 1 (bilinear), 3 (cubic B-spline with prefilter)
+- borders: cyclic (default, matching the reference), zero/constant,
+  nearest, mirror
+- mode "conv" (no prefilter: direct kernel weighting), "spline"
+  (prefiltered, interpolating), "lanczos" (3-lobe windowed sinc)
+- transpose (adjoint) and derivative variants, needed by lensing
+  (reference interpol.F90:442,527)
+
+The B-spline prefilter is the inverse of the B-spline blur. Instead of the
+reference's sequential IIR recursion (interpol.F90:89-258, unusable on a
+vector machine), we apply it spectrally: pad according to the border mode,
+divide by the kernel's frequency response, crop. The IIR impulse response
+decays as (2-sqrt(3))^n ~ 0.27^n, so a 48-pixel pad is exact to ~1e-27.
+All functions are linear in the data and jit/vjp-compatible: the transpose
+comes from jax.linear_transpose rather than hand-written scatter kernels.
+"""
+from __future__ import annotations
+import functools
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+PAD = 48
+
+
+def _bspline3_weights(t):
+	"""Cubic B-spline basis evaluated at offsets (t in [0,1)):
+	returns 4 weights for taps floor(x)-1 .. floor(x)+2."""
+	t = jnp.asarray(t)
+	w0 = (1 - t)**3/6
+	w1 = (4 - 6*t**2 + 3*t**3)/6
+	w2 = (1 + 3*t + 3*t**2 - 3*t**3)/6
+	w3 = t**3/6
+	return jnp.stack([w0, w1, w2, w3], -1)
+
+def _bspline3_dweights(t):
+	t = jnp.asarray(t)
+	w0 = -(1 - t)**2/2
+	w1 = (-12*t + 9*t**2)/6
+	w2 = (3 + 6*t - 9*t**2)/6
+	w3 = t**2/2
+	return jnp.stack([w0, w1, w2, w3], -1)
+
+def _linear_weights(t):
+	t = jnp.asarray(t)
+	return jnp.stack([1 - t, t], -1)
+
+def _linear_dweights(t):
+	t = jnp.asarray(t)
+	return jnp.stack([-jnp.ones_like(t), jnp.ones_like(t)], -1)
+
+def _lanczos3_weights(t):
+	t = jnp.asarray(t)
+	offs = jnp.arange(-2, 4)  # taps floor(x)-2 .. floor(x)+3
+	x = t[..., None] - offs
+	def sinc(z): return jnp.sinc(z)
+	w = sinc(x)*sinc(x/3)
+	return w/jnp.sum(w, -1, keepdims=True)
+
+_KERNELS = {
+	("spline", 3): (_bspline3_weights, _bspline3_dweights, 4, 1),
+	("conv", 3):   (_bspline3_weights, _bspline3_dweights, 4, 1),
+	("spline", 1): (_linear_weights, _linear_dweights, 2, 0),
+	("conv", 1):   (_linear_weights, _linear_dweights, 2, 0),
+	("lanczos", 3): (_lanczos3_weights, None, 6, 2),
+}
+
+
+def _bspline3_response(n, dtype):
+	"""Frequency response of the cubic B-spline sampled kernel [1/6,4/6,1/6]."""
+	w = 2*np.pi*np.fft.fftfreq(n)
+	return ((4 + 2*np.cos(w))/6).astype(dtype)
+
+def spline_filter(data, order=3, axes=None, border="cyclic", trans=False):
+	"""B-spline prefilter: find coefficients c such that spline interpolation
+	of c at integers reproduces data (reference interpol.spline_filter:100).
+	trans applies the transpose instead."""
+	data = jnp.asarray(data)
+	if order < 2: return data
+	if axes is None: axes = range(data.ndim)
+	fun = lambda x: _spline_filter_fwd(x, order, tuple(ax % data.ndim for ax in axes), border)
+	if not trans:
+		return fun(data)
+	return jax.linear_transpose(fun, jnp.zeros(data.shape, data.dtype))(data)[0]
+
+def _spline_filter_fwd(data, order, axes, border):
+	for ax in axes:
+		data = jnp.moveaxis(data, ax, -1)
+		n = data.shape[-1]
+		if border in ["cyclic", "wrap"]:
+			resp = jnp.asarray(_bspline3_response(n, np.float64))
+			data = jnp.fft.ifft(jnp.fft.fft(data, axis=-1)/resp, axis=-1).real.astype(data.dtype)
+		else:
+			pad = min(PAD, n)
+			if border in ["nearest", "edge"]:
+				ext = jnp.pad(data, [(0, 0)]*(data.ndim-1) + [(pad, pad)], mode="edge")
+			elif border in ["mirror", "reflect"]:
+				ext = jnp.pad(data, [(0, 0)]*(data.ndim-1) + [(pad, pad)], mode="reflect")
+			else:  # zero/constant
+				ext = jnp.pad(data, [(0, 0)]*(data.ndim-1) + [(pad, pad)])
+			resp = jnp.asarray(_bspline3_response(ext.shape[-1], np.float64))
+			ext = jnp.fft.ifft(jnp.fft.fft(ext, axis=-1)/resp, axis=-1).real.astype(data.dtype)
+			data = ext[..., pad:pad+n]
+		data = jnp.moveaxis(data, -1, ax)
+	return data
+
+
+def _gather2d(data, iy, ix, border, cval):
+	"""data [..., ny, nx], integer taps iy [npt, ky], ix [npt, kx] ->
+	[..., npt, ky, kx] with border handling."""
+	ny, nx = data.shape[-2:]
+	if border in ["cyclic", "wrap"]:
+		vy, vx = iy % ny, ix % nx
+		vals = data[..., vy[:, :, None], vx[:, None, :]]
+	elif border in ["nearest", "edge"]:
+		vy = jnp.clip(iy, 0, ny-1); vx = jnp.clip(ix, 0, nx-1)
+		vals = data[..., vy[:, :, None], vx[:, None, :]]
+	elif border in ["mirror", "reflect"]:
+		def refl(i, n):
+			period = 2*n - 2 if n > 1 else 1
+			i = i % period
+			return jnp.where(i >= n, period - i, i)
+		vy, vx = refl(iy, ny), refl(ix, nx)
+		vals = data[..., vy[:, :, None], vx[:, None, :]]
+	else:  # zero / constant
+		good = ((iy >= 0) & (iy < ny))[:, :, None] & ((ix >= 0) & (ix < nx))[:, None, :]
+		vy = jnp.clip(iy, 0, ny-1); vx = jnp.clip(ix, 0, nx-1)
+		vals = data[..., vy[:, :, None], vx[:, None, :]]
+		vals = jnp.where(good, vals, cval)
+	return vals
+
+
+def map_coordinates(idata, points, odata=None, mode="spline", order=3,
+		border="cyclic", trans=False, deriv=False, prefilter=True, cval=0.0):
+	"""Interpolate idata[..., ny, nx] at fractional pixel positions
+	points[2, ...] (or 1D data at points[1, ...]). Reference:
+	pixell/interpol.map_coordinates:7.
+
+	mode: "spline" (prefiltered B-spline, interpolating), "conv" (B-spline
+	 weighting without prefilter, smoothing), "lanczos".
+	order: 0, 1 or 3.
+	deriv: return the gradient [..., 2, ...] instead of values.
+	trans: apply the transpose operation: scatter odata at the points back
+	 into a map of idata's shape (adjoint of the interpolation)."""
+	idata = jnp.asarray(idata)
+	points = jnp.asarray(points)
+	ndim = points.shape[0]
+	if ndim == 1:
+		# lift 1D case to 2D
+		res = map_coordinates(idata[..., None, :] if not trans else idata,
+			jnp.stack([jnp.zeros_like(points[0]), points[0]]), odata=odata,
+			mode=mode, order=order, border=border, trans=trans, deriv=deriv,
+			prefilter=prefilter, cval=cval)
+		return res
+	assert ndim == 2, "Only 1D/2D interpolation supported"
+	pshape = points.shape[1:]
+	pts = points.reshape(2, -1)
+
+	if not trans:
+		fun = lambda d: _interp2d(d, pts, mode, order, border, deriv, prefilter, cval)
+		res = fun(idata)
+		if deriv:
+			return res.reshape(idata.shape[:-2] + (2,) + pshape)
+		return res.reshape(idata.shape[:-2] + pshape)
+	else:
+		# transpose: odata has point shape; produce map shape
+		assert odata is not None or idata is not None
+		vals = jnp.asarray(odata) if odata is not None else idata
+		if deriv:
+			flat = vals.reshape(vals.shape[:-1-len(pshape)] + (2, pts.shape[1],))
+		else:
+			flat = vals.reshape(vals.shape[:len(vals.shape)-len(pshape)] + (pts.shape[1],))
+		mapshape = idata.shape if not deriv else idata.shape
+		fun = lambda d: _interp2d(d, pts, mode, order, border, deriv, prefilter, cval)
+		example = jnp.zeros(mapshape, flat.dtype)
+		out = jax.linear_transpose(fun, example)(flat)[0]
+		return out
+
+
+def _interp2d(data, pts, mode, order, border, deriv, prefilter, cval):
+	if order == 0:
+		iy = jnp.round(pts[0]).astype(jnp.int32)[:, None]
+		ix = jnp.round(pts[1]).astype(jnp.int32)[:, None]
+		vals = _gather2d(data, iy, ix, border, cval)[..., 0, 0]
+		if deriv:
+			return jnp.zeros(data.shape[:-2] + (2, pts.shape[1]), data.dtype)
+		return vals
+	wfun, dwfun, ntap, off = _KERNELS[(mode if mode != "spline" or order != 1 else "spline", order)] \
+		if (mode, order) in _KERNELS else _KERNELS[("spline", order)]
+	if mode == "lanczos":
+		wfun, dwfun, ntap, off = _KERNELS[("lanczos", 3)]
+	if mode == "spline" and prefilter and order >= 2:
+		data = spline_filter(data, order=order, axes=(-2, -1), border=border)
+	i0y = jnp.floor(pts[0]).astype(jnp.int32)
+	i0x = jnp.floor(pts[1]).astype(jnp.int32)
+	ty = pts[0] - i0y
+	tx = pts[1] - i0x
+	taps = jnp.arange(-off, ntap-off)
+	iy = i0y[:, None] + taps[None, :]
+	ix = i0x[:, None] + taps[None, :]
+	vals = _gather2d(data, iy, ix, border, cval)  # [..., npt, ky, kx]
+	wy = wfun(ty); wx = wfun(tx)
+	if not deriv:
+		return jnp.einsum("...pyx,py,px->...p", vals, wy, wx)
+	dwy = dwfun(ty); dwx = dwfun(tx)
+	gy = jnp.einsum("...pyx,py,px->...p", vals, dwy, wx)
+	gx = jnp.einsum("...pyx,py,px->...p", vals, wy, dwx)
+	return jnp.stack([gy, gx], -2)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive interpolator (reference interpol.build:123): evaluate an
+# expensive coordinate transform on a coarse grid, refine until an accuracy
+# target is met, then provide fast interpolated lookups.
+# ---------------------------------------------------------------------------
+def build(func, interpolator, box, errlim, maxsize=None, maxdepth=None,
+		return_obj=False, *args, **kwargs):
+	"""Build an interpolator for func over box [{from,to},ndim] by refining a
+	grid until func is reproduced within errlim."""
+	box = np.asarray(box, float)
+	ndim = box.shape[1]
+	n = np.zeros(ndim, int) + 8
+	errlim = np.asarray(errlim)
+	for depth in range(maxdepth or 10):
+		grid = _eval_grid(func, box, n)
+		ip = interpolator(grid, box)
+		# test at midpoints
+		ntest = np.minimum(n*2-1, 64)
+		test_grid = _eval_grid(func, box, ntest)
+		got = ip(_grid_coords(box, ntest))
+		err = np.abs(np.asarray(got).reshape(test_grid.shape) - test_grid)
+		scale = np.max(err, axis=tuple(range(1, err.ndim))) if err.ndim > 1 else err.max()
+		if np.all(np.max(err) <= np.max(errlim)): break
+		n = n*2 - 1
+		if maxsize and np.prod(n) > maxsize: break
+	return (ip, grid) if return_obj else ip
+
+def _grid_coords(box, n):
+	axes = [np.linspace(box[0, i], box[1, i], n[i]) for i in range(box.shape[1])]
+	mesh = np.meshgrid(*axes, indexing="ij")
+	return np.stack([m.reshape(-1) for m in mesh])
+
+def _eval_grid(func, box, n):
+	coords = _grid_coords(box, n)
+	vals = np.asarray(func(coords))
+	return vals.reshape(vals.shape[:-1] + tuple(n))
+
+class ip_ndimage:
+	"""Spline-interpolator over a gridded function (reference interpol.ip_ndimage:201)."""
+	def __init__(self, grid, box, order=3):
+		self.grid = jnp.asarray(np.asarray(grid))
+		self.box = np.asarray(box, float)
+		self.n = np.array(self.grid.shape[-self.box.shape[1]:])
+		self.order = order
+	def __call__(self, coords):
+		coords = np.asarray(coords)
+		pix = (coords - self.box[0][:, None])/(self.box[1] - self.box[0])[:, None]*(self.n[:, None]-1)
+		return np.asarray(map_coordinates(self.grid, jnp.asarray(pix),
+			order=self.order, border="nearest"))
+
+ip_linear = functools.partial(ip_ndimage, order=1)
