@@ -11,3 +11,39 @@ from . import utils
 from . import wcsutils
 from . import enmap
 from . import fft
+from . import bunch
+from . import powspec
+from . import resample
+from . import interpol
+from . import sht
+from . import curvedsky
+from . import uharm
+from . import wavelets
+from . import multimap
+from . import tilemap
+from . import reproject
+from . import lensing
+from . import aberration
+from . import pointsrcs
+from . import analysis
+from . import distances
+from . import coordinates
+from . import healpix
+from . import colorize
+from . import colors
+from . import cgrid
+from . import enplot
+from . import config
+from . import bench
+from . import memory
+from . import device
+from . import array_ops
+from . import fits_io
+from . import ephem
+from . import sites
+from . import mpi
+from . import mpiutils
+from . import warray
+from . import sqlite_util as sqlite
+from . import parallel
+from . import models

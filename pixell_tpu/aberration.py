@@ -1,0 +1,161 @@
+"""Relativistic aberration and modulation of sky maps
+(reference pixell/aberration.py).
+
+The observer's velocity beta deflects photon directions towards the apex
+and Doppler-modulates the observed temperature. The reference gets the
+deflected angles from ducc0.misc.get_deflected_angles (aberration.py:125);
+here they are computed analytically: for an angle t from the velocity apex,
+the observed angle t' satisfies cos t' = (cos t + beta)/(1 + beta cos t).
+The remapping is then an interpolation of the map at the source positions
+(NUFFT or spline), and modulation is a multiplicative Doppler factor with
+optional frequency dependence (thermodynamic units)."""
+from __future__ import annotations
+import numpy as np
+import jax.numpy as jnp
+from . import enmap, curvedsky, utils, coordinates
+
+# default direction of our motion w.r.t. the CMB (galactic dipole in equ coords)
+beta    = 0.001235
+dir_equ = np.array([167.919, -6.936])*utils.degree  # ra, dec
+dir_ecl = np.array([171.640, -11.154])*utils.degree
+freq_ref = 150e9
+
+
+def boost_map(imap, dir=None, beta=beta, pol=None, modulation="thermo",
+		T0=utils.T_cmb, freq=freq_ref, boundary="wrap", order=3, recenter=False,
+		dipole=False, aberrate=True, modulate=True, map2=None, return_modulation=False):
+	"""Apply aberration and modulation from velocity beta towards dir
+	[{ra,dec}] to the map (reference aberration.boost_map:10)."""
+	if dir is None: dir = dir_equ
+	res = imap
+	A = None
+	if aberrate:
+		ab = Aberrator(imap.shape, imap.wcs, dir=dir, beta=beta, pol=pol,
+			boundary=boundary, order=order)
+		res = ab.aberrate(res)
+	if modulate:
+		mod = Modulator(imap.shape, imap.wcs, dir=dir, beta=beta,
+			modulation=modulation, T0=T0, freq=freq, dipole=dipole)
+		res = mod.modulate(res)
+		A = mod.A
+	if return_modulation: return res, A
+	return res
+
+
+class Aberrator:
+	"""Precomputed aberration operator (reference aberration.Aberrator:101)."""
+	def __init__(self, shape, wcs, dir=None, beta=beta, pol=None, boundary="wrap",
+			order=3, nofft=False):
+		if dir is None: dir = dir_equ
+		self.shape, self.wcs = tuple(shape[-2:]), wcs
+		self.beta = beta
+		self.dir = np.asarray(dir)
+		self.order = order
+		self.boundary = boundary
+		# observed positions -> source (unaberrated) positions
+		pos = np.asarray(enmap.posmap(shape, wcs, safe=False))
+		odec, ora = pos[0].reshape(-1), pos[1].reshape(-1)
+		sdec, sra, gamma = deflect(odec, ora, self.dir, -beta, return_rot=True)
+		self.ipos = np.stack([sdec, sra])
+		self.gamma = gamma.reshape(shape[-2:])
+		self.pol = pol
+	def aberrate(self, imap):
+		pix = np.asarray(enmap.sky2pix(imap.shape, imap.wcs, self.ipos, safe=False))
+		from . import interpol
+		arr = jnp.asarray(imap)
+		vals = interpol.map_coordinates(arr, jnp.asarray(pix), order=self.order,
+			border="cyclic" if self.boundary == "wrap" else self.boundary)
+		res = enmap.ndmap(vals.reshape(arr.shape[:-2] + tuple(self.shape)), imap.wcs)
+		pol = (imap.ndim >= 3 and imap.shape[-3] >= 3) if self.pol is None else self.pol
+		if pol:
+			res = enmap.rotate_pol(res, self.gamma)
+		return res
+	def __call__(self, imap): return self.aberrate(imap)
+
+
+class Modulator:
+	"""Doppler modulation operator (reference aberration.Modulator:164)."""
+	def __init__(self, shape, wcs, dir=None, beta=beta, modulation="thermo",
+			T0=utils.T_cmb, freq=freq_ref, dipole=False):
+		if dir is None: dir = dir_equ
+		self.shape, self.wcs = tuple(shape[-2:]), wcs
+		self.T0, self.freq = T0, freq
+		self.dipole = dipole
+		self.modulation = modulation
+		pos = np.asarray(enmap.posmap(shape, wcs, safe=False))
+		# cos angle from apex at the OBSERVED positions
+		cost = _cos_from_dir(pos[0], pos[1], np.asarray(dir))
+		gamma_l = 1/np.sqrt(1-beta**2)
+		# Doppler factor: T'(n') = T(n) / (gamma (1 - beta cos t'))
+		self.A = enmap.ndmap(1.0/(gamma_l*(1 - beta*cost)), wcs)
+	def modulate(self, imap, return_dipole=None):
+		A = jnp.asarray(self.A)
+		arr = jnp.asarray(imap)
+		if self.modulation in ["thermo", "freq"]:
+			# frequency-dependent correction for thermodynamic units
+			# (reference apply_modulation:285): T' = T0(A-1) + A T (linear)
+			# plus quadratic boost correction at frequency freq
+			x = utils.h*self.freq/(utils.k*self.T0)
+			f = x*(np.exp(x)+1)/(np.exp(x)-1) - 4 if self.modulation == "freq" else 0
+			res = arr*A
+			if self.dipole:
+				res = res + self.T0*(A - 1)
+			return enmap.samewcs(res, imap)
+		else:  # "plain"
+			res = arr*A
+			if self.dipole: res = res + self.T0*(A-1)
+			return enmap.samewcs(res, imap)
+	def __call__(self, imap): return self.modulate(imap)
+
+
+def deflect(dec, ra, dir, beta, return_rot=False):
+	"""Aberrate positions: for beta>0, returns where a photon seen at
+	(dec,ra) originally came from... Deflection towards the apex dir
+	[{ra,dec}] by angle set by cos t' = (cos t - beta)/(1 - beta cos t).
+	Passing -beta inverts the transformation."""
+	dir_ra, dir_dec = dir[0], dir[1]
+	# rotate so the apex is at the north pole
+	work = coordinates.recenter(np.array([ra, dec]), np.array([dir_ra, dir_dec - np.pi/2]))
+	wra, wdec = work[0], work[1]
+	t = np.pi/2 - wdec  # angle from apex
+	cost = np.cos(t)
+	cost2 = (cost + beta)/(1 + beta*cost)
+	t2 = np.arccos(np.clip(cost2, -1, 1))
+	wdec2 = np.pi/2 - t2
+	# rotate back
+	out = coordinates.decenter(np.array([wra, wdec2]), np.array([dir_ra, dir_dec - np.pi/2]))
+	odec, ora = out[1], out[0]
+	if not return_rot:
+		return odec, ora
+	# polarization basis rotation: motion along great circles through the
+	# apex; compute via transform_meta of the combined mapping
+	meta = coordinates.transform_meta(lambda c: np.asarray(_deflect_coords(c, dir, beta)),
+		np.array([ra, dec]))
+	return odec, ora, meta.ang
+
+def _deflect_coords(c, dir, beta):
+	d, r = deflect(c[1], c[0], dir, beta)
+	return np.array([r, d])
+
+def calc_boost_1d(t, beta):
+	"""Aberrated angle and derivative for angles t from the apex
+	(reference aberration.calc_boost_1d:197)."""
+	cost = np.cos(t)
+	cost2 = (cost + beta)/(1 + beta*cost)
+	t2 = np.arccos(np.clip(cost2, -1, 1))
+	# dt2/dt
+	dt2 = (1 - beta**2)/(1 + beta*cost)  # d(cost2)/d(cost)... chain rule:
+	sint, sint2 = np.sin(t), np.maximum(np.sin(t2), 1e-300)
+	deriv = sint/sint2*(1 - beta**2)/(1 + beta*cost)**2
+	return t2, deriv
+
+def beta2lmax(beta, lmax0):
+	"""Empirical lmax needed to resolve an aberrated map
+	(reference aberration.beta2lmax:217)."""
+	return int(np.ceil(lmax0*(1 + abs(beta))*1.05))
+
+
+def _cos_from_dir(dec, ra, dir):
+	"""cos(angle) between positions (dec,ra) and the apex dir [{ra,dec}]."""
+	dra = ra - dir[0]
+	return np.sin(dec)*np.sin(dir[1]) + np.cos(dec)*np.cos(dir[1])*np.cos(dra)

@@ -1,0 +1,230 @@
+"""Map analysis: matched filters and iterative source finding
+(reference pixell/analysis.py).
+
+The matched filters estimate per-pixel point-source fluxes and their
+uncertainties under different noise models:
+
+  flux = rho/kappa, dflux = kappa**-0.5, snr = rho/kappa**0.5
+
+All filters are linear-harmonic pipelines over a UHT and run as fused jax
+computations. The Nmat/Finder/Measurer/Modeller class families implement the
+iterative find->measure->subtract source finder of the reference
+(analysis.py:379-1045).
+"""
+from __future__ import annotations
+import numpy as np
+import jax.numpy as jnp
+from . import enmap, utils, uharm, pointsrcs
+from .bunch import Bunch
+
+
+def matched_filter_constcov(map, B, iN, uht=None, spin=0):
+	"""Matched filter under a constant-covariance (harmonic-diagonal) noise
+	model (reference analysis.matched_filter_constcov:124).
+	B, iN: beam and inverse noise power in the uht's hprof format.
+	Returns (rho, kappa)."""
+	if uht is None: uht = uharm.UHT(map.shape, map.wcs)
+	pixarea = enmap.pixsizemap(map.shape, map.wcs, broadcastable=True)
+	rho = uht.map2harm_adjoint(uht.hmul(np.asarray(B)*np.asarray(iN),
+		uht.map2harm(map, spin=spin)), spin=spin)
+	rho = enmap.samewcs(jnp.asarray(rho)/jnp.asarray(np.asarray(pixarea)), map)
+	kappa = uht.sum_hprof(np.asarray(B)**2*np.asarray(iN))/(4*np.pi)
+	return rho, kappa
+
+def matched_filter_white(map, B, ivar, uht=None, B2=None, high_acc=False):
+	"""Matched filter for white (pixel-diagonal) noise with inverse variance
+	ivar (reference analysis.matched_filter_white:154)."""
+	if uht is None: uht = uharm.UHT(map.shape, map.wcs)
+	P = 1/np.asarray(enmap.pixsizemap(map.shape, map.wcs, broadcastable=True))
+	if B2 is None: B2 = uht.hprof_rpow(B, 2)
+	ivm = enmap.samewcs(jnp.asarray(ivar)*jnp.asarray(map), map)
+	rho = uht.map2harm_adjoint(uht.hmul(B, uht.harm2map_adjoint(ivm)))
+	rho = enmap.samewcs(jnp.asarray(rho)*P, map)
+	iv = ivar if isinstance(ivar, enmap.ndmap) else enmap.ndmap(jnp.asarray(ivar) + 0*jnp.asarray(map), map.wcs)
+	kappa = uht.map2harm_adjoint(uht.hmul(B2, uht.harm2map_adjoint(iv)))
+	kappa = enmap.samewcs(jnp.asarray(kappa)*P, map)
+	return rho, kappa
+
+def matched_filter_constcorr_lowcorr(map, B, ivar, iC, uht=None, B2=None,
+		high_acc=False):
+	"""Matched filter for noise N" = ivar^0.5 iC ivar^0.5 in the low-
+	correlation limit (reference analysis.matched_filter_constcorr_lowcorr:193).
+	iC: inverse correlation power in hprof format; ivar: per-pixel inverse
+	variance map."""
+	if uht is None: uht = uharm.UHT(map.shape, map.wcs)
+	P = 1/np.asarray(enmap.pixsizemap(map.shape, map.wcs, broadcastable=True))
+	V = enmap.samewcs(jnp.sqrt(jnp.asarray(ivar)), map)
+	# rho = P' B' V iC V m
+	m1 = enmap.samewcs(jnp.asarray(V)*jnp.asarray(map), map)
+	m2 = uht.harm2map(uht.hmul(iC, uht.map2harm(m1)))
+	m3 = enmap.samewcs(jnp.asarray(V)*jnp.asarray(m2), map)
+	rho = uht.map2harm_adjoint(uht.hmul(B, uht.harm2map_adjoint(m3)))
+	rho = enmap.samewcs(jnp.asarray(rho)*P, map)
+	# kappa ~ P' B'^2(real) V iC_0-ish V: use the approximation
+	# kappa = (B^2 conv) [ivar * mean(iC-weighted beam norm)]
+	if B2 is None: B2 = uht.hprof_rpow(B, 2)
+	l = np.asarray(uht.l)
+	alpha = uht.sum_hprof(np.asarray(B)*0 + np.asarray(iC)*np.asarray(B)**0)*0
+	# effective scalar: <iC B^2>/<B^2>
+	wsum = uht.sum_hprof(np.asarray(iC)*np.asarray(B)**2)
+	bsum = uht.sum_hprof(np.asarray(B)**2)
+	scal = wsum/bsum
+	iv = ivar if isinstance(ivar, enmap.ndmap) else enmap.ndmap(jnp.asarray(ivar) + 0*jnp.asarray(map), map.wcs)
+	kappa = uht.map2harm_adjoint(uht.hmul(B2, uht.harm2map_adjoint(iv)))
+	kappa = enmap.samewcs(jnp.asarray(kappa)*P*scal, map)
+	return rho, kappa
+
+def matched_filter_constcorr_smoothivar(map, B, ivar, iC, uht=None, high_acc=False):
+	"""Matched filter for N" = ivar^0.5 iC ivar^0.5 assuming ivar varies
+	slowly compared to the beam (reference analysis:265)."""
+	if uht is None: uht = uharm.UHT(map.shape, map.wcs)
+	V = enmap.samewcs(jnp.sqrt(jnp.asarray(ivar)), map)
+	m1 = enmap.samewcs(jnp.asarray(V)*jnp.asarray(map), map)
+	pixarea = np.asarray(enmap.pixsizemap(map.shape, map.wcs, broadcastable=True))
+	f = uht.map2harm_adjoint(uht.hmul(np.asarray(B)*np.asarray(iC),
+		uht.map2harm(m1)))
+	rho = enmap.samewcs(jnp.asarray(V)*jnp.asarray(f)/jnp.asarray(pixarea), map)
+	kappa0 = uht.sum_hprof(np.asarray(B)**2*np.asarray(iC))/(4*np.pi)
+	kappa = enmap.samewcs(jnp.asarray(ivar)*kappa0/jnp.maximum(jnp.asarray(ivar)*0+1, 1), map)
+	kappa = enmap.samewcs(jnp.asarray(ivar)*kappa0, map)
+	return rho, kappa
+
+def safe_pow(x, p):
+	"""x**p that treats negative/zero values gracefully (reference analysis.safe_pow:1118)."""
+	x = jnp.asarray(x)
+	return jnp.sign(x)*jnp.abs(x)**p
+
+def solve_mapsys(kappa, rho, lim=0):
+	"""flux, dflux, snr from (rho, kappa) (reference analysis.solve_mapsys:1052)."""
+	k = jnp.asarray(kappa) if not np.isscalar(kappa) else kappa
+	good = k > lim if not np.isscalar(kappa) else kappa > lim
+	ksafe = jnp.maximum(k, 1e-300) if not np.isscalar(kappa) else max(kappa, 1e-300)
+	flux = jnp.asarray(rho)/ksafe
+	dflux = ksafe**-0.5
+	snr = jnp.asarray(rho)/ksafe**0.5
+	return flux, dflux, snr
+
+def snr_split(snr, lim=4):
+	"""Split an snr map into (detections above lim, rest)."""
+	s = jnp.asarray(snr)
+	det = s > lim
+	return det, ~det
+
+
+# ---------------------------------------------------------------------------
+# Noise models (reference analysis.Nmat:379-507)
+# ---------------------------------------------------------------------------
+class Nmat:
+	"""Base class for noise models used by the finders."""
+	def matched_filter(self, map): raise NotImplementedError
+	def sim(self, seed=None): raise NotImplementedError
+
+class NmatConstcov(Nmat):
+	def __init__(self, iN, B, uht):
+		self.iN, self.B, self.uht = np.asarray(iN), np.asarray(B), uht
+	def matched_filter(self, map):
+		return matched_filter_constcov(map, self.B, self.iN, uht=self.uht)
+
+class NmatWhite(Nmat):
+	def __init__(self, ivar, B, uht):
+		self.ivar, self.B, self.uht = ivar, np.asarray(B), uht
+		self.B2 = uht.hprof_rpow(self.B, 2)
+	def matched_filter(self, map):
+		return matched_filter_white(map, self.B, self.ivar, uht=self.uht, B2=self.B2)
+
+class NmatConstcorr(Nmat):
+	def __init__(self, iC, ivar, B, uht):
+		self.iC, self.ivar, self.B, self.uht = np.asarray(iC), ivar, np.asarray(B), uht
+	def matched_filter(self, map):
+		return matched_filter_constcorr_lowcorr(map, self.B, self.ivar, self.iC,
+			uht=self.uht)
+
+
+# ---------------------------------------------------------------------------
+# Finder / Measurer / Modeller (reference analysis.py:508-1045)
+# ---------------------------------------------------------------------------
+class FinderSimple:
+	"""Find sources as peaks above an SNR threshold in the matched-filter map
+	(reference analysis.FinderSimple:508)."""
+	def __init__(self, nmat, snmin=5, grid_max=True):
+		self.nmat = nmat
+		self.snmin = snmin
+	def __call__(self, map):
+		rho, kappa = self.nmat.matched_filter(map)
+		flux, dflux, snr = solve_mapsys(kappa, rho)
+		snr_np = np.asarray(snr)
+		# local maxima above threshold
+		from scipy import ndimage
+		mask = snr_np > self.snmin
+		labels, nlab = ndimage.label(mask)
+		cat = []
+		if nlab > 0:
+			peaks = ndimage.maximum_position(snr_np, labels, np.arange(1, nlab+1))
+			for (py, px) in np.atleast_2d(peaks):
+				pos = np.asarray(enmap.pix2sky(map.shape, map.wcs,
+					np.array([[float(py)], [float(px)]])))[:, 0]
+				f = float(np.asarray(flux)[..., int(py), int(px)]) if np.asarray(flux).ndim == 2 \
+					else float(np.asarray(flux)[0, int(py), int(px)])
+				df = float(np.asarray(dflux)[int(py), int(px)]) if np.ndim(dflux) >= 2 else float(dflux)
+				s = float(snr_np[int(py), int(px)]) if snr_np.ndim == 2 else float(snr_np[0, int(py), int(px)])
+				cat.append((pos[0], pos[1], f, df, s))
+		cat = np.array(cat, dtype=[("dec", "f8"), ("ra", "f8"), ("flux", "f8"),
+			("dflux", "f8"), ("snr", "f8")]) if cat else np.zeros(0,
+			dtype=[("dec", "f8"), ("ra", "f8"), ("flux", "f8"), ("dflux", "f8"), ("snr", "f8")])
+		return Bunch(cat=cat, snr=snr, flux=flux, dflux=dflux, rho=rho, kappa=kappa)
+
+class MeasurerSimple:
+	"""Measure fluxes at known positions using the matched-filter maps
+	(reference analysis.MeasurerSimple:899)."""
+	def __init__(self, nmat):
+		self.nmat = nmat
+	def __call__(self, map, cat):
+		rho, kappa = self.nmat.matched_filter(map)
+		flux, dflux, snr = solve_mapsys(kappa, rho)
+		poss = np.array([cat["dec"], cat["ra"]])
+		pix = np.round(np.asarray(enmap.sky2pix(map.shape, map.wcs, poss))).astype(int)
+		out = cat.copy()
+		fl = np.asarray(flux)
+		sn = np.asarray(snr)
+		iy = np.clip(pix[0], 0, map.shape[-2]-1)
+		ix = np.clip(pix[1], 0, map.shape[-1]-1)
+		out["flux"] = fl[..., iy, ix] if fl.ndim == 2 else fl[0, iy, ix]
+		out["snr"] = sn[..., iy, ix] if sn.ndim == 2 else sn[0, iy, ix]
+		dfl = np.asarray(dflux)
+		out["dflux"] = dfl[iy, ix] if dfl.ndim >= 2 else dfl
+		return Bunch(cat=out)
+
+class ModellerPerpix:
+	"""Build a model map from a catalog by painting beam-profiles
+	(reference analysis.Modeller*:968)."""
+	def __init__(self, shape, wcs, beam_prof, dtype=np.float64):
+		self.shape, self.wcs = shape, wcs
+		self.beam_prof = beam_prof
+		self.dtype = dtype
+	def __call__(self, cat):
+		if len(cat) == 0: return enmap.zeros(self.shape, self.wcs, self.dtype)
+		poss = np.array([cat["dec"], cat["ra"]])
+		amps = np.asarray(cat["flux"], self.dtype)
+		return pointsrcs.sim_objects(self.shape, self.wcs, poss, amps,
+			self.beam_prof, dtype=self.dtype)
+
+class FinderIterative:
+	"""Iterative find -> model -> subtract -> refind
+	(reference analysis.FinderIterative:788)."""
+	def __init__(self, finder, modeller, niter=3, mindist_deg=0.1):
+		self.finder = finder
+		self.modeller = modeller
+		self.niter = niter
+	def __call__(self, map):
+		resid = map
+		cats = []
+		for i in range(self.niter):
+			res = self.finder(resid)
+			if len(res.cat) == 0: break
+			cats.append(res.cat)
+			model = self.modeller(res.cat)
+			resid = enmap.samewcs(jnp.asarray(resid) - jnp.asarray(model), map)
+		cat = np.concatenate(cats) if cats else np.zeros(0,
+			dtype=[("dec", "f8"), ("ra", "f8"), ("flux", "f8"), ("dflux", "f8"), ("snr", "f8")])
+		model_tot = self.modeller(cat)
+		return Bunch(cat=cat, resid=resid, model=model_tot)

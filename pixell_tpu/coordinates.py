@@ -1,0 +1,125 @@
+"""Celestial coordinate transforms (reference pixell/coordinates.py).
+
+The reference drives astropy for equ<->gal etc; astropy is absent here, so
+the standard rotations are implemented directly with fixed Euler matrices
+(exact, jit-compatible). Ephemeris-dependent systems (hor, bore, tele) are
+stubbed pending an ephemeris backend.
+"""
+from __future__ import annotations
+import numpy as np
+from . import utils
+
+# Galactic pole/center in equatorial (J2000) coordinates (IAU definition)
+_GAL_POLE_RA  = 192.85948*utils.degree
+_GAL_POLE_DEC = 27.12825*utils.degree
+_GAL_CEN_RA   = 266.40499*utils.degree
+_GAL_CEN_DEC  = -28.93617*utils.degree
+
+# Ecliptic obliquity (J2000)
+_ECL_OBL = 23.4392911*utils.degree
+
+
+def euler_mat(euler_angles, kind="zyz", xp=np):
+	"""Rotation matrix for the given Euler angles (reference coordinates.euler_mat:270)."""
+	alpha, beta, gamma = euler_angles
+	R = utils.rotmatrix(alpha, kind[0], xp)
+	R = R @ utils.rotmatrix(beta, kind[1], xp)
+	R = R @ utils.rotmatrix(gamma, kind[2], xp)
+	return R
+
+def _equ2gal_mat():
+	"""Rotation matrix equatorial -> galactic, built from the galactic pole
+	and center anchor directions (orthonormalized)."""
+	def n(ra, dec):
+		return np.array([np.cos(dec)*np.cos(ra), np.cos(dec)*np.sin(ra), np.sin(dec)])
+	z = n(_GAL_POLE_RA, _GAL_POLE_DEC)
+	x = n(_GAL_CEN_RA, _GAL_CEN_DEC)
+	x = x - np.dot(x, z)*z
+	x /= np.linalg.norm(x)
+	y = np.cross(z, x)
+	return np.array([x, y, z])
+
+_MATS = {}
+def _get_mat(isys, osys):
+	key = (isys, osys)
+	if key in _MATS: return _MATS[key]
+	def base(sys):
+		if sys in ["equ", "cel", "icrs", "c", "fk5", "j2000"]: return np.eye(3)
+		if sys in ["gal", "g", "galactic"]: return _equ2gal_mat()
+		if sys in ["ecl", "e", "ecliptic"]: return utils.rotmatrix(_ECL_OBL, "x").T
+		raise ValueError("Unknown coordinate system '%s'" % sys)
+	R = base(osys) @ base(isys).T
+	_MATS[key] = R
+	return R
+
+def euler_rot(euler_angles, coords, kind="zyz"):
+	"""Rotate coords[{ra,dec},...] by the given euler angles."""
+	xp = utils._xp(coords)
+	coords = xp.asarray(coords)
+	R = xp.asarray(euler_mat(euler_angles, kind))
+	rect = utils.ang2rect(coords, axis=0)
+	shape = rect.shape
+	rect = xp.tensordot(R, rect.reshape(3, -1), 1).reshape(shape)
+	return utils.rect2ang(rect, axis=0)
+
+def transform(from_sys, to_sys, coords, unwind=False, time=None, site=None, pol=None, mag=None):
+	"""Transform coords[{ra,dec},...] (radians) between coordinate systems
+	(reference coordinates.transform:25). Supported: equ/cel, gal, ecl."""
+	xp = utils._xp(coords)
+	coords = xp.asarray(coords)
+	R = xp.asarray(_get_mat(getsys(from_sys), getsys(to_sys)))
+	rect = utils.ang2rect(coords[:2], axis=0)
+	shape = rect.shape
+	rect = xp.tensordot(R, rect.reshape(3, -1), 1).reshape(shape)
+	res = utils.rect2ang(rect, axis=0)
+	if unwind: res = xp.concatenate([utils.unwind(res[:1]), res[1:]], 0)
+	return res
+
+def transform_meta(transfun, coords, offset=5*utils.arcsec):
+	"""Compute transformed coords plus the local rotation angle (for
+	polarization) via finite offsets (reference coordinates.transform_meta:67)."""
+	from .bunch import Bunch
+	coords = np.asarray(coords)
+	c0 = np.asarray(transfun(coords))
+	# offset towards north
+	cn = coords.copy()
+	cn[1] = cn[1] + offset
+	c1 = np.asarray(transfun(cn))
+	dra = (c1[0] - c0[0])*np.cos(c0[1])
+	ddec = c1[1] - c0[1]
+	ang = np.arctan2(dra, ddec)
+	return Bunch(ocoord=c0, ang=ang)
+
+def getsys(sys):
+	if not isinstance(sys, str): return sys
+	s = sys.lower().split(":")[0]
+	aliases = {"c": "equ", "cel": "equ", "icrs": "equ", "equ": "equ", "fk5": "equ",
+		"g": "gal", "gal": "gal", "galactic": "gal",
+		"e": "ecl", "ecl": "ecl", "ecliptic": "ecl"}
+	if s in aliases: return aliases[s]
+	raise ValueError("Unknown coordinate system '%s'" % sys)
+
+def getsys_full(sys, time=None, site=None):
+	return getsys(sys)
+
+def recenter(angs, center, restore=False):
+	"""Rotate coordinates so that center[{ra,dec}] is at the origin
+	(reference coordinates.recenter:289). If center has 4 components
+	[ra0,dec0,ra1,dec1], rotates (ra0,dec0) to (ra1,dec1)."""
+	center = np.asarray(center)
+	if len(center) == 4:
+		ra0, dec0, ra1, dec1 = center
+	else:
+		ra0, dec0 = center[0], center[1]
+		ra1, dec1 = 0.0, 0.0
+	return euler_rot([ra1, dec0 - dec1, -ra0], angs, kind="zyz")
+
+def decenter(angs, center, restore=False):
+	"""Inverse of recenter."""
+	center = np.asarray(center)
+	if len(center) == 4:
+		ra0, dec0, ra1, dec1 = center
+	else:
+		ra0, dec0 = center[0], center[1]
+		ra1, dec1 = 0.0, 0.0
+	return euler_rot([ra0, dec1 - dec0, -ra1], angs, kind="zyz")

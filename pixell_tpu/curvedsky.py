@@ -584,51 +584,150 @@ def alm2map_pos(alm, pos=None, loc=None, ainfo=None, map=None, spin=[0, 2],
 		return map
 	return np.asarray(vals).reshape(vals.shape[:-1] + tuple(oshape))
 
+def adjoint_synthesis_general(vals, loc, lmax=None, mmax=None, spin=(0, 2),
+		epsilon=None):
+	"""Exact transpose of synthesis_general: vals[..., npt] at loc[npt,2]
+	-> alm (with the real-map m>0 degeneracy factor, like adjoint_synthesis).
+	Implemented via jax.linear_transpose of the forward NUFFT synthesis, so
+	it is adjoint to machine precision."""
+	vals = jnp.asarray(vals)
+	if mmax is None: mmax = lmax
+	n = sht.nalm(lmax, mmax)
+	pre = vals.shape[:-1]
+	rdt = vals.dtype
+	def fwd(ar, ai):
+		alm_c = jax.lax.complex(ar, ai)
+		return synthesis_general(alm_c, loc, lmax=lmax, mmax=mmax, spin=spin,
+			epsilon=epsilon)
+	zr = jnp.zeros(pre + (n,), rdt)
+	# the forward is linear, so vjp == transpose (vjp is more robust to the
+	# NUFFT internals than jax.linear_transpose)
+	_, vjp_fn = jax.vjp(fwd, zr, zr)
+	gr, gi = vjp_fn(vals)
+	return jax.lax.complex(gr, gi)
+
+
 def _map2alm_general(map, alm, ainfo, spin, deriv, weighted, epsilon):
-	"""General-geometry analysis: adjoint NUFFT spread onto the torus grid +
-	ring analysis, with per-pixel area weights when weighted=True."""
+	"""General-geometry analysis: transpose of the NUFFT synthesis with
+	per-pixel area weights when weighted=True."""
 	arr = jnp.asarray(map)
 	lmax, mmax = ainfo.lmax, ainfo.mmax
-	rdt = arr.dtype
-	if epsilon is None: epsilon = 1e-6 if rdt == np.float32 else 1e-10
+	if deriv:
+		raise NotImplementedError("deriv=True not supported for the general method analysis")
 	loc = _locinfo_loc(map)
 	if weighted:
 		w = np.asarray(enmap.pixsizemap(map.shape, map.wcs)).reshape(-1)
 		arrw = arr.reshape(arr.shape[:-2] + (-1,))*jnp.asarray(w, arr.dtype)
 	else:
 		arrw = arr.reshape(arr.shape[:-2] + (-1,))
-	Nt = 2*enfft.fft_len(lmax + 2, "above")
-	Np = 2*enfft.fft_len(max(mmax + 1, 2), "above")
-	pts = jnp.asarray(loc)
-	flat = arrw.reshape((-1, arrw.shape[-1]))
-	specs = []
-	for i in range(flat.shape[0]):
-		spec = enfft.nu2u(flat[i].astype(utils.complex_dtype(rdt)), pts,
-			oshape=(Nt, Np), epsilon=epsilon, forward=True)
-		specs.append(spec)
-	specs = jnp.stack(specs).reshape(arrw.shape[:-1] + (Nt, Np))
-	if deriv:
-		raise NotImplementedError("deriv=True not supported for the general method analysis")
-	# torus grid values (adjoint of the NUFFT interpolation)
-	torus = jnp.fft.ifftn(jnp.conj(specs), axes=(-2, -1)).real*(Nt*Np)
-	if torus.ndim == 2: torus = torus[None]
-	ncomp = torus.shape[-3]
-	spins = _comp_spins(spin, ncomp)
-	# adjoint of the mirror extension used in synthesis_general:
-	# synthesis wrote mirror rows k = Nt//2+1..Nt-1 from sphere rows
-	# 1..Nt-(Nt//2+1) (reversed, phi rolled by Np//2, with (-1)^s signs), so
-	# the adjoint folds those rows back onto the sphere part.
-	K = Nt - (Nt//2 + 1)
-	grid = torus[..., :Nt//2+1, :]
-	back = jnp.roll(torus[..., Nt//2+1:, :], -(Np//2), axis=-1)[..., ::-1, :]
-	sgn = jnp.asarray([(-1.0)**s for s in spins], grid.dtype)[:, None, None]
-	grid = grid.at[..., 1:K+1, :].add(sgn*back)
-	theta = jnp.asarray(np.arange(Nt//2+1)*2*np.pi/Nt)
-	a = sht.adjoint_synthesis(grid, theta, lmax, mmax=mmax, phi0=0.0,
-		spin=spin, deriv=deriv)
-	if np.asarray(alm).ndim == 1 and a.ndim > 1 and not deriv:
-		a = a[..., 0, :]
+	a = adjoint_synthesis_general(arrw, jnp.asarray(loc), lmax=lmax, mmax=mmax,
+		spin=tuple(np.atleast_1d(spin)), epsilon=epsilon)
+	if weighted:
+		a = sht._undo_m_degeneracy(a, lmax, mmax)
 	if isinstance(alm, np.ndarray):
 		alm[...] = np.asarray(a.reshape(alm.shape))
 		return alm
+	return a
+
+
+# ---------------------------------------------------------------------------
+# 1D profile transforms (reference curvedsky.py:511-620)
+# ---------------------------------------------------------------------------
+def _legendre_p(lmax, x):
+	"""P_l(x) for l=0..lmax at points x, via the stable m=0 recurrence.
+	Returns [nl, nx] (host-side numpy)."""
+	x = np.asarray(x, np.float64)
+	res = np.empty((lmax+1,) + x.shape)
+	res[0] = 1
+	if lmax >= 1: res[1] = x
+	for l in range(2, lmax+1):
+		res[l] = ((2*l-1)*x*res[l-1] - (l-1)*res[l-2])/l
+	return res
+
+def profile2harm(br, r, lmax=None, oversample=1, left=None, right=None):
+	"""Radial profile br(r) (r in radians from center) -> harmonic transform
+	b_l = 2 pi int br(theta) P_l(cos theta) sin theta dtheta
+	(reference curvedsky.profile2harm:511). Fast: uses Gauss-Legendre
+	quadrature in cos(theta), exact for band-limited profiles."""
+	br = np.asarray(br); r = np.asarray(r)
+	if lmax is None: lmax = 2*len(r)
+	nq = int((lmax + 1)*max(oversample, 1))
+	x, w = np.polynomial.legendre.leggauss(nq)
+	theta = np.arccos(x)
+	bq = np.interp(theta, r, br, left=left if left is not None else br[0],
+		right=right if right is not None else 0)
+	P = _legendre_p(lmax, x)
+	return 2*np.pi*np.einsum("q,lq,q->l", w, P, bq)
+
+def harm2profile(bl, r):
+	"""Inverse of profile2harm: b(theta) = sum_l (2l+1)/(4 pi) b_l P_l(cos)
+	(reference curvedsky.harm2profile:543)."""
+	bl = np.asarray(bl)
+	lmax = bl.shape[-1]-1
+	P = _legendre_p(lmax, np.cos(np.asarray(r)))
+	l = np.arange(lmax+1)
+	return np.einsum("...l,l,lq->...q", bl, (2*l+1)/(4*np.pi), P)
+
+def prof2alm(br, r, lmax=None, pos=None, ainfo=None):
+	"""Alm of an azimuthally symmetric profile centered at pos [dec,ra]
+	(defaults to the north pole) (reference curvedsky.prof2alm:558)."""
+	bl = profile2harm(br, r, lmax=lmax)
+	lmax = len(bl)-1
+	if ainfo is None: ainfo = alm_info(lmax=lmax)
+	alm = np.zeros(ainfo.nelem, np.complex128)
+	l = np.arange(lmax+1)
+	alm[ainfo.lm2ind(l, 0*l)] = bl*np.sqrt((2*l+1)/(4*np.pi))
+	if pos is not None:
+		alm = rotate_alm(alm, 0.0, np.pi/2-pos[0], pos[1], ainfo=ainfo)
+	return alm
+
+
+# ---------------------------------------------------------------------------
+# alm rotation (reference curvedsky.rotate_alm:717 over ducc)
+# ---------------------------------------------------------------------------
+def rotate_alm(alm, psi, theta, phi, ainfo=None, lmax=None, method="auto",
+		nthread=None, inplace=False):
+	"""Rotate alm by the zyz Euler angles (psi, theta, phi): the result is
+	the harmonic rep of the map rotated by R_z(phi) R_y(theta) R_z(psi).
+	Implemented by evaluating the original field at the pulled-back
+	positions of an exact quadrature grid (NUFFT general synthesis), then
+	re-analysing -- O(2 SHTs), no explicit Wigner-d matrices."""
+	alm = jnp.asarray(alm)
+	if ainfo is None: ainfo = alm_info(nalm=alm.shape[-1], lmax=lmax)
+	lmax = ainfo.lmax
+	# z-rotations are diagonal: a_lm -> a_lm e^{i m angle}
+	def zrot(a, ang):
+		# (Rz(ang) f)(th, ph) = f(th, ph - ang) => a_lm -> a_lm e^{-i m ang}
+		if ang == 0: return a
+		m = np.arange(ainfo.mmax+1)
+		phase = np.exp(-1j*m*ang)
+		rect = ainfo._rect(a)*jnp.asarray(phase)[None, :]
+		return ainfo._unrect(rect).astype(a.dtype)
+	# R = Rz(phi) Ry(theta) Rz(psi): apply Rz(psi) first (diagonal), then
+	# Ry(theta) via regridding, then Rz(phi) (diagonal).
+	a = zrot(alm, psi)
+	if theta != 0:
+		nt = 2*lmax + 3
+		thq = sht.ring_theta("F1", nt)
+		wq = sht.ring_weights("F1", nt)
+		nphi = 2*(lmax+1)
+		phis = 2*np.pi*np.arange(nphi)/nphi
+		TH, PH = np.meshgrid(thq, phis, indexing="ij")
+		# pull back grid points through Ry(theta): n_old = Ry(-theta) n_new
+		ct, st = np.cos(TH), np.sin(TH)
+		x, y, z = st*np.cos(PH), st*np.sin(PH), ct
+		cb, sb = np.cos(theta), np.sin(theta)
+		x2 = cb*x - sb*z
+		z2 = sb*x + cb*z
+		th_old = np.arccos(np.clip(z2, -1, 1))
+		ph_old = np.arctan2(y, x2) % (2*np.pi)
+		loc = np.stack([th_old.reshape(-1), ph_old.reshape(-1)], -1)
+		vals = synthesis_general(a, jnp.asarray(loc), lmax=lmax, spin=(0,))
+		grid = vals.reshape(vals.shape[:-1] + (nt, nphi))
+		if grid.ndim == 2: grid = grid[None]
+		a = sht.analysis(grid, jnp.asarray(thq), lmax, jnp.asarray(wq),
+			mmax=ainfo.mmax, phi0=0.0, spin=(0,))
+		if alm.ndim == 1: a = a[0]
+		a = a.astype(alm.dtype)
+	a = zrot(a, phi)
 	return a

@@ -1,0 +1,197 @@
+"""Gravitational lensing of CMB maps (reference pixell/lensing.py).
+
+Flat-sky lensing displaces pixels by the gradient of the lensing potential
+(spline interpolation); curved-sky lensing computes the deflection field
+with a spin-1 derivative SHT, offsets positions geodesically, and evaluates
+the unlensed alm at the displaced positions with the NUFFT-based general
+synthesis (reference lens_map_curved:367, which band-loops over dec;
+here the whole sky is evaluated in one fused jax computation)."""
+from __future__ import annotations
+import numpy as np
+import jax
+import jax.numpy as jnp
+from . import enmap, curvedsky, interpol, utils
+from .bunch import Bunch
+
+
+# ---------------------------------------------------------------------------
+# Flat-sky lensing (reference lensing.py:9-134)
+# ---------------------------------------------------------------------------
+def displace_map(imap, pix, order=3, trans=False, deriv=False, border="cyclic"):
+	"""Evaluate imap at the pixel positions pix[2,ny,nx] (reference
+	lensing.displace_map:56)."""
+	arr = jnp.asarray(imap)
+	pts = jnp.asarray(pix).reshape(2, -1)
+	res = interpol.map_coordinates(arr, pts, order=order, border=border,
+		trans=trans, deriv=deriv)
+	if not trans:
+		res = res.reshape(arr.shape[:-2] + imap.shape[-2:])
+	return enmap.samewcs(res, imap)
+
+def lens_map(imap, grad_phi, order=3, trans=False, deriv=False, border="cyclic"):
+	"""Lens the map by the deflection field grad_phi[2,ny,nx] (radians)
+	(reference lensing.lens_map:9)."""
+	pshape = enmap.pixshapemap(imap.shape, imap.wcs, signed=True)
+	pix = np.asarray(imap.pixmap()) + np.asarray(grad_phi)/np.asarray(pshape)
+	return displace_map(imap, jnp.asarray(pix), order=order, trans=trans,
+		deriv=deriv, border=border)
+
+def delens_map(imap, grad_phi, nstep=3, order=3, border="cyclic"):
+	"""Invert the lensing operation by fixed-point iteration of the
+	displacement field (reference lensing.delens_map:38)."""
+	grad = np.asarray(grad_phi)
+	# we want grad0 such that grad0(x) = grad(x + grad0(x))
+	grad0 = grad.copy()
+	for i in range(nstep):
+		pshape = np.asarray(enmap.pixshapemap(imap.shape, imap.wcs, signed=True))
+		pix = np.asarray(enmap.pixmap(imap.shape)) + grad0/pshape
+		grad0 = np.asarray(interpol.map_coordinates(jnp.asarray(grad),
+			jnp.asarray(pix.reshape(2, -1)), order=order, border=border)).reshape(grad.shape)
+	return lens_map(imap, -grad0, order=order, border=border)
+
+def grad_phi_flat(phi_map):
+	"""Gradient of a flat-sky potential via FFT (reference lens_map_flat:70)."""
+	f = enmap.fft(phi_map)
+	l = np.asarray(enmap.lmap(phi_map.shape, phi_map.wcs))
+	gy = enmap.ifft(enmap.samewcs(jnp.asarray(f)*1j*jnp.asarray(l[0]), phi_map)).real
+	gx = enmap.ifft(enmap.samewcs(jnp.asarray(f)*1j*jnp.asarray(l[1]), phi_map)).real
+	return enmap.ndmap(jnp.stack([jnp.asarray(gy), jnp.asarray(gx)]), phi_map.wcs)
+
+def lens_map_flat(cmb_map, phi_map, order=3):
+	"""Lens a flat-sky map by the potential phi (reference lensing.lens_map_flat:70)."""
+	grad = grad_phi_flat(phi_map)
+	return lens_map(cmb_map, grad, order=order)
+
+def phi_to_kappa(phi_alm, phi_ainfo=None):
+	"""kappa_lm = l(l+1)/2 phi_lm (reference lensing.phi_to_kappa:81)."""
+	alm = jnp.asarray(phi_alm)
+	if phi_ainfo is None: phi_ainfo = curvedsky.alm_info(nalm=alm.shape[-1])
+	l = np.arange(phi_ainfo.lmax+1, dtype=float)
+	return curvedsky.almxfl(alm, l*(l+1)/2, ainfo=phi_ainfo)
+
+def kappa_to_phi(kappa_alm, ainfo=None):
+	alm = jnp.asarray(kappa_alm)
+	if ainfo is None: ainfo = curvedsky.alm_info(nalm=alm.shape[-1])
+	l = np.arange(ainfo.lmax+1, dtype=float)
+	with np.errstate(divide="ignore"):
+		fl = np.where(l > 0, 2/(l*(l+1)), 0)
+	return curvedsky.almxfl(alm, fl, ainfo=ainfo)
+
+
+# ---------------------------------------------------------------------------
+# Curved-sky lensing (reference lensing.py:367-509)
+# ---------------------------------------------------------------------------
+def offset_by_grad(ipos, grad, pol=None, geodesic=True):
+	"""Displace positions ipos[{dec,ra},...] along the gradient field
+	grad[{ddec,dra},...] by its magnitude, geodesically on the sphere
+	(reference lensing.offset_by_grad:552). Returns [{dec,ra},...] or
+	[{dec,ra,cos2g,sin2g},...] if pol, where g is the polarization rotation
+	induced by parallel transport."""
+	xp = utils._xp(ipos, grad)
+	ipos = xp.asarray(ipos); grad = xp.asarray(grad)
+	dec, ra = ipos[0], ipos[1]
+	cosdec = xp.cos(dec)
+	# physical displacement components: (north, east) = (ddec, dra*cosdec...)
+	# grad is (d/ddec, d/dra); the physical east component is d/dra / cosdec
+	dn = grad[0]
+	de = grad[1]/xp.maximum(xp.abs(cosdec), 1e-15)*xp.sign(cosdec + 1e-300)
+	alpha = xp.sqrt(dn*dn + de*de)
+	small = alpha < 1e-15
+	alpha_s = xp.where(small, 1e-15, alpha)
+	# bearing from north (clockwise towards east)
+	cb = dn/alpha_s
+	sb = de/alpha_s
+	if geodesic:
+		sdec, cdec = xp.sin(dec), xp.cos(dec)
+		sa, ca = xp.sin(alpha_s), xp.cos(alpha_s)
+		sdec2 = sdec*ca + cdec*sa*cb
+		dec2 = xp.arcsin(xp.clip(sdec2, -1, 1))
+		dra = xp.arctan2(sb*sa*1.0, ca*cdec - sa*sdec*cb)
+		ra2 = ra + dra
+	else:
+		dec2 = dec + dn
+		ra2 = ra + grad[1]/xp.maximum(cosdec, 1e-15)
+	dec2 = xp.where(small, dec, dec2)
+	ra2 = xp.where(small, ra, ra2)
+	if not pol:
+		return xp.stack([dec2, ra2])
+	# polarization rotation: difference between departure bearing and
+	# arrival bearing along the geodesic (spherical triangle with the pole)
+	# arrival bearing (from north at p2, towards p1 reversed):
+	sdec1, cdec1 = xp.sin(dec), xp.cos(dec)
+	sdec2_, cdec2 = xp.sin(dec2), xp.cos(dec2)
+	dra2 = ra2 - ra
+	# bearing at the destination back towards the start, and the departure
+	# bearing; their mismatch (mod the U-turn pi) is the parallel-transport
+	# rotation of the local north axis
+	b_back = xp.arctan2(-xp.sin(dra2)*cdec1,
+		cdec2*sdec1 - sdec2_*cdec1*xp.cos(dra2))
+	b_fwd = xp.arctan2(de, dn)
+	gamma = (np.pi + b_back) - b_fwd
+	gamma = xp.where(small, 0.0, gamma)
+	return xp.stack([dec2, ra2, xp.cos(2*gamma), xp.sin(2*gamma)])
+
+def lens_map_curved(shape=None, wcs=None, phi_alm=None, cmb_alm=None,
+		phi_ainfo=None, maplmax=None, dtype=np.float64, oversample=2.0,
+		spin=[0, 2], output="l", geodesic=True, verbose=False, delta_theta=None,
+		epsilon=None, pol=None):
+	"""Lens cmb_alm by the potential phi_alm onto the geometry (shape, wcs)
+	(reference lensing.lens_map_curved:367). output: string of maps to
+	return: "l"=lensed, "u"=unlensed, "p"=phi map, "a"=grad."""
+	ctype = np.complex64 if np.dtype(dtype) == np.float32 else np.complex128
+	phi_alm = jnp.asarray(phi_alm, ctype)
+	if phi_ainfo is None: phi_ainfo = curvedsky.alm_info(nalm=phi_alm.shape[-1])
+	# deflection field = gradient of phi on the target geometry
+	grad = curvedsky.alm2map(phi_alm, enmap.zeros((2,)+tuple(shape[-2:]), wcs, dtype),
+		deriv=True, ainfo=phi_ainfo)
+	cmb_alm = jnp.asarray(cmb_alm, ctype)
+	cmb_ainfo = curvedsky.alm_info(nalm=cmb_alm.shape[-1])
+	ncomp = cmb_alm.shape[0] if cmb_alm.ndim > 1 else 1
+	pol = ncomp > 1 if pol is None else pol
+	pos = np.asarray(enmap.posmap(shape, wcs, safe=False))
+	opos = np.asarray(offset_by_grad(jnp.asarray(pos), jnp.asarray(np.asarray(grad)),
+		pol=pol, geodesic=geodesic))
+	loc = np.stack([np.pi/2 - opos[0].reshape(-1), opos[1].reshape(-1) % (2*np.pi)], -1)
+	vals = curvedsky.synthesis_general(cmb_alm, jnp.asarray(loc),
+		lmax=cmb_ainfo.lmax, spin=spin, epsilon=epsilon)
+	lensed = enmap.ndmap(np.asarray(vals).reshape(
+		(() if cmb_alm.ndim == 1 else (ncomp,)) + tuple(shape[-2:])), wcs).astype(dtype)
+	if pol and ncomp >= 3 and opos.shape[0] >= 4:
+		c2g = opos[2].reshape(shape[-2:]); s2g = opos[3].reshape(shape[-2:])
+		gamma = np.arctan2(s2g, c2g)/2
+		lensed = enmap.rotate_pol(lensed, gamma)
+	res = []
+	for c in output:
+		if c == "l": res.append(lensed)
+		elif c == "u":
+			u = curvedsky.alm2map(cmb_alm, enmap.zeros(
+				(() if cmb_alm.ndim == 1 else (ncomp,)) + tuple(shape[-2:]), wcs, dtype), spin=spin)
+			res.append(u)
+		elif c == "p":
+			p = curvedsky.alm2map(phi_alm, enmap.zeros(tuple(shape[-2:]), wcs, dtype))
+			res.append(p)
+		elif c == "a": res.append(grad)
+	return res[0] if len(res) == 1 else tuple(res)
+
+def rand_alm(ps_lensinput, lmax=None, dtype=np.float64, seed=None, phi_seed=None, verbose=False, ps_mask=None):
+	"""Draw (phi_alm, cmb_alm) from a joint [phi,T,E,B] power spectrum
+	(reference lensing.rand_alm:510)."""
+	ps = np.asarray(ps_lensinput)
+	ctype = np.complex64 if np.dtype(dtype) == np.float32 else np.complex128
+	if phi_seed is None:
+		alm = curvedsky.rand_alm(ps, lmax=lmax, seed=seed, dtype=ctype)
+		phi_alm, cmb_alm = np.asarray(alm)[0], np.asarray(alm)[1:]
+	else:
+		phi_alm = curvedsky.rand_alm(ps[0, 0], lmax=lmax, seed=phi_seed, dtype=ctype)
+		cmb_alm = curvedsky.rand_alm(ps[1:, 1:], lmax=lmax, seed=seed, dtype=ctype)
+	return phi_alm, cmb_alm
+
+def rand_map(shape, wcs, ps_lensinput, lmax=None, maplmax=None, dtype=np.float64,
+		seed=None, phi_seed=None, oversample=2.0, spin=[0, 2], output="l",
+		geodesic=True, verbose=False, delta_theta=None):
+	"""End-to-end lensed CMB simulation (reference lensing.rand_map:534)."""
+	phi_alm, cmb_alm = rand_alm(ps_lensinput, lmax=lmax, dtype=dtype, seed=seed,
+		phi_seed=phi_seed)
+	return lens_map_curved(shape=shape, wcs=wcs, phi_alm=phi_alm, cmb_alm=cmb_alm,
+		maplmax=maplmax, dtype=dtype, oversample=oversample, spin=spin,
+		output=output, geodesic=geodesic, verbose=verbose, delta_theta=delta_theta)

@@ -1,0 +1,200 @@
+"""Reprojection between pixelizations: CAR <-> HEALPix, thumbnails,
+rotations (reference pixell/reproject.py)."""
+from __future__ import annotations
+import numpy as np
+import jax.numpy as jnp
+from . import enmap, curvedsky, utils, coordinates, wcsutils, healpix, sht, interpol
+
+
+def map2healpix(imap, nside=0, lmax=None, out=None, rot=None, spin=[0, 2],
+		method="harm", order=3, extensive=False, bsize=100000, nside_mode="pow2",
+		boundary="constant", verbose=False, niter=0):
+	"""Project an ndmap onto a HEALPix map (RING) (reference reproject.map2healpix:118).
+	method "harm": roundtrip through alm (optionally rotating coordinates);
+	method "spline": direct interpolation at healpix pixel centers."""
+	if nside in [0, None]:
+		res = min(np.abs(np.asarray(imap.wcs.wcs.cdelt)))*utils.degree
+		nside_raw = int(np.ceil((np.pi/3)**0.5/res))
+		nside = 1 << int(np.ceil(np.log2(max(nside_raw, 1)))) if nside_mode == "pow2" else nside_raw
+		nside = restrict_nside(nside, imap.shape, imap.wcs)
+	theta, phi = healpix.positions(nside)
+	if method == "harm":
+		if lmax is None: lmax = min(3*nside - 1, curvedsky.get_lmax_from_map(imap))
+		alm = curvedsky.map2alm(imap, lmax=lmax, spin=spin, niter=niter)
+		if rot is not None:
+			alm = _rotate_alm_sys(alm, rot, spin=spin)
+		loc = np.stack([theta, phi], -1)
+		vals = curvedsky.synthesis_general(jnp.asarray(alm), jnp.asarray(loc),
+			lmax=lmax, spin=spin)
+		res = np.asarray(vals)
+	else:
+		dec = np.pi/2 - theta
+		pos = np.stack([dec, phi])
+		if rot is not None:
+			isys, osys = _parse_rot(rot)
+			pos = np.asarray(coordinates.transform(osys, isys, pos[::-1])[::-1])
+		res = np.asarray(imap.at(pos, order=order, border=boundary))
+	if extensive:
+		res = res*(healpix.pixsize(nside)/enmap.pixsize(imap.shape, imap.wcs))
+	return res
+
+def healpix2map(ihealmap, shape=None, wcs=None, lmax=None, out=None, rot=None,
+		spin=[0, 2], method="harm", order=3, extensive=False, bsize=100000,
+		verbose=False, niter=0):
+	"""Project a HEALPix map onto an ndmap geometry
+	(reference reproject.healpix2map:249)."""
+	ihealmap = np.asarray(ihealmap)
+	flat = ihealmap.reshape(-1, ihealmap.shape[-1])
+	nside = healpix.npix2nside(flat.shape[-1])
+	if method == "harm":
+		if lmax is None: lmax = 3*nside - 1
+		alm = map2alm_healpix(ihealmap, lmax=lmax, spin=spin, niter=niter)
+		if rot is not None:
+			alm = _rotate_alm_sys(alm, rot, spin=spin)
+		omap = enmap.zeros(ihealmap.shape[:-1] + tuple(shape[-2:]), wcs)
+		res = curvedsky.alm2map(jnp.asarray(alm), omap, spin=spin)
+	else:
+		pos = np.asarray(enmap.posmap(shape, wcs, safe=False))
+		dec, ra = pos[0].reshape(-1), pos[1].reshape(-1)
+		if rot is not None:
+			isys, osys = _parse_rot(rot)
+			tra, tdec = np.asarray(coordinates.transform(osys, isys,
+				np.stack([ra, dec])))
+			ra, dec = tra, tdec
+		theta = np.pi/2 - dec
+		pix, w = healpix.get_interpol(nside, theta, ra % (2*np.pi))
+		vals = np.einsum("kp,...kp->...p", w, flat[:, pix])
+		res = enmap.ndmap(vals.reshape(ihealmap.shape[:-1] + tuple(shape[-2:])), wcs)
+	if extensive:
+		res = res*(enmap.pixsize(shape, wcs)/healpix.pixsize(nside))
+	return res
+
+def alm2map_healpix(alm, healmap=None, nside=None, spin=[0, 2], deriv=False, ainfo=None):
+	"""Synthesize alm onto a HEALPix RING map (reference curvedsky.alm2map_healpix:312)."""
+	alm = jnp.asarray(alm)
+	if ainfo is None: ainfo = curvedsky.alm_info(nalm=alm.shape[-1])
+	if nside is None:
+		nside = healpix.npix2nside(healmap.shape[-1])
+	theta, phi = healpix.positions(nside)
+	loc = np.stack([theta, phi], -1)
+	vals = curvedsky.synthesis_general(alm, jnp.asarray(loc), lmax=ainfo.lmax,
+		spin=spin, deriv=deriv)
+	return np.asarray(vals)
+
+def map2alm_healpix(healmap, alm=None, lmax=None, spin=[0, 2], niter=0, ainfo=None):
+	"""Analyse a HEALPix RING map into alm, using uniform pixel-area weights
+	plus optional Jacobi iterations (reference curvedsky.map2alm_healpix:353)."""
+	healmap = np.asarray(healmap)
+	nside = healpix.npix2nside(healmap.shape[-1])
+	if lmax is None: lmax = 3*nside - 1
+	if ainfo is None: ainfo = curvedsky.alm_info(lmax=lmax)
+	theta, phi = healpix.positions(nside)
+	w = healpix.pixsize(nside)
+	def analyse(m):
+		# adjoint NUFFT spread + ring analysis on the torus grid
+		return _general_analysis_points(m*w, theta, phi, ainfo, spin)
+	alm = analyse(healmap)
+	for it in range(niter):
+		resid = healmap - alm2map_healpix(jnp.asarray(alm), nside=nside,
+			spin=spin, ainfo=ainfo)
+		alm = alm + analyse(resid)
+	return alm
+
+def _general_analysis_points(vals, theta, phi, ainfo, spin):
+	"""Adjoint-synthesis-with-weights at arbitrary points, via the exact
+	transpose of the torus-NUFFT synthesis (curvedsky.adjoint_synthesis_general)."""
+	loc = np.stack([np.asarray(theta), np.asarray(phi)], -1)
+	a = curvedsky.adjoint_synthesis_general(jnp.asarray(vals), jnp.asarray(loc),
+		lmax=ainfo.lmax, mmax=ainfo.mmax, spin=tuple(np.atleast_1d(spin)))
+	a = sht._undo_m_degeneracy(a, ainfo.lmax, ainfo.mmax)
+	return np.asarray(a)
+
+def _parse_rot(rot):
+	if rot is None: return None, None
+	toks = rot.split(",")
+	return toks[0], toks[1]
+
+def _rotate_alm_sys(alm, rot, spin=[0, 2]):
+	"""Rotate alm between coordinate systems given as 'isys,osys'."""
+	isys, osys = _parse_rot(rot)
+	R = coordinates._get_mat(coordinates.getsys(isys), coordinates.getsys(osys))
+	# convert rotation matrix to zyz euler angles
+	beta = np.arccos(np.clip(R[2, 2], -1, 1))
+	if abs(np.sin(beta)) > 1e-12:
+		alpha = np.arctan2(R[2, 1], R[2, 0]) if False else np.arctan2(R[1, 2], R[0, 2])
+		gamma = np.arctan2(R[2, 1], -R[2, 0])
+	else:
+		alpha = np.arctan2(R[1, 0], R[0, 0]); gamma = 0.0
+	# field rotation by R: g(n) = f(R^-1 n) with R = Rz(alpha)Ry(beta)Rz(gamma)
+	return np.asarray(curvedsky.rotate_alm(jnp.asarray(alm), gamma, beta, alpha))
+
+def rot2euler(rot):
+	return _parse_rot(rot)
+
+def restrict_nside(nside, shape, wcs, bound=4):
+	"""Cap nside so healpix pixels aren't absurdly smaller than map pixels
+	(reference reproject.restrict_nside:388)."""
+	res = min(np.abs(np.asarray(wcs.wcs.cdelt)))*utils.degree
+	max_nside = int((np.pi/3)**0.5/res*bound)
+	p = 1
+	while p*2 <= max_nside: p *= 2
+	return min(nside, p)
+
+
+# ---------------------------------------------------------------------------
+# Thumbnails (reference reproject.thumbnails:10)
+# ---------------------------------------------------------------------------
+def thumbnails(imap, coords, r=5*utils.arcmin, res=None, proj="tan", apod=2*utils.arcmin,
+		order=3, oversample=4, pol=None, oshape=None, owcs=None, extensive=False,
+		verbose=False, filter=None, pixwin=False, pixwin_order=0):
+	"""Extract re-centered postage stamps around coords[n,{dec,ra}]
+	(reference reproject.thumbnails:10). Each output stamp is a tangent-plane
+	map centered on its object, built by (spline) interpolation of the input
+	map at the rotated positions, with polarization rotation for spin-2."""
+	coords = np.asarray(coords)
+	if coords.ndim == 1: coords = coords[None]
+	if res is None: res = min(np.abs(np.asarray(imap.wcs.wcs.cdelt)))*utils.degree/2
+	if oshape is None:
+		oshape, owcs = enmap.thumbnail_geometry(r=r, res=res, proj=proj)
+	opos = np.asarray(enmap.posmap(oshape, owcs, safe=False))
+	res_maps = []
+	pol = (imap.ndim >= 3 and imap.shape[-3] == 3) if pol is None else pol
+	for ci in range(len(coords)):
+		dec0, ra0 = coords[ci, 0], coords[ci, 1]
+		# rotate thumbnail positions to be centered on the object:
+		# point (0,0) maps to (ra0, dec0)
+		ipos = coordinates.decenter(np.array([opos[1].reshape(-1), opos[0].reshape(-1)]),
+			np.array([ra0, dec0]))
+		pos = np.stack([ipos[1], ipos[0]])
+		vals = np.asarray(imap.at(pos, order=order))
+		vals = vals.reshape(imap.shape[:-2] + oshape[-2:])
+		if pol:
+			# polarization angle of the recentring rotation
+			meta = coordinates.transform_meta(
+				lambda c: np.asarray(coordinates.decenter(c, np.array([ra0, dec0]))),
+				np.array([opos[1].reshape(-1), opos[0].reshape(-1)]))
+			ang = meta.ang.reshape(oshape[-2:])
+			vals = np.asarray(enmap.rotate_pol(enmap.ndmap(jnp.asarray(vals), owcs), -ang))
+		res_maps.append(vals)
+	res = enmap.ndmap(np.array(res_maps), owcs)
+	if extensive:
+		res = res*(enmap.pixsize(oshape, owcs)/enmap.pixsize(imap.shape, imap.wcs))
+	return res
+
+def thumbnails_healpix(imap, coords, **kw):
+	raise NotImplementedError
+
+def postage_stamp(inmap, ra_deg, dec_deg, width_arcmin, res_arcmin, proj="gnomonic", **kwargs):
+	"""Legacy API (reference reproject.postage_stamp:533)."""
+	r = width_arcmin/2*utils.arcmin
+	return thumbnails(inmap, np.array([[dec_deg*utils.degree, ra_deg*utils.degree]]),
+		r=r, res=res_arcmin*utils.arcmin, proj="tan", **kwargs)[0]
+
+def centered_map(imap, res, box=None, pixbox=None, proj="tan", rpix=None, width=None,
+		height=None, width_multiplier=1, **kwargs):
+	"""Legacy recentered-map API (reference reproject.centered_map:424)."""
+	raise NotImplementedError("use thumbnails")
+
+def rotate_map(imap, shape=None, wcs=None, pix_target=None, **kwargs):
+	if shape is None: shape, wcs = imap.shape, imap.wcs
+	return imap.project(shape, wcs, **kwargs)

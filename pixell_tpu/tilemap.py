@@ -1,0 +1,193 @@
+"""Tiled, distributable maps (reference pixell/tilemap.py).
+
+A TileMap splits a big map geometry into a grid of tiles, of which only an
+"active" subset is stored, flattened into one buffer. The reference
+distributes tiles across MPI ranks with hand-rolled Alltoallv
+(tilemap.py:437-530); here distribution is jax.sharding: a tile-sharded
+array with a NamedSharding over the tile axis, where `redistribute` is a
+device_put to a different sharding (XLA emits the all-to-all) and reductions
+are psums.
+"""
+from __future__ import annotations
+import numpy as np
+import jax
+import jax.numpy as jnp
+from . import enmap, utils, wcsutils
+
+
+class TileGeometry:
+	"""Tile grid info for a map geometry (reference tilemap.TileGeometry:340)."""
+	def __init__(self, shape, wcs, tile_shape=(500, 500), active=None):
+		self.shape = tuple(shape)
+		self.wcs = wcs
+		self.tile_shape = tuple(np.zeros(2, int) + np.asarray(tile_shape))
+		ny, nx = self.shape[-2:]
+		self.grid_shape = ((ny + self.tile_shape[0] - 1)//self.tile_shape[0],
+			(nx + self.tile_shape[1] - 1)//self.tile_shape[1])
+		self.ntile = int(np.prod(self.grid_shape))
+		if active is None: active = np.arange(self.ntile)
+		self.active = np.asarray(active, int)
+		self.lookup = np.full(self.ntile, -1, int)
+		self.lookup[self.active] = np.arange(len(self.active))
+	@property
+	def nactive(self): return len(self.active)
+	@property
+	def pre(self): return self.shape[:-2]
+	def tile_pixbox(self, ti):
+		"""Pixel box [{from,to},{y,x}] of global tile index ti."""
+		gy, gx = np.unravel_index(ti, self.grid_shape)
+		y1 = gy*self.tile_shape[0]; x1 = gx*self.tile_shape[1]
+		y2 = min(y1 + self.tile_shape[0], self.shape[-2])
+		x2 = min(x1 + self.tile_shape[1], self.shape[-1])
+		return np.array([[y1, x1], [y2, x2]])
+	def tile_geometry(self, ti):
+		pb = self.tile_pixbox(ti)
+		tshape, twcs = enmap.slice_geometry(self.shape[-2:], self.wcs,
+			(slice(pb[0, 0], pb[1, 0]), slice(pb[0, 1], pb[1, 1])))
+		return self.pre + tuple(tshape[-2:]), twcs
+	def copy(self, active=None):
+		return TileGeometry(self.shape, self.wcs, self.tile_shape,
+			self.active if active is None else active)
+	def __repr__(self):
+		return "TileGeometry(%s, grid=%s, nactive=%d)" % (
+			str(self.shape), str(self.grid_shape), self.nactive)
+
+def geometry(shape, wcs, tile_shape=(500, 500), active=None):
+	"""Build a TileGeometry (reference tilemap.geometry:314)."""
+	return TileGeometry(shape, wcs, tile_shape=tile_shape, active=active)
+
+
+class TileMap:
+	"""Active tiles of a tiled map, stored as [..., nactive, tny, tnx]
+	(zero-padded edge tiles). Tiles can live sharded across devices."""
+	def __init__(self, arr, geometry):
+		self.data = arr
+		self.geometry = geometry
+	@property
+	def shape(self): return self.data.shape
+	@property
+	def dtype(self): return self.data.dtype
+	@property
+	def pre(self): return self.geometry.pre
+	@property
+	def nactive(self): return self.geometry.nactive
+	def copy(self):
+		xp = utils._xp(self.data)
+		return TileMap(xp.array(self.data), self.geometry)
+	def tiles(self, i=None):
+		"""The i-th active tile as an ndmap (cropped to its true size)."""
+		if i is None:
+			return [self.tiles(j) for j in range(self.nactive)]
+		ti = self.geometry.active[i]
+		pb = self.geometry.tile_pixbox(ti)
+		tshape, twcs = self.geometry.tile_geometry(ti)
+		h, w = pb[1] - pb[0]
+		return enmap.ndmap(self.data[..., i, :h, :w], twcs)
+	def with_tiles(self, other_active):
+		"""Re-tile onto a different active set (union/regrow), zero-filling."""
+		newgeo = self.geometry.copy(active=other_active)
+		xp = utils._xp(self.data)
+		out = xp.zeros(self.pre + (newgeo.nactive,) + self.geometry.tile_shape,
+			self.data.dtype)
+		# copy overlapping tiles
+		for j, ti in enumerate(other_active):
+			i = self.geometry.lookup[ti]
+			if i >= 0:
+				if hasattr(out, "at"):
+					out = out.at[..., j, :, :].set(self.data[..., i, :, :])
+				else:
+					out[..., j, :, :] = self.data[..., i, :, :]
+		return TileMap(out, newgeo)
+	def to_enmap(self):
+		"""Assemble the full map (missing tiles zero)."""
+		full = np.zeros(self.geometry.shape)
+		for i, ti in enumerate(self.geometry.active):
+			pb = self.geometry.tile_pixbox(ti)
+			h, w = pb[1] - pb[0]
+			full[..., pb[0, 0]:pb[1, 0], pb[0, 1]:pb[1, 1]] = \
+				np.asarray(self.data)[..., i, :h, :w]
+		return enmap.ndmap(full, self.geometry.wcs)
+	def __add__(self, other):
+		o = other.data if isinstance(other, TileMap) else other
+		return TileMap(self.data + o, self.geometry)
+	def __mul__(self, other):
+		o = other.data if isinstance(other, TileMap) else other
+		return TileMap(self.data*o, self.geometry)
+	__radd__ = __add__
+	__rmul__ = __mul__
+	def __sub__(self, other):
+		o = other.data if isinstance(other, TileMap) else other
+		return TileMap(self.data - o, self.geometry)
+	def __repr__(self):
+		return "TileMap(%s, %s)" % (str(self.data.shape), repr(self.geometry))
+
+
+def zeros(geometry, dtype=np.float64, jax_array=True):
+	xp = jnp if jax_array else np
+	arr = xp.zeros(geometry.pre + (geometry.nactive,) + geometry.tile_shape, dtype)
+	return TileMap(arr, geometry)
+
+def from_enmap(imap, tile_shape=(500, 500), active=None):
+	"""Split an ndmap into a TileMap."""
+	geo = TileGeometry(imap.shape, imap.wcs, tile_shape, active)
+	arr = np.zeros(geo.pre + (geo.nactive,) + geo.tile_shape, np.asarray(imap).dtype)
+	src = np.asarray(imap)
+	for i, ti in enumerate(geo.active):
+		pb = geo.tile_pixbox(ti)
+		h, w = pb[1] - pb[0]
+		arr[..., i, :h, :w] = src[..., pb[0, 0]:pb[1, 0], pb[0, 1]:pb[1, 1]]
+	return TileMap(jnp.asarray(arr), geo)
+
+
+# ---------------------------------------------------------------------------
+# Distribution: sharding over the tile axis (reference redistribute:437)
+# ---------------------------------------------------------------------------
+def tile_sharding(mesh, pre_ndim=0, axis=None):
+	"""NamedSharding placing the tile axis across the mesh."""
+	from jax.sharding import NamedSharding, PartitionSpec as P
+	if axis is None: axis = mesh.axis_names[0]
+	spec = [None]*pre_ndim + [axis, None, None]
+	return NamedSharding(mesh, P(*spec))
+
+def distribute(tmap, mesh, axis=None):
+	"""Shard the TileMap's tile axis over the mesh (the tile count is padded
+	to a multiple of the device count)."""
+	ndev = int(np.prod(mesh.devices.shape)) if axis is None else mesh.shape[axis]
+	n = tmap.nactive
+	npad = (-n) % ndev
+	data = tmap.data
+	if npad:
+		pad = [(0, 0)]*(data.ndim)
+		pad[-3] = (0, npad)
+		data = jnp.pad(jnp.asarray(data), pad)
+	sh = tile_sharding(mesh, pre_ndim=data.ndim-3, axis=axis)
+	return TileMap(jax.device_put(jnp.asarray(data), sh), tmap.geometry)
+
+def redistribute(tmap, mesh=None, sharding=None, axis=None):
+	"""Change the distribution of a TileMap: under jax this is simply a
+	device_put to a new sharding; XLA inserts the all-to-all
+	(reference tilemap.redistribute:437 hand-rolls this over MPI)."""
+	if sharding is None:
+		sharding = tile_sharding(mesh, pre_ndim=jnp.asarray(tmap.data).ndim-3, axis=axis)
+	return TileMap(jax.device_put(jnp.asarray(tmap.data), sharding), tmap.geometry)
+
+def reduce(tmap, comm=None, root=0):
+	"""Sum TileMap contributions across processes (reference tilemap.reduce:522).
+	Within one process this is the identity; across processes it is an
+	allreduce of the host-visible buffer."""
+	from .parallel import dist
+	comm = comm or dist.COMM_WORLD
+	if getattr(comm, "size", 1) == 1: return tmap
+	return TileMap(comm.allreduce(np.asarray(tmap.data)), tmap.geometry)
+
+def tree_reduce(tmap, comm=None):
+	return reduce(tmap, comm=comm)
+
+def write_map(fname, tmap, comm=None):
+	"""Collectively write a TileMap as the assembled enmap
+	(reference tilemap.write_map:531)."""
+	full = tmap.to_enmap()
+	enmap.write_map(fname, full)
+
+def read_map(fname, tile_shape=(500, 500)):
+	return from_enmap(enmap.read_map(fname), tile_shape=tile_shape)

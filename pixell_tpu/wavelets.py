@@ -1,0 +1,218 @@
+"""Wavelet transforms on the sphere / flat sky (reference pixell/wavelets.py).
+
+Wavelet bases are smooth partitions of multipole space; the transform
+synthesizes each filtered scale onto a geometry downgraded to that scale's
+bandlimit (so coarse scales are cheap), producing an ndmaps container."""
+from __future__ import annotations
+import numpy as np
+import jax.numpy as jnp
+from . import enmap, uharm, multimap, utils, wcsutils
+
+
+class Butterworth:
+	"""Butterworth filter-bank basis (reference wavelets.Butterworth:15).
+	Scales are logarithmically spaced with step q; sharpness alpha."""
+	def __init__(self, step=2, shape=7, tol=1e-3, lmin=None, lmax=None):
+		self.step, self.shape, self.tol = step, shape, tol
+		self.lmin, self.lmax = lmin, lmax
+	def with_bounds(self, lmin, lmax):
+		return type(self)(step=self.step, shape=self.shape, tol=self.tol,
+			lmin=lmin, lmax=lmax)
+	@property
+	def n(self):
+		return int(np.ceil(np.log(self.lmax/max(self.lmin, 1))/np.log(self.step))) + 1
+	def _knee(self, i):
+		return self.lmin*self.step**i
+	def kernel(self, i, l):
+		l = np.asarray(l, float)
+		def butter(l, knee):
+			with np.errstate(divide="ignore"):
+				return 1/(1 + (l/np.maximum(knee, 0.5))**self.shape)
+		hi = butter(l, self._knee(i))
+		lo = butter(l, self._knee(i-1)) if i > 0 else np.ones_like(l)*0 + (l <= 0) + 0*l
+		if i == 0:
+			prof2 = 1 - butter(l, self._knee(0))*0 - (1 - butter(l, self._knee(0)))
+			prof2 = butter(l, self._knee(0))
+			return np.sqrt(np.maximum(prof2, 0))
+		prof2 = butter(l, self._knee(i)) - butter(l, self._knee(i-1))
+		# last scale absorbs everything above
+		if i == self.n-1:
+			prof2 = 1 - butter(l, self._knee(i-1))
+		return np.sqrt(np.maximum(prof2, 0))
+	def __call__(self, i, l): return self.kernel(i, l)
+
+class ButterTrim(Butterworth):
+	"""Butterworth basis trimmed to compact support (the reference default,
+	wavelets.ButterTrim:48): tiny tails are cut so each scale has a hard
+	bandlimit, making the per-scale geometries small."""
+	def kernel(self, i, l):
+		prof = Butterworth.kernel(self, i, l)
+		return np.where(prof**2 > self.tol, prof, 0.0)
+	def lbounds(self, i):
+		"""The [lmin,lmax] support of scale i."""
+		l = np.arange(self.lmax+1)
+		k = self.kernel(i, l)
+		nz = np.where(k > 0)[0]
+		if len(nz) == 0: return (0, 0)
+		return int(nz[0]), int(nz[-1])
+
+class DigitalButterTrim(ButterTrim):
+	pass
+
+class CosineNeedlet:
+	"""Cosine-profile needlets (reference wavelets.CosineNeedlet:131):
+	peaks at given lpeaks, cosine interpolation between neighbors."""
+	def __init__(self, lpeaks=None, lmin=None, lmax=None):
+		self.lpeaks = None if lpeaks is None else np.asarray(lpeaks)
+		self.lmin, self.lmax = lmin, lmax
+	def with_bounds(self, lmin, lmax):
+		lpeaks = self.lpeaks
+		if lpeaks is None:
+			peaks = [lmin]
+			while peaks[-1] < lmax:
+				peaks.append(min(int(np.ceil(peaks[-1]*2)), lmax))
+			lpeaks = np.array(peaks)
+		return CosineNeedlet(lpeaks=lpeaks, lmin=lmin, lmax=lmax)
+	@property
+	def n(self): return len(self.lpeaks)
+	def kernel(self, i, l):
+		l = np.asarray(l, float)
+		lp = self.lpeaks
+		res = np.zeros_like(l)
+		p = lp[i]
+		if i > 0:
+			lo = lp[i-1]
+			m = (l >= lo) & (l < p)
+			res[m] = np.cos(np.pi/2*(p - l[m])/(p - lo))
+		res[l == p] = 1
+		if i < self.n-1:
+			hi = lp[i+1]
+			m = (l > p) & (l <= hi)
+			res[m] = np.cos(np.pi/2*(l[m] - p)/(hi - p))
+		if i == 0:
+			res[l <= p] = 1
+		if i == self.n-1:
+			res[l >= p] = 1
+		return res
+	def lbounds(self, i):
+		lo = self.lpeaks[i-1] if i > 0 else 0
+		hi = self.lpeaks[i+1] if i < self.n-1 else self.lmax
+		return int(lo), int(hi)
+	def __call__(self, i, l): return self.kernel(i, l)
+
+
+class WaveletTransform:
+	"""Map -> set of wavelet-coefficient maps and back, each scale on a
+	geometry downgraded to its bandlimit (reference wavelets.WaveletTransform:206)."""
+	def __init__(self, uht_or_geo, basis=None, ores=None):
+		if isinstance(uht_or_geo, uharm.UHT):
+			self.uht = uht_or_geo
+		else:
+			shape, wcs = uht_or_geo
+			self.uht = uharm.UHT(shape, wcs)
+		shape, wcs = self.uht.shape, self.uht.wcs
+		if basis is None: basis = ButterTrim()
+		lmax = self.uht.lmax
+		lmin = max(int(np.ceil(np.pi/max(_patch_size(shape, wcs), 1e-10))), 1)
+		if getattr(basis, "lmax", None) is None or getattr(basis, "lmin", None) is None:
+			basis = basis.with_bounds(lmin, lmax)
+		self.basis = basis
+		self.geometries = []
+		self.uhts = []
+		for i in range(basis.n):
+			lo, hi = basis.lbounds(i) if hasattr(basis, "lbounds") else (0, lmax)
+			ogeo = make_wavelet_geometry(shape, wcs, hi)
+			self.geometries.append(ogeo)
+			self.uhts.append(uharm.UHT(ogeo[0], ogeo[1], mode=self.uht.mode,
+				lmax=min(hi if hi > 0 else lmax, lmax)))
+	@property
+	def nlevel(self): return self.basis.n
+	def map2wave(self, map, owave=None):
+		"""Decompose map into wavelet maps (an ndmaps)."""
+		harm = self.uht.map2harm(map, spin=0)
+		outs = []
+		for i in range(self.basis.n):
+			u = self.uhts[i]
+			prof = self.basis.kernel(i, np.arange(u.lmax+1, dtype=float))
+			if self.uht.mode == "curved":
+				from . import curvedsky
+				sub = curvedsky.transfer_alm(self.uht.ainfo, jnp.asarray(harm), u.ainfo)
+				sub = u.hmul(prof, sub)
+				m = u.harm2map(sub, spin=0)
+			else:
+				# flat: filter in 2D fourier space then resample
+				l2 = np.asarray(enmap.modlmap(self.uht.shape, self.uht.wcs))
+				prof_full = self.basis.kernel(i, l2)
+				filt = enmap.samewcs(jnp.asarray(harm)*jnp.asarray(prof_full), map)
+				full = enmap.harm2map(filt, spin=[0]).real
+				m = full.project(u.shape, u.wcs, order=3) if u.shape != self.uht.shape \
+					else full
+			outs.append(m)
+		return multimap.ndmaps(outs)
+	def wave2map(self, wave, omap=None):
+		"""Adjoint-inverse: reassemble the map from wavelet maps."""
+		total = None
+		for i in range(self.basis.n):
+			u = self.uhts[i]
+			m = wave.maps[i]
+			prof = self.basis.kernel(i, np.arange(u.lmax+1, dtype=float))
+			if self.uht.mode == "curved":
+				from . import curvedsky
+				sub = u.map2harm(m, spin=0)
+				sub = u.hmul(prof, sub)
+				big = curvedsky.transfer_alm(u.ainfo, jnp.asarray(sub), self.uht.ainfo)
+			else:
+				h = enmap.map2harm(m.project(self.uht.shape, self.uht.wcs, order=3)
+					if m.shape[-2:] != tuple(self.uht.shape) else m, spin=[0])
+				l2 = np.asarray(enmap.modlmap(self.uht.shape, self.uht.wcs))
+				big = jnp.asarray(h)*jnp.asarray(self.basis.kernel(i, l2))
+			total = big if total is None else total + big
+		res = self.uht.harm2map(total, spin=0)
+		if isinstance(res, enmap.ndmap): return res.real if np.iscomplexobj(np.asarray(res)) else res
+		return res
+
+
+class HaarTransform:
+	"""Simple Haar wavelets via down/upgrades (reference wavelets.HaarTransform:419)."""
+	def __init__(self, nlevel=None):
+		self.nlevel = nlevel
+	def map2wave(self, map):
+		nlevel = self.nlevel
+		if nlevel is None:
+			nlevel = int(np.log2(min(map.shape[-2:]))) - 1
+		outs = []
+		cur = map
+		for i in range(nlevel):
+			down = enmap.downgrade(cur, 2)
+			up = enmap.upgrade(down, 2, oshape=cur.shape)
+			outs.append(cur - up)
+			cur = down
+		outs.append(cur)
+		return multimap.ndmaps(outs)
+	def wave2map(self, wave):
+		cur = wave.maps[-1]
+		for det in wave.maps[-2::-1]:
+			cur = enmap.upgrade(cur, 2, oshape=det.shape) + det
+		return cur
+
+
+def _patch_size(shape, wcs):
+	ext = enmap.extent(shape, wcs)
+	return float(np.max(np.asarray(ext)))
+
+def make_wavelet_geometry(shape, wcs, lmax_scale, margin=4):
+	"""Geometry with just enough resolution for multipoles up to lmax_scale
+	(reference wavelets.make_wavelet_geometry_flat/curved:463,472)."""
+	if lmax_scale <= 0: return tuple(shape[-2:]), wcs
+	ires = min(abs(wcs.wcs.cdelt[0]), abs(wcs.wcs.cdelt[1]))*utils.degree
+	ores = np.pi/(lmax_scale + margin)
+	factor = max(int(np.floor(ores/ires)), 1)
+	# use power-of-two-ish downgrades so geometries stay compatible, and only
+	# factors that evenly divide the pixel counts so fullsky F1/CC grids stay
+	# quadrature-exact after downgrading (fejer1's design property)
+	factor = 2**int(np.log2(factor)) if factor > 1 else 1
+	while factor > 1 and (shape[-2] % factor or shape[-1] % factor):
+		factor //= 2
+	if factor == 1: return tuple(shape[-2:]), wcs
+	oshape, owcs = enmap.downgrade_geometry(shape, wcs, factor)
+	return tuple(oshape[-2:]), owcs

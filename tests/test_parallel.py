@@ -1,0 +1,87 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(the reference's answer to distributed testing was a single-process
+FakeCommunicator; here we actually run the collectives, SURVEY.md section 4)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from pixell_tpu import enmap, sht, curvedsky, utils, tilemap
+from pixell_tpu.parallel import mesh as pmesh, sht_dist, dist
+import oracle
+
+
+def test_devices():
+	assert len(jax.devices()) >= 8
+
+def test_synthesis_dist_matches_local():
+	m = pmesh.local_mesh(8)
+	lmax = 16
+	nt, nphi = 2*lmax+2, 2*lmax+4
+	theta = jnp.asarray(sht.ring_theta("F1", nt))
+	alm = jnp.asarray(oracle.rand_alm_oracle(lmax, seed=1, ncomp=1))
+	local = sht.synthesis(alm, theta, nphi, spin=(0,))
+	dist_res = sht_dist.synthesis_dist(alm, theta, nphi, m, lmax=lmax, spin=(0,))
+	assert np.abs(np.asarray(dist_res) - np.asarray(local)).max() < 1e-12
+
+def test_analysis_dist_matches_local():
+	m = pmesh.local_mesh(8)
+	lmax = 16
+	nt, nphi = 2*lmax+2, 2*lmax+4
+	theta = jnp.asarray(sht.ring_theta("F1", nt))
+	w = jnp.asarray(sht.ring_weights("F1", nt))
+	alm = jnp.asarray(oracle.rand_alm_oracle(lmax, seed=2, ncomp=1))
+	maps = sht.synthesis(alm, theta, nphi, spin=(0,))
+	a = sht_dist.analysis_dist(maps, theta, w, m, lmax, spin=(0,))
+	assert np.abs(np.asarray(a) - np.asarray(alm)).max() < 1e-10
+
+def test_roundtrip_step_jits():
+	m = pmesh.local_mesh(8)
+	lmax = 12
+	step, (nt, nphi) = sht_dist.roundtrip_step(m, lmax, ncomp=3)
+	rng = np.random.default_rng(3)
+	maps = jnp.asarray(rng.standard_normal((3, nt, nphi)))
+	jstep = jax.jit(step)
+	omap, alm = jstep(maps)
+	assert omap.shape == (3, nt, nphi)
+	# smoothing reduces variance
+	assert float(jnp.std(omap)) < float(jnp.std(maps))
+
+def test_tilemap_roundtrip():
+	shape, wcs = enmap.fullsky_geometry(res=3*utils.degree)
+	rng = np.random.default_rng(4)
+	imap = enmap.ndmap(rng.standard_normal(shape), wcs)
+	tm = tilemap.from_enmap(imap, tile_shape=(16, 16))
+	back = tm.to_enmap()
+	assert np.allclose(np.asarray(back), np.asarray(imap))
+
+def test_tilemap_distribute():
+	shape, wcs = enmap.fullsky_geometry(res=3*utils.degree)
+	rng = np.random.default_rng(5)
+	imap = enmap.ndmap(rng.standard_normal(shape), wcs)
+	tm = tilemap.from_enmap(imap, tile_shape=(16, 16))
+	m = pmesh.local_mesh(8)
+	dtm = tilemap.distribute(tm, m)
+	# data is actually sharded
+	assert len(dtm.data.sharding.device_set) == 8
+	# values preserved (crop padding)
+	assert np.allclose(np.asarray(dtm.data)[:tm.nactive], np.asarray(tm.data))
+
+def test_tilemap_active_subset():
+	shape, wcs = enmap.fullsky_geometry(res=3*utils.degree)
+	rng = np.random.default_rng(6)
+	imap = enmap.ndmap(rng.standard_normal(shape), wcs)
+	geo = tilemap.geometry(imap.shape, imap.wcs, tile_shape=(16, 16))
+	active = np.array([0, 3, 5])
+	tm = tilemap.from_enmap(imap, tile_shape=(16, 16), active=active)
+	assert tm.nactive == 3
+	t0 = tm.tiles(0)
+	assert np.allclose(np.asarray(t0), np.asarray(imap)[:16, :16])
+	# expanding to more tiles keeps data
+	tm2 = tm.with_tiles(np.array([0, 1, 3, 5]))
+	assert tm2.nactive == 4
+	assert np.allclose(np.asarray(tm2.tiles(0)), np.asarray(t0))
+
+def test_fake_communicator():
+	comm = dist.FakeCommunicator()
+	assert comm.allreduce(5) == 5
+	assert dist.COMM_WORLD.size >= 1
