@@ -40,6 +40,11 @@ def main():
 	# compile + warmup (excluded, like the reference which times hot ducc calls)
 	maps = step(maps)
 	maps.block_until_ready()
+	assert bool(jnp.isfinite(maps).all()), "non-finite SHT output"
+	# correctness guard: a band-limited map must round-trip to itself
+	d1 = step(maps)
+	rel = float(jnp.max(jnp.abs(d1 - maps))/jnp.max(jnp.abs(maps)))
+	assert rel < 1e-3, "SHT roundtrip inaccurate: rel=%g" % rel
 	nrep = 40
 	t0 = time.perf_counter()
 	for i in range(nrep):

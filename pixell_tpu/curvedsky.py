@@ -731,3 +731,39 @@ def rotate_alm(alm, psi, theta, phi, ainfo=None, lmax=None, method="auto",
 		a = a.astype(alm.dtype)
 	a = zrot(a, phi)
 	return a
+
+
+# ---------------------------------------------------------------------------
+# HEALPix conveniences (reference curvedsky.alm2map_healpix:312,
+# map2alm_healpix:353) -- implemented in reproject, re-exported here to match
+# the reference's module layout.
+# ---------------------------------------------------------------------------
+def alm2map_healpix(alm, healmap=None, nside=None, spin=[0, 2], deriv=False, ainfo=None, **kw):
+	from . import reproject
+	return reproject.alm2map_healpix(alm, healmap=healmap, nside=nside,
+		spin=spin, deriv=deriv, ainfo=ainfo)
+
+def map2alm_healpix(healmap, alm=None, lmax=None, spin=[0, 2], niter=0, ainfo=None, **kw):
+	from . import reproject
+	return reproject.map2alm_healpix(healmap, alm=alm, lmax=lmax, spin=spin,
+		niter=niter, ainfo=ainfo)
+
+def get_ring_info(theta_or_shape, wcs=None):
+	"""Ring structure of a cylindrical map or explicit colatitudes
+	(reference curvedsky.get_ring_info:1170)."""
+	if wcs is not None:
+		minfo = analyse_geometry(theta_or_shape, wcs)
+		theta = np.asarray(minfo.theta)
+		nphi = np.full(len(theta), minfo.nphi, int)
+		phi0 = np.full(len(theta), minfo.phi0)
+	else:
+		theta = np.asarray(theta_or_shape)
+		nphi = None; phi0 = None
+	return Bunch(theta=theta, nphi=nphi, phi0=phi0, nring=len(theta))
+
+def get_ring_info_healpix(nside):
+	"""Per-ring structure of a HEALPix RING map (reference :1192)."""
+	from . import healpix
+	info = healpix.ring_info(nside)
+	return Bunch(theta=info["theta"], nphi=info["nphi"], phi0=info["phi0"],
+		offsets=info["start"], nring=info["nring"])

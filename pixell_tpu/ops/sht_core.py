@@ -7,11 +7,11 @@ TPU-native replacement for the ducc0 C++ SHT engine the reference wraps
 - The Legendre stage is one ``lax.scan`` over degree l (unrolled in blocks of
   LBLOCK), carrying the normalized associated Legendre values lambda_l and
   lambda_{l-1} for ALL (m, theta) simultaneously in a Holmes-Featherstone
-  scaled representation: lambda = val * 2^(SCALE_LOG2 * level), val kept in
-  [0, 2^SCALE_LOG2), level <= 0 an integer. This keeps lmax >~ 10^4 stable
+  scaled representation: lambda = val * 2^(S*level), val kept in
+  [0, 2^S), S = 850 (f64) / 60 (f32), level <= 0 an integer. This keeps lmax >~ 10^4 stable
   near the poles where lambda_mm ~ sin^m(theta) underflows any float.
   Because true lambdas are O(1), only levels {0,-1} can contribute above
-  2^-850, so the unscaling factor is a 3-way select with constant factors --
+  2^-S, so the unscaling factor is a 3-way select with constant factors --
   no transcendentals inside the scan.
 - Recurrence coefficients are recomputed on the fly from (l, m) inside the
   scan (O(nm) VPU work per step) instead of materializing O(nl*nm) tables.
@@ -49,7 +49,12 @@ import jax.numpy as jnp
 from jax import lax
 
 LBLOCK     = 8     # l-steps per scan iteration (static unroll)
-SCALE_LOG2 = 850   # scaled representation chunk (2^850)
+
+def _scale_log2(dtype):
+	"""Scaled-representation chunk: lambda = val * 2^(S*level). S must leave
+	headroom for within-block growth (up to ~2^56 for lmax ~ 5000) below the
+	dtype's overflow: 2^850 for f64, 2^60 for f32."""
+	return 850 if np.dtype(dtype) == np.float64 else 60
 
 MODES = {"scalar": 0, "deriv": 1, "spin1": 2, "spin2": 3}
 NFUN  = {"scalar": 1, "deriv": 2, "spin1": 2, "spin2": 2}
@@ -75,15 +80,19 @@ def _prepare_geom(theta, mmax, dtype):
 	ct = jnp.cos(theta)
 	pole = jnp.abs(st) < 1e-12
 	st_safe = jnp.where(pole, 1.0, st)
+	S = _scale_log2(dtype)
+	# seeds computed in f64 on all platforms (f64 exp2/log are fine even on
+	# TPU; this is a tiny [nm, nt] setup cost)
 	logc, sign = seed_log(mmax, np.float64)
 	m = jnp.arange(mmax+1, dtype=jnp.float64)
-	logst = jnp.where(pole, -jnp.inf, jnp.log(jnp.abs(st_safe))).astype(jnp.float64)
+	logst = jnp.where(pole, -jnp.inf, jnp.log(jnp.abs(st_safe.astype(jnp.float64))))
 	logl = logc[:, None] + jnp.where(m[:, None] == 0, 0.0, m[:, None]*logst[None, :])
 	log2l = logl/np.log(2.0)
-	dead  = ~jnp.isfinite(log2l) | (log2l < -SCALE_LOG2*120.0)
-	log2l = jnp.where(dead, -SCALE_LOG2*120.0, log2l)
-	level = jnp.clip(jnp.floor(log2l/SCALE_LOG2), -121.0, 0.0)
-	val   = jnp.exp2(log2l - level*SCALE_LOG2)
+	maxlev = 200000//S
+	dead  = ~jnp.isfinite(log2l) | (log2l < -float(S*maxlev))
+	log2l = jnp.where(dead, -float(S*maxlev), log2l)
+	level = jnp.clip(jnp.floor(log2l/S), -float(maxlev+1), 0.0)
+	val   = jnp.exp2(log2l - level*S)
 	val   = jnp.where(dead, 0.0, val)*sign[:, None]
 	return dict(
 		ct=ct.astype(dtype), st=st.astype(dtype),
@@ -159,9 +168,10 @@ def _scan_core(theta, lmax, mmax, mode, dtype, synth, A=None, F=None, ncoef=None
 	x = g["ct"][None, :]          # [1, nt]
 	nb = (nl + LBLOCK - 1)//LBLOCK
 	nlpad = nb*LBLOCK
-	band = jnp.asarray(2.0**SCALE_LOG2, dtype)
-	invband = jnp.asarray(2.0**-SCALE_LOG2, dtype)
-	fac_m1 = jnp.asarray(2.0**-SCALE_LOG2, dtype)
+	S = _scale_log2(dtype)
+	band = jnp.asarray(2.0**S, dtype)
+	invband = jnp.asarray(2.0**-S, dtype)
+	fac_m1 = jnp.asarray(2.0**-S, dtype)
 
 	if synth:
 		ncoef = A.shape[-1]

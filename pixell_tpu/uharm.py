@@ -156,7 +156,23 @@ def profile2harm_flat_2d(br, r, shape, wcs):
 	return enmap.samewcs(f, m)
 
 def harm2profile_flat_2d(hprof, r):
-	raise NotImplementedError
+	"""2D fourier-space profile -> radial real-space profile at radii r
+	(reference uharm.harm2profile_flat_2d:246): inverse-fft the 2D profile
+	and bin radially."""
+	import jax.numpy as jnp
+	from . import enmap
+	m = enmap.ifft(hprof, normalize=False).real
+	pa = enmap.pixsize(hprof.shape, hprof.wcs)
+	npix = np.prod(hprof.shape[-2:])
+	b = np.asarray(m)/npix/pa  # IFFT_norm / pixarea: physical real-space beam
+	rmap = np.asarray(enmap.modrmap(hprof.shape, hprof.wcs))
+	cy, cx = np.unravel_index(rmap.argmin(), rmap.shape)
+	b = np.roll(np.roll(b, -cy, -2), -cx, -1)
+	rmap = np.roll(np.roll(rmap, -cy, -2), -cx, -1)
+	order = np.argsort(rmap.reshape(-1))
+	rs = rmap.reshape(-1)[order]
+	bs = b.reshape(b.shape[:-2] + (-1,))[..., order]
+	return np.interp(np.asarray(r), rs, bs if bs.ndim == 1 else bs[0])
 
 def _aswcs(harm, uht):
 	if isinstance(harm, enmap.ndmap): return harm

@@ -610,3 +610,215 @@ def allgatherv(a, comm=None, axis=0):
 	if comm is None or getattr(comm, "size", 1) == 1:
 		return np.asarray(a)
 	return comm.allgatherv(a, axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# Radial Fourier / Hankel transforms (reference utils.RadialFourierTransform:3206,
+# FFTLog:3305). Both are log-spaced fast Hankel transforms.
+# ---------------------------------------------------------------------------
+class RadialFourierTransform:
+	"""Fast radial Fourier (Hankel) transform between real-space profiles
+	f(r) and harmonic profiles F(l), using the FFTLog algorithm on
+	logarithmically spaced points. harm2real and real2harm are inverses of
+	each other on the internal grids (reference utils.RadialFourierTransform)."""
+	def __init__(self, lrange=None, rrange=None, n=512, pad=256):
+		import scipy.fft
+		if lrange is None and rrange is None: lrange = [0.1, 1e7]
+		if lrange is None: lrange = [1/rrange[1], 1/rrange[0]]
+		logl1, logl2 = np.log(lrange[0]), np.log(lrange[1])
+		self.n = n
+		self.pad = pad
+		ntot = n + 2*pad
+		self.dlog = (logl2 - logl1)/n
+		i0 = pad
+		self.l = np.exp(logl1 + (np.arange(ntot) - pad + 0.5)*self.dlog)
+		self.r = 1/self.l[::-1]
+		self._mu = 0
+	def real2harm(self, rprof):
+		"""f(r) -> F(l) = 2 pi int f(r) J0(lr) r dr, with f evaluated on
+		self.r (callable or array). scipy's fht computes
+		A(k) = int a(r) J_mu(kr) k dr, so a = f*r and F = 2 pi A/l."""
+		import scipy.fft
+		fr = rprof(self.r) if callable(rprof) else np.asarray(rprof)
+		A = scipy.fft.fht(fr*self.r, self.dlog, mu=0)
+		return 2*np.pi*A/self.l
+	def harm2real(self, hprof):
+		"""F(l) -> f(r) = 1/(2 pi) int F(l) J0(lr) l dl (inverse of real2harm)."""
+		import scipy.fft
+		Fl = hprof(self.l) if callable(hprof) else np.asarray(hprof)
+		a = scipy.fft.ifht(Fl*self.l/(2*np.pi), self.dlog, mu=0)
+		return a/self.r
+	def unpad(self, *arrs):
+		"""Strip the padding from arrays on the internal grids."""
+		res = tuple(a[..., self.pad:self.pad+self.n] for a in arrs)
+		return res[0] if len(res) == 1 else res
+	def lind(self, l):
+		return np.searchsorted(self.l, l)
+
+def profile_to_tform_hankel(profile_fun, lmin=0.1, lmax=1e7, n=512, pad=256):
+	"""Convenience: return (l, F(l)) for a radial profile function."""
+	rft = RadialFourierTransform(lrange=[lmin, lmax], n=n, pad=pad)
+	F = rft.real2harm(profile_fun)
+	l, F = rft.unpad(rft.l, F)
+	return l, F
+
+class FFTLog:
+	"""Thin wrapper around scipy's fht with pixell-like interface
+	(reference utils.FFTLog:3305)."""
+	def __init__(self, r, mu=0, q=0):
+		self.r = np.asarray(r)
+		self.dlog = np.log(self.r[1]/self.r[0])
+		self.mu, self.q = mu, q
+		import scipy.fft
+		self.k = np.exp(scipy.fft.fhtoffset(self.dlog, mu=mu, q=q))/self.r[::-1]
+	def fht(self, f):
+		import scipy.fft
+		return scipy.fft.fht(np.asarray(f), self.dlog, mu=self.mu, q=self.q)
+	def ifht(self, F):
+		import scipy.fft
+		return scipy.fft.ifht(np.asarray(F), self.dlog, mu=self.mu, q=self.q)
+
+
+# ---------------------------------------------------------------------------
+# Point matching (reference utils.crossmatch:3480)
+# ---------------------------------------------------------------------------
+def crossmatch(pos1, pos2, rmax, mode="closest", coords="auto"):
+	"""Find pairs between catalogs pos1[n1,2], pos2[n2,2] ([dec,ra] radians)
+	within angular distance rmax. Returns list of (i1, i2) index pairs.
+	mode 'closest': each pos1 matches its closest pos2 (at most one)."""
+	import scipy.spatial
+	pos1 = np.asarray(pos1); pos2 = np.asarray(pos2)
+	if pos1.ndim == 2 and pos1.shape[0] == 2 and pos1.shape[1] != 2: pos1 = pos1.T
+	if pos2.ndim == 2 and pos2.shape[0] == 2 and pos2.shape[1] != 2: pos2 = pos2.T
+	v1 = ang2rect(np.array([pos1[:, 1], pos1[:, 0]]), axis=0).T
+	v2 = ang2rect(np.array([pos2[:, 1], pos2[:, 0]]), axis=0).T
+	tree = scipy.spatial.cKDTree(v2)
+	chord = 2*np.sin(rmax/2)
+	pairs = []
+	if mode == "closest":
+		d, j = tree.query(v1, k=1)
+		for i in range(len(v1)):
+			if d[i] <= chord: pairs.append((i, int(j[i])))
+	else:
+		for i, js in enumerate(tree.query_ball_point(v1, chord)):
+			for j in js: pairs.append((i, int(j)))
+	return pairs
+
+
+# ---------------------------------------------------------------------------
+# sbox algebra (reference utils.sbox_intersect:1705, sbox_div, sbox_mul)
+# ---------------------------------------------------------------------------
+def sbox_intersect(a, b, wrap=0):
+	"""Intersection of slice-boxes a[...,ndim,{start,stop,step}]."""
+	a = np.asarray(a); b = np.asarray(b)
+	res = []
+	ndim = a.shape[-2]
+	out = np.zeros((ndim, 3), int)
+	empty = False
+	for d in range(ndim):
+		s1, e1 = sorted([a[d, 0], a[d, 1]])
+		s2, e2 = sorted([b[d, 0], b[d, 1]])
+		s, e = max(s1, s2), min(e1, e2)
+		if s >= e: empty = True
+		out[d] = [s, e, 1]
+	return None if empty else out
+
+def sbox_mul(a, b):
+	"""Compose two slice-boxes: b indexes into the result of slicing with a."""
+	a = np.asarray(a); b = np.asarray(b)
+	out = np.zeros_like(a)
+	for d in range(a.shape[-2]):
+		out[d, 0] = a[d, 0] + b[d, 0]*a[d, 2]
+		out[d, 1] = a[d, 0] + b[d, 1]*a[d, 2]
+		out[d, 2] = a[d, 2]*b[d, 2]
+	return out
+
+def sbox_div(a, b):
+	"""Inverse of sbox_mul: the sbox c with sbox_mul(b, c) = a."""
+	a = np.asarray(a); b = np.asarray(b)
+	out = np.zeros_like(a)
+	for d in range(a.shape[-2]):
+		out[d, 0] = (a[d, 0] - b[d, 0])//b[d, 2]
+		out[d, 1] = (a[d, 1] - b[d, 0])//b[d, 2]
+		out[d, 2] = a[d, 2]//b[d, 2]
+	return out
+
+
+# ---------------------------------------------------------------------------
+# Interpolator classes (reference utils.interpolator:681)
+# ---------------------------------------------------------------------------
+class SplineInterpolator:
+	"""Spline interpolator over gridded data (reference utils.SplineInterpolator:696)."""
+	def __init__(self, data, box=None, order=3, border="cyclic"):
+		self.data = np.asarray(data)
+		self.box = np.asarray(box) if box is not None else None
+		self.order = order
+		self.border = border
+	def __call__(self, coords):
+		from . import interpol as _ip
+		coords = np.asarray(coords)
+		if self.box is not None:
+			n = np.array(self.data.shape[-coords.shape[0]:])
+			pix = (coords - self.box[0][:, None])/(self.box[1]-self.box[0])[:, None]*(n[:, None]-1)
+		else:
+			pix = coords
+		return np.asarray(_ip.map_coordinates(self.data, pix, order=self.order,
+			border=self.border))
+
+class FourierInterpolator:
+	"""Band-limited (NUFFT) interpolator (reference utils.FourierInterpolator:722)."""
+	def __init__(self, data, box=None):
+		self.data = np.asarray(data)
+		self.box = np.asarray(box) if box is not None else None
+	def __call__(self, coords):
+		from . import fft as _fft
+		coords = np.asarray(coords)
+		if self.box is not None:
+			n = np.array(self.data.shape[-coords.shape[0]:])
+			pix = (coords - self.box[0][:, None])/(self.box[1]-self.box[0])[:, None]*n[:, None]
+		else:
+			pix = coords
+		return np.asarray(_fft.interpol_nufft(self.data, pix))
+
+def interpolator(data, box=None, mode="spline", order=3, border="cyclic"):
+	if mode in ["spline", "conv", "lin", "linear", "cubic"]:
+		o = {"lin": 1, "linear": 1, "cubic": 3}.get(mode, order)
+		return SplineInterpolator(data, box=box, order=o, border=border)
+	if mode in ["fourier", "fft", "nufft"]:
+		return FourierInterpolator(data, box=box)
+	raise ValueError(mode)
+
+def dump(fname, obj):
+	import pickle
+	with open(fname, "wb") as f: pickle.dump(obj, f)
+
+def loadtxt(fname): return np.loadtxt(fname)
+
+def nint_div(a, b): return (a + b//2)//b
+
+def ctime2mjd(ctime):
+	"""Unix time -> modified julian date (reference utils.ctime2mjd)."""
+	return np.asarray(ctime)/86400.0 + 40587.0
+
+def mjd2ctime(mjd):
+	return (np.asarray(mjd) - 40587.0)*86400.0
+
+def medmean(a, frac=0.5):
+	"""Mean of the central frac quantile -- robust mean (reference utils.medmean)."""
+	a = np.sort(np.asarray(a).reshape(-1))
+	n = len(a)
+	lo = int(n*(1-frac)/2); hi = n - lo
+	return a[lo:hi].mean()
+
+def find_equal_groups(a, tol=0):
+	"""Group indices of equal (within tol) values (reference utils.find_equal_groups)."""
+	a = np.asarray(a)
+	order = np.argsort(a, kind="stable")
+	groups = []
+	cur = [order[0]] if len(a) else []
+	for i in order[1:]:
+		if abs(a[i] - a[cur[-1]]) <= tol: cur.append(i)
+		else:
+			groups.append(cur); cur = [i]
+	if cur: groups.append(cur)
+	return groups

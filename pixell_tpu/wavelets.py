@@ -216,3 +216,41 @@ def make_wavelet_geometry(shape, wcs, lmax_scale, margin=4):
 	if factor == 1: return tuple(shape[-2:]), wcs
 	oshape, owcs = enmap.downgrade_geometry(shape, wcs, factor)
 	return tuple(oshape[-2:]), owcs
+
+
+class AdriSD:
+	"""Scale-discrete wavelet basis a la optweight (reference wavelets.AdriSD:109):
+	kernels built from a smooth interpolating spline between dyadic scales,
+	squaring to one. Implemented as cosine-needlets on dyadic peaks, which
+	share the key properties (compact support, partition of unity)."""
+	def __init__(self, lamb=2.0, lmin=None, lmax=None):
+		self.lamb = lamb
+		self.lmin, self.lmax = lmin, lmax
+		self._cn = None
+	def with_bounds(self, lmin, lmax):
+		res = AdriSD(self.lamb, lmin, lmax)
+		peaks = [max(lmin, 1)]
+		while peaks[-1] < lmax:
+			peaks.append(min(int(np.ceil(peaks[-1]*self.lamb)), lmax))
+		res._cn = CosineNeedlet(lpeaks=np.array(peaks), lmin=lmin, lmax=lmax)
+		return res
+	@property
+	def n(self): return self._cn.n
+	def kernel(self, i, l): return self._cn.kernel(i, l)
+	def lbounds(self, i): return self._cn.lbounds(i)
+	def __call__(self, i, l): return self.kernel(i, l)
+
+
+class VarButter(ButterTrim):
+	"""Butterworth basis with per-scale variable sharpness
+	(reference wavelets.VarButter:163)."""
+	def __init__(self, step=2, shapes=None, tol=1e-3, lmin=None, lmax=None):
+		super().__init__(step=step, shape=7, tol=tol, lmin=lmin, lmax=lmax)
+		self.shapes = shapes
+	def with_bounds(self, lmin, lmax):
+		return VarButter(step=self.step, shapes=self.shapes, tol=self.tol,
+			lmin=lmin, lmax=lmax)
+	def kernel(self, i, l):
+		if self.shapes is not None:
+			self.shape = self.shapes[min(i, len(self.shapes)-1)]
+		return ButterTrim.kernel(self, i, l)

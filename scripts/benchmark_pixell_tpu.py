@@ -1,0 +1,40 @@
+#!/usr/bin/env python
+"""SHT benchmark sweep (the reference ships benchmark-pixell /
+benchmark-pixell-runner console scripts, scripts/benchmark_pixell*.py;
+this is the TPU equivalent: a sweep over lmax and spin instead of threads)."""
+import argparse
+import time
+import numpy as np
+
+def main():
+	p = argparse.ArgumentParser()
+	p.add_argument("--lmax", type=str, default="750,1500,3000")
+	p.add_argument("--dtype", type=str, default="float32")
+	p.add_argument("--spin", type=str, default="0")
+	p.add_argument("--nrep", type=int, default=3)
+	args = p.parse_args()
+	import jax, jax.numpy as jnp
+	from pixell_tpu import sht
+	dtype = np.dtype(args.dtype)
+	spin = (0,) if args.spin == "0" else (0, 2)
+	ncomp = 1 if spin == (0,) else 3
+	print("device:", jax.devices()[0])
+	for lmax in [int(t) for t in args.lmax.split(",")]:
+		nt, nphi = 2*lmax+2, 2*lmax+4
+		theta = jnp.asarray(sht.ring_theta("F1", nt), dtype)
+		w = jnp.asarray(sht.ring_weights("F1", nt), dtype)
+		def rt(m):
+			alm = sht.analysis(m, theta, lmax, w, spin=spin)
+			return sht.synthesis(alm, theta, nphi, lmax=lmax, spin=spin, map_dtype=dtype)
+		f = jax.jit(rt)
+		rng = np.random.default_rng(0)
+		m = jnp.asarray(rng.standard_normal((ncomp, nt, nphi)).astype(dtype))
+		r = f(m); r.block_until_ready()
+		t0 = time.perf_counter()
+		for _ in range(args.nrep): r = f(r)
+		r.block_until_ready()
+		dt = (time.perf_counter()-t0)/args.nrep
+		print("lmax %5d  %s  spin %s: %8.3f s/roundtrip" % (lmax, args.dtype, spin, dt))
+
+if __name__ == "__main__":
+	main()

@@ -144,3 +144,27 @@ def test_transfer_alm():
 	big = np.asarray(curvedsky.transfer_alm(a1, jnp.asarray(alm), a2))
 	for (l, m) in [(0, 0), (LMAX, 3), (7, 7)]:
 		assert np.allclose(big[a2.lm2ind(l, m)], alm[a1.lm2ind(l, m)])
+
+
+def test_f32_sht():
+	# the TPU production dtype: float32 maps with the f32-scaled recurrence
+	import jax.numpy as jnp
+	from pixell_tpu import sht
+	lmax = 40
+	nt, nphi = 2*lmax+2, 2*lmax+4
+	theta = jnp.asarray(sht.ring_theta("F1", nt), np.float32)
+	w = jnp.asarray(sht.ring_weights("F1", nt), np.float32)
+	alm = oracle.rand_alm_oracle(lmax, seed=20).astype(np.complex64)
+	m = sht.synthesis(jnp.asarray(alm[None]), theta, nphi, lmax=lmax, spin=(0,))
+	assert m.dtype == np.float32
+	assert bool(jnp.isfinite(m).all())
+	alm2 = np.asarray(sht.analysis(m, theta, lmax, w, spin=(0,)))[0]
+	err = np.abs(alm2 - alm).max()/np.abs(alm).max()
+	assert err < 1e-4
+	# high-m scaled-seed region must not produce NaN/inf in f32
+	n = sht.nalm(200)
+	alm3 = np.zeros(n, np.complex64)
+	alm3[sht.lm2ind(200, 200, 200)] = 1
+	th2 = jnp.asarray(sht.ring_theta("F1", 402), np.float32)
+	m2 = sht.synthesis(jnp.asarray(alm3[None]), th2, 404, lmax=200, spin=(0,))
+	assert bool(jnp.isfinite(m2).all())
