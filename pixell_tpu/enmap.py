@@ -1593,7 +1593,9 @@ def read_map(fname, fmt=None, sel=None, box=None, pixbox=None, geometry=None,
 		elif fname.endswith(".fits") or fname.endswith(".fits.gz"): fmt = "fits"
 		elif fname.endswith(".npy"): fmt = "npy"
 		else: fmt = "fits"
-	if   fmt == "fits": res = read_fits(fname, hdu=hdu, wcs=wcs)
+	if delayed and fmt == "fits":
+		res = ndmap_proxy_fits(fname, hdu=hdu, wcs=wcs)
+	elif fmt == "fits": res = read_fits(fname, hdu=hdu, wcs=wcs)
 	elif fmt == "hdf":  res = read_hdf(fname, address=address, wcs=wcs)
 	elif fmt == "npy":  res = read_npy(fname, wcs=wcs)
 	else: raise ValueError("Unrecognized format '%s'" % fmt)
@@ -1753,3 +1755,36 @@ def inpaint(map, mask, method="nearest"):
 		return samewcs(arr, map)
 	else:
 		raise NotImplementedError(method)
+
+
+class ndmap_proxy_fits:
+	"""Delayed-read ndmap: has .shape/.wcs, and slicing reads only the
+	needed pixel box from disk via the native FITS core
+	(reference enmap.ndmap_proxy_fits:3167)."""
+	def __init__(self, fname, hdu=None, wcs=None):
+		from . import fits_io
+		self.proxy = fits_io.open_proxy(fname, hdu=hdu or 0)
+		self.fname = fname
+		if wcs is None: wcs = wcsutils.WCS(header=self.proxy.header)
+		self.wcs = wcs
+	@property
+	def shape(self): return self.proxy.shape
+	@property
+	def ndim(self): return len(self.shape)
+	@property
+	def dtype(self): return self.proxy.dtype
+	@property
+	def geometry(self): return self.shape, self.wcs
+	def __getitem__(self, sel):
+		sel1, sel2 = utils.split_slice(sel if isinstance(sel, tuple) else (sel,),
+			[self.ndim-2, 2])
+		data = self.proxy[sel if isinstance(sel, tuple) else (sel,)]
+		if len(sel2) < 2 or all(isinstance(s, slice) for s in sel2):
+			_, wcs = slice_geometry(self.shape[-2:], self.wcs,
+				tuple(sel2) + (slice(None),)*(2-len(sel2)))
+			return ndmap(data, wcs)
+		return data
+	def read(self):
+		return self[:]
+
+ndmap_proxy = ndmap_proxy_fits

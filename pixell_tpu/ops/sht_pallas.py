@@ -1,0 +1,275 @@
+"""Pallas TPU kernel for the Legendre stage of the SHT.
+
+The jnp scan in sht_core is HBM-bandwidth-bound: the (nm, nt) recurrence
+carries roundtrip HBM on every degree l, giving O(lmax^3) words of traffic.
+This kernel runs the l-loop INSIDE VMEM: the grid tiles (m, theta), each
+tile iterates over all l with the recurrence state in VMEM scratch, so HBM
+traffic is O(lmax^2) (read the alm once, write the map-coefficient block
+once). Numerically identical algorithm to sht_core (same scaled
+representation, S = 60 for float32).
+
+Float32 only (Mosaic has no f64); float64 falls back to the jnp scan.
+Synthesis:  G[f,c,m,t] = sum_l u_f(l,m,t) A[l,m,c]
+Analysis:   out[l,m,c] = sum_f sum_t u_f(l,m,t) F[f,c,m,t]
+"""
+from __future__ import annotations
+import functools
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from . import sht_core
+
+MB = 256    # m-block
+TB = 256    # theta-block
+LB = 16     # l-steps per grid step
+
+S32 = 60    # scale chunk for f32 (must match sht_core._scale_log2(float32))
+
+
+def _ceil(a, b): return -(-a//b)
+
+
+def _step_block(l, marr, m2, ct, seedv, seedl, prev, curr, lev, fac_m1):
+	"""One recurrence step on a [MB, TB] tile. Returns updated state and the
+	true lambda_l / lambda_{l-1} (unscaled)."""
+	lf = l.astype(jnp.float32)
+	a = jnp.sqrt(jnp.maximum(4*lf*lf - 1, 0.0)/jnp.maximum(lf*lf - m2, 0.25))
+	b = jnp.sqrt(jnp.maximum((lf-1)*(lf-1) - m2, 0.0)
+		/ jnp.maximum(4*(lf-1)*(lf-1) - 1, 1.0))
+	new = a*(ct*curr - b*prev)
+	seedmask = (marr == lf)
+	new = jnp.where(seedmask, seedv, new)
+	lev = jnp.where(seedmask, seedl, lev)
+	currz = jnp.where(seedmask, 0.0, curr)
+	fac = jnp.where(lev == 0, 1.0, jnp.where(lev == -1, fac_m1, 0.0))
+	return currz, new, lev, new*fac, currz*fac
+
+def _rescale(prev, curr, lev, band, invband):
+	big = jnp.abs(curr) > band
+	return (jnp.where(big, prev*invband, prev),
+		jnp.where(big, curr*invband, curr),
+		jnp.where(big, lev + 1, lev))
+
+
+def _make_funcs(mode):
+	"""Returns nfun and a function (l, marr, m2, th, lam, lam1) -> [u_f]."""
+	midx = sht_core.MODES[mode]
+	def funcs(lf, marr, m2, th, lam, lam1):
+		ct, ct_st, inv_st, inv_st2, notpole = th
+		if midx == 0:
+			return [lam]
+		e = jnp.sqrt(jnp.maximum((lf*lf - m2)*(2*lf + 1), 0.0)
+			/ jnp.maximum(2*lf - 1, 1.0))
+		north = (1.0 - notpole)*jnp.where(ct > 0, 1.0, 0.0)
+		south = (1.0 - notpole)*jnp.where(ct < 0, 1.0, 0.0)
+		plm = jnp.sqrt((2*lf + 1)/(4*np.pi))
+		sgl = 1.0 - 2.0*(jnp.mod(lf, 2.0))
+		if midx == 1:
+			dlam = (lf*ct_st*lam - e*inv_st*lam1)*notpole
+			m1sel = (marr == 1)
+			n1l = jnp.sqrt(jnp.maximum(lf*(lf+1), 0.0))
+			dlam = dlam + jnp.where(m1sel, -n1l*plm/2*(north + sgl*south), 0.0)*(lf >= 1)
+			return [lam, dlam]
+		if midx == 2:
+			n1 = 1/jnp.sqrt(jnp.maximum(lf*(lf+1), 1.0))
+			valid = jnp.where(lf >= 1, 1.0, 0.0)
+			dlam = lf*ct_st*lam - e*inv_st*lam1
+			w1 = -n1*dlam*valid*notpole
+			x1 = n1*marr*inv_st*lam*valid*notpole
+			m1sel = (marr == 1)
+			w1 = w1 + jnp.where(m1sel, plm/2*(north + sgl*south), 0.0)*valid
+			x1 = x1 + jnp.where(m1sel, plm/2*(-north + sgl*south), 0.0)*valid
+			return [w1, x1]
+		if midx == 3:
+			n2 = 1/jnp.sqrt(jnp.maximum((lf-1)*lf*(lf+1)*(lf+2), 1.0))
+			valid = jnp.where(lf >= 2, 1.0, 0.0)
+			w2 = n2*(-(2*(lf - m2)*inv_st2 + lf*(lf-1))*lam + 2*e*ct*inv_st2*lam1)*valid*notpole
+			x2 = 2*n2*marr*inv_st2*(-(lf-1)*ct*lam + e*lam1)*valid*notpole
+			m2sel = (marr == 2)
+			w2 = w2 + jnp.where(m2sel, plm/2*(north + sgl*south), 0.0)*valid
+			x2 = x2 + jnp.where(m2sel, plm/2*(-north + sgl*south), 0.0)*valid
+			return [w2, x2]
+		raise ValueError(mode)
+	return sht_core.NFUN[mode], funcs
+
+
+def _prep_inputs(theta, lmax, mmax, mode):
+	"""Host-side padding and seed/theta-function tables (f32)."""
+	g = sht_core._prepare_geom(jnp.asarray(theta, jnp.float32), mmax, np.float32)
+	nt = int(np.shape(theta)[0])
+	nm = mmax + 1
+	nl = lmax + 1
+	ntp = _ceil(nt, TB)*TB
+	nmp = _ceil(nm, MB)*MB
+	nlp = _ceil(nl, LB)*LB
+	def padt(x, fill=0.0):
+		return jnp.pad(x, (0, ntp - nt), constant_values=fill)
+	# dummy rings at theta=pi/2 (harmless; their output is discarded)
+	th = jnp.stack([padt(g["ct"]), padt(g["ct_st"]), padt(g["inv_st"]),
+		padt(g["inv_st2"]), padt(g["notpole"], 1.0)])
+	seedv = jnp.pad(g["seed_val"], ((0, nmp - nm), (0, ntp - nt)))
+	seedl = jnp.pad(g["seed_level"], ((0, nmp - nm), (0, ntp - nt)))
+	return th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp)
+
+
+@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "interpret"))
+def synthesis_scan_pallas(A, theta, lmax, mmax, mode="scalar", interpret=False):
+	"""Pallas version of sht_core.synthesis_scan (float32)."""
+	A = jnp.asarray(A, jnp.float32)
+	nfun, funcs = _make_funcs(mode)
+	th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp) = _prep_inputs(theta, lmax, mmax, mode)
+	C = A.shape[-1]
+	Ap = jnp.zeros((nlp, nmp, C), jnp.float32).at[:nl, :nm].set(A)
+	grid = (nmp//MB, ntp//TB, nlp//LB)
+	band = np.float32(2.0**S32)
+	invband = np.float32(2.0**-S32)
+	fac_m1 = np.float32(2.0**-S32)
+
+	def kern(a_ref, th_ref, sv_ref, sl_ref, out_ref, prev, curr, lev):
+		il = pl.program_id(2)
+		im = pl.program_id(0)
+		@pl.when(il == 0)
+		def _():
+			prev[:] = jnp.zeros((MB, TB), jnp.float32)
+			curr[:] = jnp.zeros((MB, TB), jnp.float32)
+			lev[:] = jnp.zeros((MB, TB), jnp.float32)
+			out_ref[:] = jnp.zeros_like(out_ref)
+		marr = (im*MB + jax.lax.broadcasted_iota(jnp.int32, (MB, TB), 0)).astype(jnp.float32)
+		m2 = marr*marr
+		thv = [th_ref[i, :][None, :] for i in range(5)]
+		ct = thv[0]
+		p, c, lv = prev[:], curr[:], lev[:]
+		accs = [[jnp.zeros((MB, TB), jnp.float32) for _ in range(C)]
+			for _ in range(nfun)]
+		for k in range(LB):
+			l = (il*LB + k).astype(jnp.float32)
+			p, c, lv, lam, lam1 = _step_block(l, marr, m2, ct, sv_ref[:], sl_ref[:],
+				p, c, lv, fac_m1)
+			us = funcs(l, marr, m2, thv, lam, lam1)
+			for f in range(nfun):
+				for ci in range(C):
+					accs[f][ci] = accs[f][ci] + us[f]*a_ref[k, :, ci][:, None]
+		p, c, lv = _rescale(p, c, lv, band, invband)
+		prev[:] = p; curr[:] = c; lev[:] = lv
+		out_ref[:] += jnp.stack([jnp.stack(fc) for fc in accs])
+
+	out = pl.pallas_call(
+		kern,
+		grid=grid,
+		in_specs=[
+			pl.BlockSpec((LB, MB, C), lambda im, it, il: (il, im, 0),
+				memory_space=pltpu.VMEM),
+			pl.BlockSpec((5, TB), lambda im, it, il: (0, it), memory_space=pltpu.VMEM),
+			pl.BlockSpec((MB, TB), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
+			pl.BlockSpec((MB, TB), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
+		],
+		out_specs=pl.BlockSpec((nfun, C, MB, TB), lambda im, it, il: (0, 0, im, it),
+			memory_space=pltpu.VMEM),
+		out_shape=jax.ShapeDtypeStruct((nfun, C, nmp, ntp), jnp.float32),
+		scratch_shapes=[
+			pltpu.VMEM((MB, TB), jnp.float32),
+			pltpu.VMEM((MB, TB), jnp.float32),
+			pltpu.VMEM((MB, TB), jnp.float32),
+		],
+		compiler_params=pltpu.CompilerParams(
+			dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+		interpret=interpret,
+	)(Ap, th, seedv, seedl)
+	return out[:, :, :nm, :nt]
+
+
+@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "interpret"))
+def analysis_scan_pallas(F, theta, lmax, mmax, mode="scalar", interpret=False):
+	"""Pallas version of sht_core.analysis_scan (float32).
+	F: [nfun, C, nm, nt] -> out [nl, nm, C].
+
+	Each (m-tile, theta-tile) cell runs the full l recurrence in VMEM and
+	writes its own partial-alm slab (every output block written exactly
+	once -- no revisit semantics needed); the theta-tile axis is then summed
+	outside the kernel."""
+	F = jnp.asarray(F, jnp.float32)
+	nfun, funcs = _make_funcs(mode)
+	th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp) = _prep_inputs(theta, lmax, mmax, mode)
+	C = F.shape[1]
+	Fp = jnp.zeros((nfun, C, nmp, ntp), jnp.float32).at[:, :, :nm, :nt].set(F)
+	ntb = ntp//TB
+	grid = (nmp//MB, ntb, nlp//LB)
+	band = np.float32(2.0**S32)
+	invband = np.float32(2.0**-S32)
+	fac_m1 = np.float32(2.0**-S32)
+
+	def kern(f_ref, th_ref, sv_ref, sl_ref, out_ref, prev, curr, lev):
+		im = pl.program_id(0)
+		il = pl.program_id(2)
+		@pl.when(il == 0)
+		def _():
+			prev[:] = jnp.zeros((MB, TB), jnp.float32)
+			curr[:] = jnp.zeros((MB, TB), jnp.float32)
+			lev[:] = jnp.zeros((MB, TB), jnp.float32)
+		marr = (im*MB + jax.lax.broadcasted_iota(jnp.int32, (MB, TB), 0)).astype(jnp.float32)
+		m2 = marr*marr
+		thv = [th_ref[i, :][None, :] for i in range(5)]
+		ct = thv[0]
+		p, c, lv = prev[:], curr[:], lev[:]
+		rows = []
+		for k in range(LB):
+			l = (il*LB + k).astype(jnp.float32)
+			p, c, lv, lam, lam1 = _step_block(l, marr, m2, ct, sv_ref[:], sl_ref[:],
+				p, c, lv, fac_m1)
+			us = funcs(l, marr, m2, thv, lam, lam1)
+			cols = []
+			for ci in range(C):
+				tot = us[0]*f_ref[0, ci]
+				for f in range(1, nfun):
+					tot = tot + us[f]*f_ref[f, ci]
+				cols.append(jnp.sum(tot, axis=-1))
+			rows.append(jnp.stack(cols, -1))
+		pr, cr, lr = _rescale(p, c, lv, band, invband)
+		prev[:] = pr; curr[:] = cr; lev[:] = lr
+		out_ref[:] = jnp.stack(rows)[None]
+
+	out = pl.pallas_call(
+		kern,
+		grid=grid,
+		in_specs=[
+			pl.BlockSpec((nfun, C, MB, TB), lambda im, it, il: (0, 0, im, it),
+				memory_space=pltpu.VMEM),
+			pl.BlockSpec((5, TB), lambda im, it, il: (0, it), memory_space=pltpu.VMEM),
+			pl.BlockSpec((MB, TB), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
+			pl.BlockSpec((MB, TB), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
+		],
+		out_specs=pl.BlockSpec((1, LB, MB, C), lambda im, it, il: (it, il, im, 0),
+			memory_space=pltpu.VMEM),
+		out_shape=jax.ShapeDtypeStruct((ntb, nlp, nmp, C), jnp.float32),
+		scratch_shapes=[
+			pltpu.VMEM((MB, TB), jnp.float32),
+			pltpu.VMEM((MB, TB), jnp.float32),
+			pltpu.VMEM((MB, TB), jnp.float32),
+		],
+		compiler_params=pltpu.CompilerParams(
+			dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+		interpret=interpret,
+	)(Fp, th, seedv, seedl)
+	return jnp.sum(out, axis=0)[:nl, :nm]
+
+
+TCHUNK = 2048  # theta rings per analysis chunk (bounds the partial-slab memory)
+
+def analysis_scan_pallas_chunked(F, theta, lmax, mmax, mode="scalar", interpret=False):
+	"""Memory-bounded analysis: the per-theta-tile partial slabs scale as
+	ntb * nl * nm, which overflows HBM for big transforms; process theta in
+	chunks (each chunk's recurrence is independent) and sum."""
+	F = jnp.asarray(F, jnp.float32)
+	nt = F.shape[-1]
+	if nt <= TCHUNK:
+		return analysis_scan_pallas(F, theta, lmax, mmax, mode=mode, interpret=interpret)
+	theta = jnp.asarray(theta)
+	out = None
+	for i0 in range(0, nt, TCHUNK):
+		i1 = min(i0 + TCHUNK, nt)
+		part = analysis_scan_pallas(F[..., i0:i1], theta[i0:i1], lmax, mmax,
+			mode=mode, interpret=interpret)
+		out = part if out is None else out + part
+	return out

@@ -22,6 +22,30 @@ import jax
 import jax.numpy as jnp
 from .ops import sht_core
 
+# Kernel dispatch: on accelerators, float32 transforms use the Pallas kernel
+# (l-loop in VMEM, O(lmax^2) HBM traffic); CPU and float64 use the jnp scan.
+# Set to True/False to force, or "auto".
+USE_PALLAS = "auto"
+
+def _pallas_ok(dtype):
+	if USE_PALLAS is False: return False
+	import jax
+	on_accel = jax.default_backend() != "cpu"
+	if USE_PALLAS is True: return np.dtype(dtype) == np.float32
+	return np.dtype(dtype) == np.float32 and on_accel
+
+def _synth_scan(A, theta, lmax, mmax, mode, dtype):
+	if _pallas_ok(dtype):
+		from .ops import sht_pallas
+		return sht_pallas.synthesis_scan_pallas(A, theta, lmax, mmax, mode=mode)
+	return sht_core.synthesis_scan(A, theta, lmax, mmax, mode=mode, dtype=dtype)
+
+def _anal_scan(F, theta, lmax, mmax, mode, dtype):
+	if _pallas_ok(dtype):
+		from .ops import sht_pallas
+		return sht_pallas.analysis_scan_pallas_chunked(F, theta, lmax, mmax, mode=mode)
+	return sht_core.analysis_scan(F, theta, lmax, mmax, mode=mode, dtype=dtype)
+
 
 # ---------------------------------------------------------------------------
 # alm layout: triangular m-major (healpy-compatible), same as reference
@@ -208,7 +232,7 @@ def synthesis(alm, theta, nphi, phi0=0.0, lmax=None, mmax=None, spin=(0, 2),
 	if deriv:
 		rect = alm2rect(alm, lmax, mmax)                     # [..., nl, nm]
 		A = _c2coef(rect[..., None, :, :])                   # [..., nl, nm, 2]
-		G = sht_core.synthesis_scan(A, theta, lmax, mmax, mode="deriv", dtype=ldt)
+		G = _synth_scan(A, theta, lmax, mmax, "deriv", ldt)
 		Gc = _coef2c(G, 1)[..., 0, :, :]                     # [2(fun), nm, nt]
 		G_s, G_dt = Gc[..., 0, :, :], Gc[..., 1, :, :]
 		m = jnp.arange(mmax+1, dtype=ldt)[:, None]
@@ -222,14 +246,14 @@ def synthesis(alm, theta, nphi, phi0=0.0, lmax=None, mmax=None, spin=(0, 2),
 		rect = alm2rect(sub, lmax, mmax)                     # [..., k, nl, nm]
 		if s == 0:
 			A = _c2coef(rect)                                # [..., nl, nm, 2k]
-			G = sht_core.synthesis_scan(A, theta, lmax, mmax, mode="scalar", dtype=ldt)
+			G = _synth_scan(A, theta, lmax, mmax, "scalar", ldt)
 			Gc = _coef2c(G, i2-i1)[..., 0, :, :, :]          # [..., k, nm, nt]
 			outs.append(ring_synthesis(Gc, phi0, nphi))
 		else:
 			A = _c2coef(rect)                                # [..., nl, nm, 4]
 			mode = "spin1" if s == 1 else "spin2"
 			if s > 2: raise NotImplementedError("spin > 2 not yet supported")
-			G = sht_core.synthesis_scan(A, theta, lmax, mmax, mode=mode, dtype=ldt)
+			G = _synth_scan(A, theta, lmax, mmax, mode, ldt)
 			Gc = _coef2c(G, 2)                               # [..., 2(fun), 2(EB), nm, nt]
 			# (P1 + iP2) = -sum (a1 + i a2) sY;  (P1 - iP2) = -(-1)^s sum (a1 - i a2) -sY
 			# both reduce to P1_m = -(w a1 + i x a2), P2_m = -(w a2 - i x a1)
@@ -260,7 +284,7 @@ def adjoint_synthesis(maps, theta, lmax, mmax=None, phi0=0.0, spin=(0, 2),
 		Fs = -1j*m*Fdp
 		F = jnp.stack([Fs[..., None, :, :], Fdt[..., None, :, :]], -4)
 		Fr = jnp.concatenate([F.real, F.imag], -3)           # [...,2(fun),2,nm,nt]
-		A = sht_core.analysis_scan(Fr, theta, lmax, mmax, mode="deriv", dtype=ldt)
+		A = _anal_scan(Fr, theta, lmax, mmax, "deriv", ldt)
 		rect = jax.lax.complex(A[..., 0], A[..., 1])
 		# conjugate-symmetry factor: m>0 modes appear twice in a real map
 		rect = _m_degeneracy(rect, mmax)
@@ -274,7 +298,7 @@ def adjoint_synthesis(maps, theta, lmax, mmax=None, phi0=0.0, spin=(0, 2),
 			k = i2-i1
 			Fr = jnp.stack([Fm.real, Fm.imag], -3)           # [..., k, 2, nm, nt]
 			Fr = Fr.reshape(Fr.shape[:-4] + (1, 2*k,) + Fr.shape[-2:])
-			A = sht_core.analysis_scan(Fr, theta, lmax, mmax, mode="scalar", dtype=ldt)
+			A = _anal_scan(Fr, theta, lmax, mmax, "scalar", ldt)
 			A = A.reshape(A.shape[:-1] + (k, 2))
 			rect = jax.lax.complex(A[..., 0], A[..., 1])
 			rect = jnp.moveaxis(rect, -1, -3)
@@ -290,7 +314,7 @@ def adjoint_synthesis(maps, theta, lmax, mmax=None, phi0=0.0, spin=(0, 2),
 			Fr = jnp.concatenate([
 				jnp.stack([Fc.real[..., 0, :, :], Fc.imag[..., 0, :, :]], -3),
 				jnp.stack([Fc.real[..., 1, :, :], Fc.imag[..., 1, :, :]], -3)], -3)
-			A = sht_core.analysis_scan(Fr, theta, lmax, mmax, mode=mode, dtype=ldt)
+			A = _anal_scan(Fr, theta, lmax, mmax, mode, ldt)
 			A = A.reshape(A.shape[:-1] + (2, 2))
 			rect = jax.lax.complex(A[..., 0], A[..., 1])
 			rect = jnp.moveaxis(rect, -1, -3)
