@@ -228,3 +228,44 @@ class FinderIterative:
 			dtype=[("dec", "f8"), ("ra", "f8"), ("flux", "f8"), ("dflux", "f8"), ("snr", "f8")])
 		model_tot = self.modeller(cat)
 		return Bunch(cat=cat, resid=resid, model=model_tot)
+
+
+class FinderMulti:
+	"""Find objects matching the best of several profiles: runs a matched
+	filter per profile and picks the highest-SNR template per detection
+	(reference analysis.FinderMulti:586)."""
+	def __init__(self, nmats, snmin=5):
+		self.nmats = nmats
+		self.snmin = snmin
+	def __call__(self, map):
+		results = []
+		for nmat in self.nmats:
+			rho, kappa = nmat.matched_filter(map)
+			flux, dflux, snr = solve_mapsys(kappa, rho)
+			results.append((flux, dflux, snr))
+		snrs = jnp.stack([jnp.asarray(r[2]) for r in results])
+		best = jnp.argmax(snrs, 0)
+		snr_best = jnp.max(snrs, 0)
+		from scipy import ndimage
+		snr_np = np.asarray(snr_best)
+		mask = snr_np > self.snmin
+		labels, nlab = ndimage.label(mask)
+		rows = []
+		if nlab > 0:
+			peaks = ndimage.maximum_position(snr_np, labels, np.arange(1, nlab+1))
+			best_np = np.asarray(best)
+			for (py, px) in np.atleast_2d(peaks):
+				py, px = int(py), int(px)
+				bi = int(best_np[py, px] if best_np.ndim == 2 else best_np[..., py, px].ravel()[0])
+				flux, dflux, snr = results[bi]
+				pos = np.asarray(enmap.pix2sky(map.shape, map.wcs,
+					np.array([[float(py)], [float(px)]])))[:, 0]
+				f = float(np.asarray(flux).reshape(-1, *np.asarray(flux).shape[-2:])[0, py, px])
+				df = float(np.asarray(dflux)[py, px]) if np.ndim(dflux) >= 2 else float(dflux)
+				s = float(snr_np[py, px])
+				rows.append((pos[0], pos[1], f, df, s, bi))
+		cat = np.array(rows, dtype=[("dec", "f8"), ("ra", "f8"), ("flux", "f8"),
+			("dflux", "f8"), ("snr", "f8"), ("profile", "i4")]) if rows else \
+			np.zeros(0, dtype=[("dec", "f8"), ("ra", "f8"), ("flux", "f8"),
+			("dflux", "f8"), ("snr", "f8"), ("profile", "i4")])
+		return Bunch(cat=cat, snr=snr_best)

@@ -280,3 +280,122 @@ class FitsProxy:
 
 def open_proxy(fname, hdu=0):
 	return FitsProxy(fname, hdu=hdu)
+
+
+# ---------------------------------------------------------------------------
+# Binary table (BINTABLE) read support, for catalogs (reference reads these
+# via astropy in pointsrcs.py:495-637).
+# ---------------------------------------------------------------------------
+_tform2dtype = {"L": "?", "B": "u1", "I": ">i2", "J": ">i4", "K": ">i8",
+	"E": ">f4", "D": ">f8", "C": ">c8", "M": ">c16", "A": "S"}
+
+def _parse_tform(tform):
+	"""'1E', '16A', 'D' -> (count, dtype char)."""
+	tform = tform.strip()
+	i = 0
+	while i < len(tform) and tform[i].isdigit(): i += 1
+	count = int(tform[:i]) if i > 0 else 1
+	code = tform[i]
+	return count, code
+
+def read_table(fname, hdu=None):
+	"""Read the first BINTABLE HDU (or the given one) as a dict of numpy
+	column arrays keyed by TTYPE name."""
+	with _open(fname) as f:
+		i = 0
+		while True:
+			h = _parse_header(f)
+			if h is None: raise IOError("No binary table HDU found in %s" % fname)
+			is_table = str(h.get("XTENSION", "")).strip().upper().startswith("BINTABLE")
+			if is_table and (hdu is None or i == hdu):
+				break
+			f.seek(_data_size_table(h), 1)
+			i += 1
+		nrow = int(h["NAXIS2"])
+		rowbytes = int(h["NAXIS1"])
+		ncol = int(h["TFIELDS"])
+		names, dtypes = [], []
+		for c in range(1, ncol+1):
+			name = str(h.get("TTYPE%d" % c, "col%d" % c)).strip()
+			count, code = _parse_tform(str(h["TFORM%d" % c]))
+			if code == "A":
+				dt = "S%d" % count
+				names.append(name); dtypes.append((name, dt))
+			else:
+				dt = _tform2dtype[code]
+				names.append(name)
+				dtypes.append((name, dt, (count,)) if count > 1 else (name, dt))
+		rec = np.dtype(dtypes)
+		if rec.itemsize != rowbytes:
+			# columns we don't understand: pad
+			dtypes.append(("_pad", "V%d" % (rowbytes - rec.itemsize)))
+			rec = np.dtype(dtypes)
+		raw = f.read(nrow*rowbytes)
+		data = np.frombuffer(raw, dtype=rec, count=nrow)
+		out = {}
+		for name in names:
+			col = data[name]
+			if col.dtype.kind in "iufc":
+				col = col.astype(col.dtype.newbyteorder("="))
+			elif col.dtype.kind == "S":
+				col = np.char.decode(col, "ascii")
+			out[name] = col
+		out["_header"] = h
+		return out
+
+def _data_size_table(h):
+	naxis = int(h.get("NAXIS", 0))
+	if naxis == 0: return 0
+	n = int(h.get("BITPIX", 8))
+	size = abs(n)//8
+	for i in range(1, naxis+1):
+		size *= int(h["NAXIS%d" % i])
+	size *= int(h.get("PCOUNT", 0)) and 1 or 1
+	size += int(h.get("PCOUNT", 0))
+	return (size + BLOCK - 1)//BLOCK*BLOCK
+
+def write_table_fits(fname, columns, header=None):
+	"""Write a dict of 1D numpy columns as a BINTABLE extension."""
+	names = [k for k in columns if not k.startswith("_")]
+	dtypes = []
+	fits_cols = []
+	code_map = {"?": "L", "u1": "B", "i2": "I", "i4": "J", "i8": "K",
+		"f4": "E", "f8": "D", "c8": "C", "c16": "M"}
+	for name in names:
+		col = np.asarray(columns[name])
+		if col.dtype.kind == "U":
+			w = max(int(col.dtype.itemsize//4), 1)
+			dtypes.append((name, "S%d" % w)); fits_cols.append((name, "%dA" % w))
+		else:
+			key = col.dtype.str.lstrip("<>=|")
+			code = code_map[key]
+			dtypes.append((name, ">" + key)); fits_cols.append((name, code))
+	rec = np.dtype(dtypes)
+	data = np.zeros(len(np.asarray(columns[names[0]])), rec)
+	for name in names:
+		col = np.asarray(columns[name])
+		data[name] = col.astype(rec[name]) if col.dtype.kind != "U" else col.astype("S")
+	cards = [
+		_format_card("SIMPLE", True), _format_card("BITPIX", 8),
+		_format_card("NAXIS", 0), _format_card("END", None)]
+	prim = "".join(cards)
+	prim += " "*((-len(prim)) % BLOCK)
+	tcards = [
+		_format_card("XTENSION", "BINTABLE"), _format_card("BITPIX", 8),
+		_format_card("NAXIS", 2), _format_card("NAXIS1", rec.itemsize),
+		_format_card("NAXIS2", len(data)), _format_card("PCOUNT", 0),
+		_format_card("GCOUNT", 1), _format_card("TFIELDS", len(names))]
+	for i, (name, code) in enumerate(fits_cols):
+		tcards.append(_format_card("TTYPE%d" % (i+1), name))
+		tcards.append(_format_card("TFORM%d" % (i+1), code))
+	if header:
+		for k, v in header.items(): tcards.append(_format_card(k, v))
+	tcards.append(_format_card("END", None))
+	thdr = "".join(tcards)
+	thdr += " "*((-len(thdr)) % BLOCK)
+	raw = data.tobytes()
+	with _open(fname, "wb") as f:
+		f.write(prim.encode("ascii"))
+		f.write(thdr.encode("ascii"))
+		f.write(raw)
+		f.write(b"\x00"*((-len(raw)) % BLOCK))

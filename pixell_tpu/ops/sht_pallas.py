@@ -121,7 +121,9 @@ def synthesis_scan_pallas(A, theta, lmax, mmax, mode="scalar", interpret=False):
 	nfun, funcs = _make_funcs(mode)
 	th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp) = _prep_inputs(theta, lmax, mmax, mode)
 	C = A.shape[-1]
-	Ap = jnp.zeros((nlp, nmp, C), jnp.float32).at[:nl, :nm].set(A)
+	# layout: big axes minor so TPU (8,128) tiling doesn't pad the C axis
+	Ap = jnp.zeros((C, nlp, nmp), jnp.float32).at[:, :nl, :nm].set(
+		jnp.moveaxis(A, -1, 0))
 	grid = (nmp//MB, ntp//TB, nlp//LB)
 	band = np.float32(2.0**S32)
 	invband = np.float32(2.0**-S32)
@@ -136,7 +138,9 @@ def synthesis_scan_pallas(A, theta, lmax, mmax, mode="scalar", interpret=False):
 			curr[:] = jnp.zeros((MB, TB), jnp.float32)
 			lev[:] = jnp.zeros((MB, TB), jnp.float32)
 			out_ref[:] = jnp.zeros_like(out_ref)
-		marr = (im*MB + jax.lax.broadcasted_iota(jnp.int32, (MB, TB), 0)).astype(jnp.float32)
+		# coefficients depend only on m: compute them on [MB,1] columns and let
+		# broadcasting expand over theta (cuts the per-step sqrt work by TB)
+		marr = (im*MB + jax.lax.broadcasted_iota(jnp.int32, (MB, 1), 0)).astype(jnp.float32)
 		m2 = marr*marr
 		thv = [th_ref[i, :][None, :] for i in range(5)]
 		ct = thv[0]
@@ -150,7 +154,11 @@ def synthesis_scan_pallas(A, theta, lmax, mmax, mode="scalar", interpret=False):
 			us = funcs(l, marr, m2, thv, lam, lam1)
 			for f in range(nfun):
 				for ci in range(C):
-					accs[f][ci] = accs[f][ci] + us[f]*a_ref[k, :, ci][:, None]
+					accs[f][ci] = accs[f][ci] + us[f]*a_ref[ci, k, :][:, None]
+			if k % 8 == 7:
+				# near the seed the recurrence grows ~sqrt(2m/k) per step;
+				# 16 unrescaled f32 steps overflow for m >~ 1000
+				p, c, lv = _rescale(p, c, lv, band, invband)
 		p, c, lv = _rescale(p, c, lv, band, invband)
 		prev[:] = p; curr[:] = c; lev[:] = lv
 		out_ref[:] += jnp.stack([jnp.stack(fc) for fc in accs])
@@ -159,7 +167,7 @@ def synthesis_scan_pallas(A, theta, lmax, mmax, mode="scalar", interpret=False):
 		kern,
 		grid=grid,
 		in_specs=[
-			pl.BlockSpec((LB, MB, C), lambda im, it, il: (il, im, 0),
+			pl.BlockSpec((C, LB, MB), lambda im, it, il: (0, il, im),
 				memory_space=pltpu.VMEM),
 			pl.BlockSpec((5, TB), lambda im, it, il: (0, it), memory_space=pltpu.VMEM),
 			pl.BlockSpec((MB, TB), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
@@ -208,7 +216,9 @@ def analysis_scan_pallas(F, theta, lmax, mmax, mode="scalar", interpret=False):
 			prev[:] = jnp.zeros((MB, TB), jnp.float32)
 			curr[:] = jnp.zeros((MB, TB), jnp.float32)
 			lev[:] = jnp.zeros((MB, TB), jnp.float32)
-		marr = (im*MB + jax.lax.broadcasted_iota(jnp.int32, (MB, TB), 0)).astype(jnp.float32)
+		# coefficients depend only on m: compute them on [MB,1] columns and let
+		# broadcasting expand over theta (cuts the per-step sqrt work by TB)
+		marr = (im*MB + jax.lax.broadcasted_iota(jnp.int32, (MB, 1), 0)).astype(jnp.float32)
 		m2 = marr*marr
 		thv = [th_ref[i, :][None, :] for i in range(5)]
 		ct = thv[0]
@@ -225,10 +235,12 @@ def analysis_scan_pallas(F, theta, lmax, mmax, mode="scalar", interpret=False):
 				for f in range(1, nfun):
 					tot = tot + us[f]*f_ref[f, ci]
 				cols.append(jnp.sum(tot, axis=-1))
-			rows.append(jnp.stack(cols, -1))
+			rows.append(jnp.stack(cols))          # [C, MB]
+			if k % 8 == 7:
+				p, c, lv = _rescale(p, c, lv, band, invband)
 		pr, cr, lr = _rescale(p, c, lv, band, invband)
 		prev[:] = pr; curr[:] = cr; lev[:] = lr
-		out_ref[:] = jnp.stack(rows)[None]
+		out_ref[:] = jnp.moveaxis(jnp.stack(rows), 0, 1)[None]  # [1, C, LB, MB]
 
 	out = pl.pallas_call(
 		kern,
@@ -240,9 +252,9 @@ def analysis_scan_pallas(F, theta, lmax, mmax, mode="scalar", interpret=False):
 			pl.BlockSpec((MB, TB), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
 			pl.BlockSpec((MB, TB), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
 		],
-		out_specs=pl.BlockSpec((1, LB, MB, C), lambda im, it, il: (it, il, im, 0),
+		out_specs=pl.BlockSpec((1, C, LB, MB), lambda im, it, il: (it, 0, il, im),
 			memory_space=pltpu.VMEM),
-		out_shape=jax.ShapeDtypeStruct((ntb, nlp, nmp, C), jnp.float32),
+		out_shape=jax.ShapeDtypeStruct((ntb, C, nlp, nmp), jnp.float32),
 		scratch_shapes=[
 			pltpu.VMEM((MB, TB), jnp.float32),
 			pltpu.VMEM((MB, TB), jnp.float32),
@@ -252,7 +264,7 @@ def analysis_scan_pallas(F, theta, lmax, mmax, mode="scalar", interpret=False):
 			dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
 		interpret=interpret,
 	)(Fp, th, seedv, seedl)
-	return jnp.sum(out, axis=0)[:nl, :nm]
+	return jnp.moveaxis(jnp.sum(out, axis=0), 0, -1)[:nl, :nm]
 
 
 TCHUNK = 2048  # theta rings per analysis chunk (bounds the partial-slab memory)

@@ -221,13 +221,62 @@ def sim_srcs(shape, wcs, srcs, beam, omap=None, dtype=np.float32, nsigma=5,
 # Catalog I/O (reference pointsrcs.py:495-654). Text and hdf5 formats; the
 # FITS-table formats of the reference need a table reader we don't have yet.
 # ---------------------------------------------------------------------------
-def read(fname, format="auto"):
+def read(fname, format="auto", amp_factor=None):
+	"""Read a point source catalog (reference pointsrcs.read:495). Formats:
+	simple (text ra dec amp), hdf, fits (generic bintable with ra/dec
+	columns), nemo (RADeg/decDeg/deltaT_c), dory, sauron."""
 	if format == "auto":
-		format = "simple" if fname.endswith(".txt") or fname.endswith(".cat") else \
-			("hdf" if fname.endswith(".hdf") or fname.endswith(".h5") else "simple")
+		if fname.endswith(".txt") or fname.endswith(".cat"): format = "simple"
+		elif fname.endswith(".hdf") or fname.endswith(".h5"): format = "hdf"
+		elif fname.endswith(".fits") or fname.endswith(".fits.gz"): format = "fits"
+		else: format = "simple"
 	if format == "simple": return read_simple(fname)
 	if format == "hdf": return read_hdf_cat(fname)
+	if format in ["fits", "nemo", "dory", "sauron"]:
+		return read_fits_cat(fname, format=format)
 	raise ValueError("Unknown catalog format '%s'" % format)
+
+def read_fits_cat(fname, format="fits"):
+	"""Read a FITS bintable catalog, handling the column conventions of the
+	nemo/dory/sauron formats (reference pointsrcs.py:495-637)."""
+	from . import fits_io
+	from .bunch import Bunch
+	tab = fits_io.read_table(fname)
+	cols = {k.lower(): k for k in tab if not k.startswith("_")}
+	res = Bunch()
+	def get(*names):
+		for n in names:
+			if n.lower() in cols: return np.asarray(tab[cols[n.lower()]])
+		return None
+	if format == "nemo" or (format == "fits" and "radeg" in cols):
+		res.ra = get("RADeg")*utils.degree
+		res.dec = get("decDeg")*utils.degree
+		amp = get("deltaT_c", "y_c", "fixed_y_c")
+		res.I = amp if amp is not None else np.ones(len(res.ra))
+	else:
+		ra = get("ra", "ra_deg")
+		dec = get("dec", "dec_deg")
+		# radians if values are small, else degrees
+		unit = 1.0 if (ra is not None and np.max(np.abs(ra)) <= 2*np.pi+0.1) else utils.degree
+		res.ra = ra*unit
+		res.dec = dec*unit
+		amp = get("amp", "flux", "flux_T", "I", "T")
+		res.I = amp if amp is not None else np.ones(len(res.ra))
+		for key, names in [("Q", ["Q", "flux_Q"]), ("U", ["U", "flux_U"]),
+				("snr", ["snr", "SNR"])]:
+			v = get(*names)
+			if v is not None: res[key] = v
+	if res.I is not None and res.I.ndim == 2:
+		res.I = res.I[:, 0]
+	return res
+
+def write_fits_cat(fname, cat):
+	from . import fits_io
+	cols = dict(ra=np.asarray(cat.ra)/utils.degree, dec=np.asarray(cat.dec)/utils.degree,
+		amp=np.asarray(cat.I))
+	for key in ["Q", "U", "snr"]:
+		if key in cat: cols[key] = np.asarray(cat[key])
+	fits_io.write_table_fits(fname, cols)
 
 def read_simple(fname):
 	"""Text catalog: ra dec amp [amp2 amp3] in degrees/uK."""

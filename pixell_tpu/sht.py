@@ -153,11 +153,16 @@ def ring_synthesis(G, phi0, nphi):
 	m = jnp.arange(nm)
 	phase = jnp.exp(1j*m.astype(G.real.dtype)*phi0)
 	Gp = G*phase[:, None]
-	# build the full complex spectrum via scatter-add (aliasing-safe)
+	Gt = jnp.moveaxis(Gp, -2, -1)  # [..., nt, nm]
+	if nm <= nphi//2:
+		# fast path: no aliasing -- place m directly in the rfft half-spectrum
+		g = jnp.zeros(G.shape[:-2] + (G.shape[-1], nphi//2 + 1), G.dtype)
+		g = g.at[..., :nm].set(Gt)
+		return jnp.fft.irfft(g, n=nphi, axis=-1)*nphi
+	# aliasing-safe general path: build the full complex spectrum
 	c = jnp.zeros(G.shape[:-2] + (G.shape[-1], nphi), G.dtype)
 	mpos = np.arange(nm) % nphi
 	mneg = (-np.arange(nm)) % nphi
-	Gt = jnp.moveaxis(Gp, -2, -1)  # [..., nt, nm]
 	c = c.at[..., jnp.asarray(mpos)].add(Gt)
 	# negative-m (conjugate) part; m=0 only counted once
 	scale = jnp.asarray(np.where(np.arange(nm) == 0, 0.0, 1.0), G.real.dtype)
@@ -170,9 +175,13 @@ def ring_analysis(maps, phi0, nm):
 	F[m, t] = sum_j map(t,j) e^{-i m phi_j}."""
 	maps = jnp.asarray(maps)
 	nphi = maps.shape[-1]
-	spec = jnp.fft.fft(maps, axis=-1)  # sum_j map e^{-2pi i jk/nphi}
-	midx = np.arange(nm) % nphi
-	F = spec[..., jnp.asarray(midx)]
+	if nm <= nphi//2 + 1:
+		spec = jnp.fft.rfft(maps, axis=-1)
+		F = spec[..., :nm]
+	else:
+		spec = jnp.fft.fft(maps, axis=-1)  # sum_j map e^{-2pi i jk/nphi}
+		midx = np.arange(nm) % nphi
+		F = spec[..., jnp.asarray(midx)]
 	m = jnp.arange(nm, dtype=maps.dtype)
 	F = F*jnp.exp(-1j*m*phi0)
 	return jnp.moveaxis(F, -1, -2)

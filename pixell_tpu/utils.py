@@ -822,3 +822,37 @@ def find_equal_groups(a, tol=0):
 			groups.append(cur); cur = [i]
 	if cur: groups.append(cur)
 	return groups
+
+
+# ---------------------------------------------------------------------------
+# tSZ cluster profile (reference utils.tsz_profile_*:2600-2699: the
+# Battaglia et al 2012 generalized-NFW pressure profile and its line-of-
+# sight projection)
+# ---------------------------------------------------------------------------
+def tsz_profile_raw(x, xc=0.497, alpha=1.0, beta=4.65, gamma=-0.3):
+	"""Dimensionless gNFW pressure profile P(x), x = r/R200c
+	(reference utils.tsz_profile_raw)."""
+	xp = _xp(x)
+	x = xp.asarray(x)
+	return (x/xc)**gamma*(1 + (x/xc)**alpha)**(-beta)
+
+def tsz_profile_los(x, xc=0.497, alpha=1.0, beta=4.65, gamma=-0.3,
+		zmax=1e5, npoint=200, x1=1e-8, x2=1e4):
+	"""Line-of-sight projection of the gNFW profile: y(theta) proportional to
+	int P(sqrt(b^2+z^2)) dz, evaluated at projected radii x (log-spaced
+	quadrature, vectorized)."""
+	x = np.atleast_1d(np.asarray(x, float))
+	# integrate in log z for dynamic range
+	t = np.linspace(-8, np.log10(zmax), npoint)
+	z = 10.0**t
+	dz = z*np.log(10)*(t[1]-t[0])
+	r = np.sqrt(x[:, None]**2 + z[None, :]**2)
+	P = tsz_profile_raw(r, xc=xc, alpha=alpha, beta=beta, gamma=gamma)
+	return 2*np.sum(P*dz[None, :], -1)
+
+def tsz_profile_los_fast(x, **kwargs):
+	"""Spline-cached version of tsz_profile_los."""
+	xs = np.exp(np.linspace(np.log(1e-6), np.log(1e3), 400))
+	ys = tsz_profile_los(xs, **kwargs)
+	return np.exp(np.interp(np.log(np.maximum(np.asarray(x), 1e-6)),
+		np.log(xs), np.log(np.maximum(ys, 1e-300))))
