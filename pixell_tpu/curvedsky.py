@@ -79,11 +79,19 @@ class alm_info:
 		rect = jnp.asarray(alm)[..., jnp.asarray(idx)]
 		return jnp.where(jnp.asarray(valid), rect, 0)
 	def _unrect(self, rect, alm_like=None):
+		# pure gather from the transposed rect (TPU scatters are slow); only
+		# valid for layouts whose index set covers [0, nelem) (triangular/rect)
+		nl = self.lmax + 1
 		l = np.arange(self.lmax+1)[:, None]
 		m = np.arange(self.mmax+1)[None, :]
 		valid = l >= m
 		lv, mv = np.where(valid)
 		idx = self.mstart[mv] + lv*self.stride
+		if len(idx) == self.nelem and np.array_equal(np.sort(idx), np.arange(self.nelem)):
+			order = np.argsort(idx, kind="stable")
+			gidx = jnp.asarray(mv[order]*nl + lv[order])
+			rt = jnp.moveaxis(rect, -1, -2).reshape(rect.shape[:-2] + (-1,))
+			return rt[..., gidx]
 		out = jnp.zeros(rect.shape[:-2] + (self.nelem,), rect.dtype)
 		return out.at[..., jnp.asarray(idx)].set(rect[..., jnp.asarray(lv), jnp.asarray(mv)])
 	def transpose_alm(self, alm, out=None):

@@ -36,6 +36,11 @@ def define_arg_parser():
 	p.add_argument("-o", "--oname", type=str, default=None)
 	p.add_argument("--method", type=str, default="pil")
 	p.add_argument("--font-size", type=int, default=12)
+	p.add_argument("--contours", type=str, default=None,
+		help="comma-separated contour levels, or a single step size")
+	p.add_argument("--contour-color", type=str, default="000000ff")
+	p.add_argument("--annotate", type=str, default=None,
+		help="annotation file: lines 'circle dec ra radius_deg' or 'text dec ra label'")
 	return p
 
 _parser = None
@@ -91,6 +96,10 @@ def draw_map_field(map, args, crange=None):
 	if args.upgrade > 1:
 		img = img.resize((img.size[0]*args.upgrade, img.size[1]*args.upgrade),
 			Image.NEAREST)
+	if args.contours:
+		img = draw_contours(img, map, args)
+	if args.annotate:
+		img = draw_annotations(img, map, args)
 	if args.grid:
 		steps = [float(t) for t in str(args.ticks).split(",")]
 		if len(steps) == 1: steps = steps*2
@@ -205,3 +214,73 @@ class VideoWriter(Writer):
 		if not self.frames: return
 		self.frames[0].save(self.fname, save_all=True,
 			append_images=self.frames[1:], duration=int(1000/self.fps), loop=0)
+
+
+def _contour_levels(spec, arr):
+	toks = str(spec).split(",")
+	if len(toks) == 1:
+		step = float(toks[0])
+		lo = np.floor(np.nanmin(arr)/step)*step
+		hi = np.nanmax(arr)
+		return np.arange(lo, hi + step, step)
+	return np.array([float(t) for t in toks])
+
+def draw_contours(img, map, args):
+	"""Draw iso-level contours with marching-squares segments
+	(reference enplot.py:734-791)."""
+	from PIL import ImageDraw
+	arr = np.asarray(map)
+	levels = _contour_levels(args.contours, arr)
+	col = tuple(int(args.contour_color[i:i+2], 16) for i in range(0, 8, 2))
+	draw = ImageDraw.Draw(img, "RGBA")
+	ny, nx = arr.shape[-2:]
+	u = args.upgrade
+	for lev in levels:
+		# marching squares: for each cell, interpolate edge crossings
+		a = arr[:-1, :-1]; b = arr[:-1, 1:]; c = arr[1:, :-1]; d = arr[1:, 1:]
+		above = (np.stack([a, b, c, d]) > lev)
+		cells = np.where(above.any(0) & ~above.all(0))
+		for cy, cx in zip(*cells[-2:] if len(cells) > 2 else cells):
+			pts = []
+			vals = [arr[cy, cx], arr[cy, cx+1], arr[cy+1, cx], arr[cy+1, cx+1]]
+			# edges: top (0-1), left (0-2), right (1-3), bottom (2-3)
+			edges = [((cx, cy), (cx+1, cy), vals[0], vals[1]),
+				((cx, cy), (cx, cy+1), vals[0], vals[2]),
+				((cx+1, cy), (cx+1, cy+1), vals[1], vals[3]),
+				((cx, cy+1), (cx+1, cy+1), vals[2], vals[3])]
+			for (x1, y1), (x2, y2), v1, v2 in edges:
+				if (v1 > lev) != (v2 > lev) and v2 != v1:
+					t = (lev - v1)/(v2 - v1)
+					pts.append((x1 + t*(x2-x1), y1 + t*(y2-y1)))
+			if len(pts) >= 2:
+				# image y axis is flipped
+				p = [( (x+0.5)*u, (ny-1-yv+0.5-1+1)*u ) for x, yv in pts[:2]]
+				p = [((x)*u, (ny-1-yv)*u) for x, yv in pts[:2]]
+				draw.line(p, fill=col, width=1)
+	return img
+
+def draw_annotations(img, map, args):
+	"""Draw circles/text annotations from a file or list
+	(reference enplot.py:792-866)."""
+	from PIL import ImageDraw
+	from . import utils as u_
+	draw = ImageDraw.Draw(img, "RGBA")
+	ny = map.shape[-2]
+	u = args.upgrade
+	entries = args.annotate
+	if isinstance(entries, str):
+		with open(entries) as f:
+			entries = [line.split() for line in f if line.strip()]
+	for e in entries:
+		kind = e[0]
+		dec, ra = float(e[1])*u_.degree, float(e[2])*u_.degree
+		pix = np.asarray(enmap.sky2pix(map.shape, map.wcs, np.array([[dec], [ra]])))[:, 0]
+		x, y = pix[1]*u, (ny-1-pix[0])*u
+		if kind in ["circle", "c"]:
+			r = float(e[3]) if len(e) > 3 else 10
+			draw.ellipse([x-r, y-r, x+r, y+r], outline=(255, 0, 0, 255))
+		elif kind in ["text", "t"]:
+			draw.text((x, y), " ".join(e[3:]), fill=(0, 0, 0, 255))
+		elif kind in ["point", "p"]:
+			draw.ellipse([x-2, y-2, x+2, y+2], fill=(255, 0, 0, 255))
+	return img

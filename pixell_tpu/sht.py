@@ -80,14 +80,19 @@ def alm2rect(alm, lmax, mmax=None):
 
 @functools.partial(jax.jit, static_argnames=("lmax", "mmax"))
 def rect2alm(rect, lmax, mmax=None):
-	"""Rectangular [..., nl, nm] -> triangular [..., nalm]."""
+	"""Rectangular [..., nl, nm] -> triangular [..., nalm]. Implemented as a
+	pure gather from the transposed-flattened rect (TPU scatters are slow)."""
 	if mmax is None: mmax = lmax
-	n = nalm(lmax, mmax)
-	idx, valid = _rect_indices(lmax, mmax)
-	out = jnp.zeros(rect.shape[:-2] + (n,), rect.dtype)
-	iv = jnp.asarray(idx[valid])
+	nl = lmax + 1
+	# triangular position i -> (l, m); flat index into rect^T [nm, nl]
+	l = np.arange(lmax+1)[:, None]
+	m = np.arange(mmax+1)[None, :]
+	valid = l >= m
 	lv, mv = np.where(valid)
-	return out.at[..., iv].set(rect[..., jnp.asarray(lv), jnp.asarray(mv)])
+	order = np.argsort(lm2ind(lmax, lv, mv), kind="stable")
+	gidx = jnp.asarray(mv[order]*nl + lv[order])
+	rt = jnp.moveaxis(rect, -1, -2).reshape(rect.shape[:-2] + (-1,))
+	return rt[..., gidx]
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,110 @@
+"""Support module tests: fits tables, proxies, plots, config, tsz, solvers."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from pixell_tpu import enmap, utils, fits_io, pointsrcs, enplot, config, \
+	colorize, analysis, uharm
+from pixell_tpu.bunch import Bunch
+
+
+def test_fits_table_roundtrip(tmp_path):
+	cols = dict(ra=np.linspace(0, 10, 7), dec=np.linspace(-3, 3, 7),
+		flux=np.arange(7, dtype=np.int32))
+	fname = str(tmp_path/"t.fits")
+	fits_io.write_table_fits(fname, cols)
+	back = fits_io.read_table(fname)
+	assert np.allclose(back["ra"], cols["ra"])
+	assert np.array_equal(back["flux"], cols["flux"])
+
+def test_pointsrcs_fits_catalog(tmp_path):
+	cat = Bunch(ra=np.array([0.1, 0.4]), dec=np.array([0.0, -0.2]), I=np.array([3.0, 4.0]))
+	fname = str(tmp_path/"cat.fits")
+	pointsrcs.write_fits_cat(fname, cat)
+	back = pointsrcs.read(fname)
+	assert np.allclose(back.ra, cat.ra)
+	assert np.allclose(back.I, cat.I)
+
+def test_delayed_fits_read(tmp_path):
+	shape, wcs = enmap.geometry(pos=np.array([[-2, 4], [2, -4]])*utils.degree,
+		res=0.25*utils.degree)
+	rng = np.random.default_rng(1)
+	m = enmap.ndmap(rng.standard_normal((2,)+shape).astype(np.float32), wcs)
+	fname = str(tmp_path/"big.fits")
+	enmap.write_map(fname, m)
+	proxy = enmap.read_map(fname, delayed=True)
+	assert proxy.shape == m.shape
+	sub = proxy[1, 2:10, 3:12]
+	assert np.allclose(np.asarray(sub), np.asarray(m)[1, 2:10, 3:12])
+
+def test_enplot_pipeline(tmp_path):
+	shape, wcs = enmap.fullsky_geometry(res=5*utils.degree)
+	rng = np.random.default_rng(2)
+	m = enmap.ndmap(rng.standard_normal(shape), wcs)
+	plots = enplot.plot(m, "-g --colorbar --ticks 45 --contours 1.0")
+	fname = str(tmp_path/"plot.png")
+	enplot.write(fname, plots)
+	import os
+	assert os.path.getsize(fname) > 1000
+
+def test_colorize_schemes():
+	x = np.linspace(0, 1, 16)[None]
+	for name in ["planck", "wmap", "gray", "hotcold"]:
+		out = colorize.colorize(x, name)
+		assert out.shape == (1, 16, 4)
+		assert out.dtype == np.uint8
+
+def test_config():
+	config.default("test_param", 3, "a test parameter")
+	assert config.get("test_param") == 3
+	with config.override("test_param", 7):
+		assert config.get("test_param") == 7
+	assert config.get("test_param") == 3
+
+def test_tsz_profile():
+	x = np.array([0.1, 0.5, 1.0, 2.0])
+	p = utils.tsz_profile_raw(x)
+	assert np.all(p > 0)
+	assert np.all(np.diff(p) < 0)  # decreasing
+	y = utils.tsz_profile_los(x)
+	assert np.all(y > 0) and np.all(np.diff(y) < 0)
+
+def test_bench_module():
+	from pixell_tpu import bench
+	b = bench.Bench(sync=False)
+	with b.mark("x"):
+		sum(range(1000))
+	assert b["x"].n == 1 and b["x"].time >= 0
+
+def test_memory_module():
+	from pixell_tpu import memory
+	assert memory.current() > 0
+	assert memory.resident() > 0
+
+def test_sqlite_module():
+	from pixell_tpu import sqlite
+	with sqlite.open() as db:
+		db.write_array("t", np.arange(12.0).reshape(4, 3))
+		back = db.read_array("t")
+		assert back.shape == (4, 3)
+
+def test_finder_multi():
+	shape, wcs = enmap.geometry(pos=np.array([[-2, 2], [2, -2]])*utils.degree,
+		res=0.02*utils.degree, proj="car")
+	sigma = 10*utils.arcmin*utils.fwhm
+	r = np.linspace(0, 8*sigma, 1000)
+	norm = 2*np.pi*sigma**2
+	prof = np.array([r, np.exp(-0.5*(r/sigma)**2)/norm])
+	m = pointsrcs.sim_objects(shape, wcs, np.array([[0.0], [0.0]]),
+		np.array([40.0]), prof, dtype=np.float64)
+	noise = 0.5
+	rng = np.random.default_rng(5)
+	total = enmap.samewcs(jnp.asarray(m) +
+		rng.standard_normal(shape)*noise/np.sqrt(enmap.pixsize(shape, wcs)), m)
+	uht = uharm.UHT(shape, wcs, mode="flat")
+	B = uht.rprof2hprof(prof[1], prof[0])
+	iN = enmap.samewcs(jnp.ones(np.asarray(B).shape)/(noise**2), B)
+	nm1 = analysis.NmatConstcov(np.asarray(iN), np.asarray(B), uht)
+	finder = analysis.FinderMulti([nm1, nm1], snmin=10)
+	res = finder(total)
+	assert len(res.cat) >= 1
+	assert abs(res.cat["flux"][np.argmax(res.cat["snr"])] - 40) < 8
