@@ -1,6 +1,8 @@
 """Headline benchmark: the reference's own install benchmark config
 (scripts/benchmark_pixell_runner.py:12-27): 40 x (map2alm lmax=750 +
-alm2map) on a full-sky CAR map at 12 arcmin resolution (900 x 1800).
+alm2map) on a full-sky CAR map at 12 arcmin resolution (900 x 1800),
+through the public curvedsky API (geometry analysis + exact quadrature
+with theta-upsampling + Pallas Legendre kernels on TPU).
 
 The reference runs this in float64 with ducc0 on all CPU cores; a typical
 modern many-core node takes ~10 s (no number is published -- BASELINE.md).
@@ -20,36 +22,38 @@ BASELINE_S = 10.0  # assumed reference wall time for the same benchmark config
 def main():
 	import jax
 	import jax.numpy as jnp
-	from pixell_tpu import sht, curvedsky
+	from pixell_tpu import enmap, curvedsky, utils
 
 	lmax = 750
-	nt, nphi = 900, 1800
+	shape, wcs = enmap.fullsky_geometry(res=12*utils.arcmin, variant="fejer1")
+	assert shape == (900, 1800), shape
 	dtype = np.float32
-	variant = "CC"  # 900 rings = pi/12' + 1 -> CC grid, like the reference
-	theta = jnp.asarray(sht.ring_theta(variant, nt), dtype)
-	weights = jnp.asarray(sht.ring_weights(variant, nt), dtype)
+	ainfo = curvedsky.alm_info(lmax=lmax)
+	minfo = curvedsky.analyse_geometry(shape, wcs)
 
-	def roundtrip(maps):
-		alm = sht.analysis(maps, theta, lmax, weights, spin=(0,))
-		omap = sht.synthesis(alm, theta, nphi, lmax=lmax, spin=(0,), map_dtype=dtype)
-		return omap
+	def roundtrip(arr):
+		m = enmap.ndmap(arr, wcs)
+		alm = curvedsky.map2alm(m, lmax=lmax, spin=[0])
+		omap = curvedsky.alm2map(alm, enmap.ndmap(jnp.zeros(shape, dtype), wcs),
+			spin=[0], ainfo=ainfo)
+		return jnp.asarray(omap)
 
 	step = jax.jit(roundtrip)
 	rng = np.random.default_rng(0)
-	maps = jnp.asarray(rng.standard_normal((1, nt, nphi)).astype(dtype))
+	arr = jnp.asarray(rng.standard_normal(shape).astype(dtype))
 	# compile + warmup (excluded, like the reference which times hot ducc calls)
-	maps = step(maps)
-	maps.block_until_ready()
-	assert bool(jnp.isfinite(maps).all()), "non-finite SHT output"
+	arr = step(arr)
+	arr.block_until_ready()
+	assert bool(jnp.isfinite(arr).all()), "non-finite SHT output"
 	# correctness guard: a band-limited map must round-trip to itself
-	d1 = step(maps)
-	rel = float(jnp.max(jnp.abs(d1 - maps))/jnp.max(jnp.abs(maps)))
+	d1 = step(arr)
+	rel = float(jnp.max(jnp.abs(d1 - arr))/jnp.max(jnp.abs(arr)))
 	assert rel < 1e-3, "SHT roundtrip inaccurate: rel=%g" % rel
 	nrep = 40
 	t0 = time.perf_counter()
 	for i in range(nrep):
-		maps = step(maps)
-	maps.block_until_ready()
+		arr = step(arr)
+	arr.block_until_ready()
 	t1 = time.perf_counter()
 	elapsed = t1 - t0
 	print(json.dumps({
