@@ -45,5 +45,6 @@ from . import mpi
 from . import mpiutils
 from . import warray
 from . import sqlite_util as sqlite
+from . import checkpoint
 from . import parallel
 from . import models

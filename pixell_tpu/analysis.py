@@ -10,6 +10,32 @@ All filters are linear-harmonic pipelines over a UHT and run as fused jax
 computations. The Nmat/Finder/Measurer/Modeller class families implement the
 iterative find->measure->subtract source finder of the reference
 (analysis.py:379-1045).
+
+Executable example with regression values (the reference keeps the same
+kind of numeric example in its module docstring, analysis.py:31-108)::
+
+	import numpy as np, jax.numpy as jnp
+	from pixell_tpu import enmap, analysis, uharm, pointsrcs, utils
+	shape, wcs = enmap.geometry(pos=np.array([[-2, 2], [2, -2]])*utils.degree,
+		res=0.02*utils.degree, proj="car")
+	sigma = 1.4*utils.fwhm*utils.arcmin*10
+	r = np.linspace(0, 8*sigma, 2000)
+	prof = np.array([r, np.exp(-0.5*(r/sigma)**2)/(2*np.pi*sigma**2)])
+	m = pointsrcs.sim_objects(shape, wcs, np.array([[0.0],[0.0]]),
+		np.array([10.0]), prof, dtype=np.float64)
+	noise = 0.5
+	rng = np.random.default_rng(1)
+	total = enmap.samewcs(jnp.asarray(m) +
+		rng.standard_normal(shape)*noise/np.sqrt(enmap.pixsize(shape, wcs)), m)
+	uht = uharm.UHT(shape, wcs, mode="flat")
+	B = uht.rprof2hprof(prof[1], prof[0])
+	iN = enmap.samewcs(jnp.ones(np.asarray(B).shape)/noise**2, B)
+	rho, kappa = analysis.matched_filter_constcov(total, np.asarray(B),
+		np.asarray(iN), uht=uht)
+	flux, dflux, snr = analysis.solve_mapsys(kappa, rho)
+	# expected central values (percent-level fourier-operator accuracy):
+	#   constcov: flux 10.046 dflux 0.003 snr 3260.3
+	#   white:    flux 10.048 dflux 0.003 snr 3260.7
 """
 from __future__ import annotations
 import numpy as np
@@ -269,3 +295,57 @@ class FinderMulti:
 			np.zeros(0, dtype=[("dec", "f8"), ("ra", "f8"), ("flux", "f8"),
 			("dflux", "f8"), ("snr", "f8"), ("profile", "i4")])
 		return Bunch(cat=cat, snr=snr_best)
+
+
+class NmatWavelet(Nmat):
+	"""Wavelet-diagonal noise model (reference analysis.NmatWavelet:480):
+	noise variance estimated per wavelet scale and position, giving a
+	position-dependent colored noise model. iN = W' diag(1/var) W."""
+	def __init__(self, wt, noise_map=None, B=None, smooth_pix=8):
+		"""wt: a wavelets.WaveletTransform; noise_map: a noise realization or
+		residual map to calibrate the per-scale variances from."""
+		self.wt = wt
+		self.B = None if B is None else np.asarray(B)
+		self.vars = None
+		self.smooth_pix = smooth_pix
+		if noise_map is not None:
+			self.calibrate(noise_map)
+	def calibrate(self, noise_map):
+		from scipy import ndimage
+		wave = self.wt.map2wave(noise_map)
+		self.vars = []
+		for m in wave.maps:
+			v = np.asarray(m)**2
+			v = ndimage.uniform_filter(v, size=self.smooth_pix)
+			self.vars.append(np.maximum(v, np.mean(v)*1e-4))
+		return self
+	def apply_iN(self, map):
+		"""N" map = W' diag(1/var) W map."""
+		wave = self.wt.map2wave(map)
+		from . import multimap, enmap as _e
+		whitened = multimap.ndmaps([
+			_e.ndmap(jnp.asarray(m)/jnp.asarray(v), m.wcs)
+			for m, v in zip(wave.maps, self.vars)])
+		return self.wt.wave2map(whitened)
+	def matched_filter(self, map):
+		"""Approximate matched filter: rho = P'B' N" m; kappa from the
+		average effective white level (percent-level, like the reference's
+		fourier-operator caveat)."""
+		uht = self.wt.uht
+		iNm = self.apply_iN(map)
+		P = 1/np.asarray(enmap.pixsizemap(map.shape, map.wcs, broadcastable=True))
+		if self.B is not None:
+			rho = uht.map2harm_adjoint(uht.hmul(self.B, uht.harm2map_adjoint(iNm)))
+		else:
+			rho = iNm
+		rho = enmap.samewcs(jnp.asarray(rho)*P, map)
+		# effective inverse-variance per pixel for kappa
+		ivar_eff = sum(1.0/np.asarray(v) for v in self.vars)/len(self.vars)
+		ivar_map = enmap.ndmap(jnp.asarray(ivar_eff*0 + ivar_eff), map.wcs)
+		if self.B is not None:
+			B2 = uht.hprof_rpow(self.B, 2)
+			kappa = uht.map2harm_adjoint(uht.hmul(B2, uht.harm2map_adjoint(ivar_map)))
+			kappa = enmap.samewcs(jnp.asarray(kappa)*P, map)
+		else:
+			kappa = ivar_map
+		return rho, kappa

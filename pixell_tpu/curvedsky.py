@@ -360,18 +360,19 @@ def alm2map(alm, map, spin=[0, 2], deriv=False, adjoint=False, copy=False,
 		if deriv:
 			d = sht.synthesis(alm2, theta, minfo.nphi, phi0=_ring_phi0(minfo),
 				lmax=ainfo.lmax, mmax=ainfo.mmax, deriv=True,
-				map_dtype=np.asarray(map).dtype)
+				map_dtype=map.dtype)
 			# engine gives (d/dtheta, d/dphi); reference returns (d/ddec, d/dra)
 			d = jnp.stack([-d[..., 0, :, :], d[..., 1, :, :]], -3)
 		else:
 			d = sht.synthesis(alm2, theta, minfo.nphi, phi0=_ring_phi0(minfo),
 				lmax=ainfo.lmax, mmax=ainfo.mmax, spin=spin,
-				map_dtype=np.asarray(map).dtype)
+				map_dtype=map.dtype)
 			if alm.ndim == 1: d = d[..., 0, :, :]
 		d = _from_rings(d, minfo, map.shape[-1])
 		res = enmap.ndmap(d, map.wcs)
 		if map is not None and not copy:
-			map.data = d if enmap._is_jax(map.data) else np.asarray(d)
+			map.data = d if (enmap._is_jax(map.data) or
+				isinstance(d, jax.core.Tracer)) else np.asarray(d)
 			return map
 		return res
 	else:
@@ -398,7 +399,7 @@ def map2alm(map, alm=None, lmax=None, spin=[0, 2], deriv=False, adjoint=False,
 		return _adjoint_map2alm(alm, map, ainfo, minfo, spin, deriv)
 	alm, ainfo = prepare_alm(alm, ainfo, lmax=lmax,
 		pre=map.shape[:-2] if not deriv else map.shape[:-3],
-		dtype=np.asarray(map).dtype)
+		dtype=map.dtype)
 	minfo = analyse_geometry(map.shape, map.wcs, tol=pix_tol)
 	if method == "auto": method = get_method(map.shape, map.wcs, minfo=minfo)
 	res = _map2alm_core(map, alm, ainfo, minfo, spin, deriv, method,
@@ -428,10 +429,10 @@ def _map2alm_core(map, alm, ainfo, minfo, spin, deriv, method, weighted=True,
 	if method in ["2d", "cyl"]:
 		res = _analysis_linear(arr, ainfo, minfo, tuple(np.atleast_1d(spin)),
 			deriv, weighted, None if weights is None else jnp.asarray(weights))
-		if isinstance(alm, np.ndarray):
+		if isinstance(alm, np.ndarray) and not isinstance(res, jax.core.Tracer):
 			alm[...] = np.asarray(res)
 			return alm
-		return res
+		return res.astype(alm.dtype) if hasattr(alm, "dtype") else res
 	else:
 		return _map2alm_general(map, alm, ainfo, spin, deriv, weighted, epsilon)
 
@@ -632,7 +633,7 @@ def _map2alm_general(map, alm, ainfo, spin, deriv, weighted, epsilon):
 		spin=tuple(np.atleast_1d(spin)), epsilon=epsilon)
 	if weighted:
 		a = sht._undo_m_degeneracy(a, lmax, mmax)
-	if isinstance(alm, np.ndarray):
+	if isinstance(alm, np.ndarray) and not isinstance(a, jax.core.Tracer):
 		alm[...] = np.asarray(a.reshape(alm.shape))
 		return alm
 	return a

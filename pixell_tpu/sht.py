@@ -213,6 +213,30 @@ def _coef2c(r, K):
 # maps: [..., ncomp, nt, nphi]. spin handled like the reference: the spin
 # list consumes components (spin 0 -> 1 comp, else 2).
 # ---------------------------------------------------------------------------
+def alm2coef(alm, lmax, mmax=None):
+	"""Triangular complex alm [..., K, nalm] -> real coef rect
+	[..., nl, nm, 2K] in ONE gather (fuses alm2rect + _c2coef)."""
+	if mmax is None: mmax = lmax
+	alm = jnp.asarray(alm)
+	K = alm.shape[-2]
+	nl, nm = lmax+1, mmax+1
+	# real view: [..., K, nalm, 2] -> flat [..., K*nalm*2]
+	ri = jnp.stack([alm.real, alm.imag], -1)
+	flat = ri.reshape(alm.shape[:-2] + (-1,))
+	n = alm.shape[-1]
+	l = np.arange(nl)[:, None]
+	m = np.arange(nm)[None, :]
+	valid = l >= m
+	tri = np.where(valid, m*(2*lmax+1-m)//2 + l, 0)
+	# index of (k, tri, reim) in flat: (k*n + tri)*2 + reim
+	k = np.arange(K)[None, None, :, None]
+	reim = np.arange(2)[None, None, None, :]
+	gidx = (k*n + tri[:, :, None, None])*2 + reim     # [nl, nm, K, 2]
+	gidx = gidx.reshape(nl, nm, 2*K)
+	res = flat[..., jnp.asarray(gidx)]
+	return jnp.where(jnp.asarray(valid)[..., None], res, 0)
+
+
 def _spin_blocks(spin, ncomp):
 	blocks = []
 	i = 0; si = 0
@@ -257,14 +281,13 @@ def synthesis(alm, theta, nphi, phi0=0.0, lmax=None, mmax=None, spin=(0, 2),
 	outs = []
 	for s, i1, i2 in _spin_blocks(spin, ncomp):
 		sub = alm[..., i1:i2, :]
-		rect = alm2rect(sub, lmax, mmax)                     # [..., k, nl, nm]
 		if s == 0:
-			A = _c2coef(rect)                                # [..., nl, nm, 2k]
+			A = alm2coef(sub, lmax, mmax)                    # [..., nl, nm, 2k]
 			G = _synth_scan(A, theta, lmax, mmax, "scalar", ldt)
 			Gc = _coef2c(G, i2-i1)[..., 0, :, :, :]          # [..., k, nm, nt]
 			outs.append(ring_synthesis(Gc, phi0, nphi))
 		else:
-			A = _c2coef(rect)                                # [..., nl, nm, 4]
+			A = alm2coef(sub, lmax, mmax)                    # [..., nl, nm, 4]
 			mode = "spin1" if s == 1 else "spin2"
 			if s > 2: raise NotImplementedError("spin > 2 not yet supported")
 			G = _synth_scan(A, theta, lmax, mmax, mode, ldt)
