@@ -70,8 +70,15 @@ class alm_info:
 		m = np.arange(self.mmax+1)[None, :]
 		valid = l >= m
 		return np.stack([l + 0*m, 0*l + m], -1)[valid]
+	def _is_tri(self):
+		m = np.arange(self.mmax+1)
+		return self.stride == 1 and np.array_equal(self.mstart,
+			m*(2*self.lmax+1-m)//2)
 	def _rect(self, alm):
 		"""[..., nalm] -> [..., nl, nm] (zero where invalid)."""
+		if self._is_tri():
+			from . import sht as _sht
+			return _sht.alm2rect(jnp.asarray(alm), self.lmax, self.mmax)
 		l = np.arange(self.lmax+1)[:, None]
 		m = np.arange(self.mmax+1)[None, :]
 		valid = l >= m
@@ -81,6 +88,9 @@ class alm_info:
 	def _unrect(self, rect, alm_like=None):
 		# pure gather from the transposed rect (TPU scatters are slow); only
 		# valid for layouts whose index set covers [0, nelem) (triangular/rect)
+		if self._is_tri():
+			from . import sht as _sht
+			return _sht.rect2alm(rect, self.lmax, self.mmax)
 		nl = self.lmax + 1
 		l = np.arange(self.lmax+1)[:, None]
 		m = np.arange(self.mmax+1)[None, :]

@@ -70,30 +70,46 @@ def _rect_indices(lmax, mmax):
 	idx = np.where(valid, m*(2*lmax+1-m)//2 + l, 0)
 	return idx, valid
 
+def _tri_lm(lmax, mmax):
+	"""(l, m, valid) of each triangular index, computed with jnp iota (no
+	large host constants baked into jitted programs)."""
+	n = nalm(lmax, mmax)
+	i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+	# block m occupies flat indices [s(m), s(m+1)) with
+	# s(m) = mstart(m) + m = m(2 lmax + 3 - m)/2; invert the quadratic
+	tq = 2*lmax + 3
+	def sblk(mm): return mm*(tq - mm)//2
+	disc = jnp.asarray(float(tq)**2, jnp.float64) - 8.0*i.astype(jnp.float64)
+	m = jnp.floor((tq - jnp.sqrt(jnp.maximum(disc, 0.0)))/2).astype(jnp.int32)
+	m = jnp.clip(m, 0, mmax)
+	m = jnp.where((m < mmax) & (sblk(m+1) <= i), m+1, m)
+	m = jnp.where(sblk(m) > i, m-1, m)
+	l = i - sblk(m) + m
+	return l, m
+
 @functools.partial(jax.jit, static_argnames=("lmax", "mmax"))
 def alm2rect(alm, lmax, mmax=None):
 	"""Triangular alm [..., nalm] -> rectangular [..., nl, nm] (l-major)."""
 	if mmax is None: mmax = lmax
-	idx, valid = _rect_indices(lmax, mmax)
-	rect = jnp.asarray(alm)[..., jnp.asarray(idx)]
-	return jnp.where(jnp.asarray(valid), rect, 0)
+	nl, nm = lmax+1, mmax+1
+	l = jax.lax.broadcasted_iota(jnp.int32, (nl, nm), 0)
+	m = jax.lax.broadcasted_iota(jnp.int32, (nl, nm), 1)
+	valid = l >= m
+	idx = jnp.where(valid, m*(2*lmax+1-m)//2 + l, 0)
+	rect = jnp.asarray(alm)[..., idx]
+	return jnp.where(valid, rect, 0)
 
 @functools.partial(jax.jit, static_argnames=("lmax", "mmax"))
 def rect2alm(rect, lmax, mmax=None):
-	"""Rectangular [..., nl, nm] -> triangular [..., nalm]. Implemented as a
-	pure gather from the transposed-flattened rect (TPU scatters are slow)."""
+	"""Rectangular [..., nl, nm] -> triangular [..., nalm]: a pure gather
+	from the transposed rect (TPU scatters are slow), with indices computed
+	on device."""
 	if mmax is None: mmax = lmax
 	nl = lmax + 1
-	# triangular position i -> (l, m); flat index into rect^T [nm, nl]
-	l = np.arange(lmax+1)[:, None]
-	m = np.arange(mmax+1)[None, :]
-	valid = l >= m
-	lv, mv = np.where(valid)
-	order = np.argsort(lm2ind(lmax, lv, mv), kind="stable")
-	gidx = jnp.asarray(mv[order]*nl + lv[order])
+	lv, mv = _tri_lm(lmax, mmax)
+	gidx = mv*nl + lv
 	rt = jnp.moveaxis(rect, -1, -2).reshape(rect.shape[:-2] + (-1,))
 	return rt[..., gidx]
-
 
 # ---------------------------------------------------------------------------
 # Quadrature weights (host-side, cached)
@@ -215,26 +231,24 @@ def _coef2c(r, K):
 # ---------------------------------------------------------------------------
 def alm2coef(alm, lmax, mmax=None):
 	"""Triangular complex alm [..., K, nalm] -> real coef rect
-	[..., nl, nm, 2K] in ONE gather (fuses alm2rect + _c2coef)."""
+	[..., nl, nm, 2K] in ONE gather (fuses alm2rect + _c2coef), with the
+	index tensor built on device (no huge baked constants at high lmax)."""
 	if mmax is None: mmax = lmax
 	alm = jnp.asarray(alm)
 	K = alm.shape[-2]
 	nl, nm = lmax+1, mmax+1
-	# real view: [..., K, nalm, 2] -> flat [..., K*nalm*2]
 	ri = jnp.stack([alm.real, alm.imag], -1)
 	flat = ri.reshape(alm.shape[:-2] + (-1,))
 	n = alm.shape[-1]
-	l = np.arange(nl)[:, None]
-	m = np.arange(nm)[None, :]
-	valid = l >= m
-	tri = np.where(valid, m*(2*lmax+1-m)//2 + l, 0)
-	# index of (k, tri, reim) in flat: (k*n + tri)*2 + reim
-	k = np.arange(K)[None, None, :, None]
-	reim = np.arange(2)[None, None, None, :]
-	gidx = (k*n + tri[:, :, None, None])*2 + reim     # [nl, nm, K, 2]
-	gidx = gidx.reshape(nl, nm, 2*K)
-	res = flat[..., jnp.asarray(gidx)]
-	return jnp.where(jnp.asarray(valid)[..., None], res, 0)
+	l = jax.lax.broadcasted_iota(jnp.int32, (nl, nm, 1, 1), 0)
+	m = jax.lax.broadcasted_iota(jnp.int32, (nl, nm, 1, 1), 1)
+	valid = (l >= m)[..., 0, 0]
+	tri = jnp.where(l >= m, m*(2*lmax+1-m)//2 + l, 0)
+	k = jax.lax.broadcasted_iota(jnp.int32, (nl, nm, K, 2), 2)
+	reim = jax.lax.broadcasted_iota(jnp.int32, (nl, nm, K, 2), 3)
+	gidx = ((k*n + tri)*2 + reim).reshape(nl, nm, 2*K)
+	res = flat[..., gidx]
+	return jnp.where(valid[..., None], res, 0)
 
 
 def _spin_blocks(spin, ncomp):
@@ -385,11 +399,9 @@ def analysis(maps, theta, lmax, weights, mmax=None, phi0=0.0, spin=(0, 2),
 
 
 def _undo_m_degeneracy(alm, lmax, mmax):
-	idx, valid = _rect_indices(lmax, mmax)
-	fac = np.ones(nalm(lmax, mmax))
-	lv, mv = np.where(valid)
-	fac[lm2ind(lmax, lv, mv)] = np.where(mv == 0, 1.0, 0.5)
-	return alm*jnp.asarray(fac, alm.real.dtype)
+	lv, mv = _tri_lm(lmax, mmax)
+	fac = jnp.where(mv == 0, 1.0, 0.5).astype(alm.real.dtype)
+	return alm*fac
 
 
 def adjoint_analysis(alm, theta, nphi, weights, phi0=0.0, lmax=None, mmax=None,
