@@ -123,3 +123,52 @@ def decenter(angs, center, restore=False):
 		ra0, dec0 = center[0], center[1]
 		ra1, dec1 = 0.0, 0.0
 	return euler_rot([ra0, dec1 - dec0, -ra1], angs, kind="zyz")
+
+
+# ---------------------------------------------------------------------------
+# Earth-fixed systems: equ <-> hor for a site and time (reference drives
+# astropy for this, coordinates.py:217-269; here we use the standard
+# sidereal-time rotation. No precession/nutation/aberration corrections, so
+# accuracy is ~arcminute -- fine for pointing/avoidance logic, not for
+# astrometry.)
+# ---------------------------------------------------------------------------
+def gmst(mjd):
+	"""Greenwich mean sidereal time (radians) at the given MJD (UT1~UTC)."""
+	mjd = np.asarray(mjd, float)
+	d = mjd - 51544.5
+	# IAU 1982-ish linear formula (sufficient at the arcsecond level/decade)
+	gmst_hours = 18.697374558 + 24.06570982441908*d
+	return (gmst_hours % 24)/24*2*np.pi
+
+def equ2hor(coords, mjd, site):
+	"""[{ra,dec},...] -> [{az,el},...] for the given site (Bunch with
+	lat/lon in degrees) and time."""
+	from . import sites as sites_mod
+	if isinstance(site, str): site = sites_mod.get(site)
+	coords = np.asarray(coords)
+	ra, dec = coords[0], coords[1]
+	lat = site.lat*utils.degree
+	lon = site.lon*utils.degree
+	lst = gmst(mjd) + lon
+	H = lst - ra  # hour angle
+	sel = np.sin(dec)*np.sin(lat) + np.cos(dec)*np.cos(lat)*np.cos(H)
+	el = np.arcsin(np.clip(sel, -1, 1))
+	az = np.arctan2(-np.sin(H)*np.cos(dec),
+		np.sin(dec)*np.cos(lat) - np.cos(dec)*np.sin(lat)*np.cos(H))
+	return np.stack([az % (2*np.pi), el])
+
+def hor2equ(coords, mjd, site):
+	"""[{az,el},...] -> [{ra,dec},...]."""
+	from . import sites as sites_mod
+	if isinstance(site, str): site = sites_mod.get(site)
+	coords = np.asarray(coords)
+	az, el = coords[0], coords[1]
+	lat = site.lat*utils.degree
+	lon = site.lon*utils.degree
+	sdec = np.sin(el)*np.sin(lat) + np.cos(el)*np.cos(lat)*np.cos(az)
+	dec = np.arcsin(np.clip(sdec, -1, 1))
+	H = np.arctan2(-np.sin(az)*np.cos(el),
+		np.sin(el)*np.cos(lat) - np.cos(el)*np.sin(lat)*np.cos(az))
+	lst = gmst(mjd) + lon
+	ra = (lst - H) % (2*np.pi)
+	return np.stack([ra, dec])
