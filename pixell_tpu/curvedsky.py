@@ -78,12 +78,12 @@ class alm_info:
 		"""[..., nalm] -> [..., nl, nm] (zero where invalid)."""
 		if self._is_tri():
 			from . import sht as _sht
-			return _sht.alm2rect(jnp.asarray(alm), self.lmax, self.mmax)
+			return _sht.alm2rect(utils.to_device(alm), self.lmax, self.mmax)
 		l = np.arange(self.lmax+1)[:, None]
 		m = np.arange(self.mmax+1)[None, :]
 		valid = l >= m
 		idx = np.where(valid, self.mstart[np.minimum(m, self.mmax)] + l*self.stride, 0)
-		rect = jnp.asarray(alm)[..., jnp.asarray(idx)]
+		rect = utils.to_device(alm)[..., jnp.asarray(idx)]
 		return jnp.where(jnp.asarray(valid), rect, 0)
 	def _unrect(self, rect, alm_like=None):
 		# pure gather from the transposed rect (TPU scatters are slow); only
@@ -112,7 +112,7 @@ class alm_info:
 		lv, mv = np.where(valid)
 		order = np.lexsort((mv, lv))  # l-major ordering
 		res = rect[..., jnp.asarray(lv[order]), jnp.asarray(mv[order])]
-		return np.asarray(res) if out is None else res
+		return utils.from_device(res) if out is None else res
 	def alm2cl(self, alm, alm2=None, dtype=None):
 		"""Cross power spectra (reference cmisc.alm2cl). alm, alm2 broadcast
 		against each other over pre-dimensions; returns [..., nl]."""
@@ -126,10 +126,10 @@ class alm_info:
 
 def alm2cl(alm, alm2=None, ainfo=None):
 	"""Power/cross spectra of triangular alms [..., nalm] -> [..., nl]."""
-	alm = jnp.asarray(alm)
+	alm = utils.to_device(alm)
 	if ainfo is None: ainfo = alm_info(nalm=alm.shape[-1])
 	if alm2 is None: alm2 = alm
-	alm2 = jnp.asarray(alm2)
+	alm2 = utils.to_device(alm2)
 	r1 = ainfo._rect(alm)
 	r2 = ainfo._rect(alm2)
 	eps = jnp.asarray(np.where(np.arange(ainfo.mmax+1) == 0, 1.0, 2.0))
@@ -139,7 +139,7 @@ def alm2cl(alm, alm2=None, ainfo=None):
 
 def lmul(alm, lmat, ainfo=None, out=None):
 	"""Multiply alm by a per-l scalar [nl] or matrix [a,b,nl]."""
-	alm = jnp.asarray(alm)
+	alm = utils.to_device(alm)
 	if ainfo is None: ainfo = alm_info(nalm=alm.shape[-1])
 	lmat = jnp.asarray(lmat)
 	rect = ainfo._rect(alm)  # [..., nl, nm]
@@ -154,7 +154,7 @@ def lmul(alm, lmat, ainfo=None, out=None):
 
 def almxfl(alm, lfilter=None, ainfo=None, out=None):
 	"""Filter alm by a function or array of l (reference curvedsky.almxfl:630)."""
-	alm = jnp.asarray(alm)
+	alm = utils.to_device(alm)
 	if ainfo is None: ainfo = alm_info(nalm=alm.shape[-1])
 	if callable(lfilter):
 		lfilter = lfilter(np.arange(ainfo.lmax+1).astype(float))
@@ -172,7 +172,7 @@ def filter(imap, lfilter, ainfo=None, lmax=None):
 
 def transfer_alm(iainfo, alm, oainfo, out=None, op=lambda a, b: b):
 	"""Convert alm between layouts/lmax (reference cmisc.transfer_alm)."""
-	alm = jnp.asarray(alm)
+	alm = utils.to_device(alm)
 	lmax = min(iainfo.lmax, oainfo.lmax)
 	mmax = min(iainfo.mmax, oainfo.mmax)
 	l = np.arange(lmax+1)[:, None]; m = np.arange(mmax+1)[None, :]
@@ -215,8 +215,8 @@ def rand_alm(ps, ainfo=None, lmax=None, seed=None, dtype=np.complex128, m_major=
 	ps_ext[:, :, :n] = ps[:, :, :n]
 	L = utils.eigpow(np.moveaxis(ps_ext, -1, 0), 0.5)  # [nl, ncomp, ncomp]
 	L = np.moveaxis(L, 0, -1)
-	alm = lmul(jnp.asarray(alm/np.sqrt(2)), jnp.asarray(L), ainfo=ainfo)
-	alm = np.asarray(alm)
+	alm = lmul(utils.to_device(alm)/np.sqrt(2), jnp.asarray(L), ainfo=ainfo)
+	alm = utils.from_device(alm)
 	res = alm[0] if oned else alm
 	return (res, ainfo) if return_ainfo else res
 
@@ -356,7 +356,7 @@ def alm2map(alm, map, spin=[0, 2], deriv=False, adjoint=False, copy=False,
 	"""Spherical harmonic synthesis onto map's geometry
 	(reference curvedsky.alm2map:83). See that docstring for semantics; this
 	implementation is jit-compatible for fixed geometry."""
-	alm = jnp.asarray(alm)
+	alm = utils.to_device(alm)
 	if ainfo is None: ainfo = alm_info(nalm=alm.shape[-1])
 	minfo = analyse_geometry(map.shape, map.wcs, tol=pix_tol)
 	if method == "auto": method = get_method(map.shape, map.wcs, minfo=minfo)
@@ -365,7 +365,7 @@ def alm2map(alm, map, spin=[0, 2], deriv=False, adjoint=False, copy=False,
 			weighted=False, epsilon=epsilon)
 	if method in ["2d", "cyl"]:
 		pre = alm.shape[:-1]
-		theta = jnp.asarray(minfo.theta)
+		theta = np.asarray(minfo.theta)
 		alm2 = alm if (deriv or alm.ndim > 1) else alm[None]
 		if deriv:
 			d = sht.synthesis(alm2, theta, minfo.nphi, phi0=_ring_phi0(minfo),
@@ -440,7 +440,7 @@ def _map2alm_core(map, alm, ainfo, minfo, spin, deriv, method, weighted=True,
 		res = _analysis_linear(arr, ainfo, minfo, tuple(np.atleast_1d(spin)),
 			deriv, weighted, None if weights is None else jnp.asarray(weights))
 		if isinstance(alm, np.ndarray) and not isinstance(res, jax.core.Tracer):
-			alm[...] = np.asarray(res)
+			alm[...] = utils.from_device(res)
 			return alm
 		return res.astype(alm.dtype) if hasattr(alm, "dtype") else res
 	else:
@@ -455,7 +455,7 @@ def _analysis_linear(arr, ainfo, minfo, spin, deriv, weighted, weights):
 	d = _to_rings(arr, minfo)
 	flat2d = (not deriv) and d.ndim == 2
 	if flat2d: d = d[None]
-	theta = jnp.asarray(minfo.theta)
+	theta = np.asarray(minfo.theta)
 	if not weighted:
 		d2 = alm2_pre(d, deriv)
 		a = sht.adjoint_synthesis(d2, theta, ainfo.lmax, mmax=ainfo.mmax,
@@ -480,7 +480,7 @@ def _analysis_linear(arr, ainfo, minfo, spin, deriv, weighted, weights):
 			spins = [1, 0] if deriv else _comp_spins(spin, d2.shape[-3])
 			d2 = sht.resample_theta(d2, minfo.variant, ntu, spins)
 			ntfull = ntu
-		theta_f = jnp.asarray(sht.ring_theta(minfo.variant, ntfull))
+		theta_f = sht.ring_theta(minfo.variant, ntfull)
 		w = jnp.asarray(sht.ring_weights(minfo.variant, ntfull))
 		a = sht.analysis(d2, theta_f, ainfo.lmax, w, mmax=ainfo.mmax,
 			phi0=_ring_phi0(minfo), spin=spin, deriv=deriv)
@@ -516,7 +516,7 @@ def _adjoint_map2alm(alm, map, ainfo, minfo, spin, deriv):
 	example = jnp.zeros(arr.shape, arr.dtype)
 	fun_ri = lambda x: (lambda a: (a.real, a.imag))(fun(x))
 	trans = jax.linear_transpose(fun_ri, example)
-	a = jnp.asarray(alm)
+	a = utils.to_device(alm)
 	d = trans((a.real.astype(arr.dtype), a.imag.astype(arr.dtype)))[0]
 	map.data = d if enmap._is_jax(map.data) else np.asarray(d)
 	return map
@@ -543,7 +543,7 @@ def synthesis_general(alm, loc, lmax=None, mmax=None, spin=(0, 2), deriv=False,
 	"""Evaluate the spherical harmonic expansion at arbitrary (colat, phi)
 	positions loc[npt, 2], via synthesis on a fine iso-lat grid extended to
 	the torus followed by a 2D NUFFT interpolation."""
-	alm = jnp.asarray(alm)
+	alm = utils.to_device(alm)
 	if lmax is None: lmax = nalm2lmax(alm.shape[-1])
 	if mmax is None: mmax = lmax
 	rdt = np.float32 if alm.dtype == np.complex64 else np.float64
@@ -583,7 +583,7 @@ def alm2map_pos(alm, pos=None, loc=None, ainfo=None, map=None, spin=[0, 2],
 		epsilon=None, map_shape=None, map_wcs=None):
 	"""Like alm2map, but at arbitrary positions (reference curvedsky.alm2map_pos:174).
 	pos: [{dec,ra},...]; loc: [...,{colat,ra}]."""
-	alm = jnp.asarray(alm)
+	alm = utils.to_device(alm)
 	if ainfo is None: ainfo = alm_info(nalm=alm.shape[-1])
 	if loc is None:
 		pos = np.asarray(pos)
@@ -711,7 +711,7 @@ def rotate_alm(alm, psi, theta, phi, ainfo=None, lmax=None, method="auto",
 	Implemented by evaluating the original field at the pulled-back
 	positions of an exact quadrature grid (NUFFT general synthesis), then
 	re-analysing -- O(2 SHTs), no explicit Wigner-d matrices."""
-	alm = jnp.asarray(alm)
+	alm = utils.to_device(alm)
 	if ainfo is None: ainfo = alm_info(nalm=alm.shape[-1], lmax=lmax)
 	lmax = ainfo.lmax
 	# z-rotations are diagonal: a_lm -> a_lm e^{i m angle}
@@ -720,7 +720,7 @@ def rotate_alm(alm, psi, theta, phi, ainfo=None, lmax=None, method="auto",
 		if ang == 0: return a
 		m = np.arange(ainfo.mmax+1)
 		phase = np.exp(-1j*m*ang)
-		rect = ainfo._rect(a)*jnp.asarray(phase)[None, :]
+		rect = ainfo._rect(a)*utils.to_device(phase)[None, :]
 		return ainfo._unrect(rect).astype(a.dtype)
 	# R = Rz(phi) Ry(theta) Rz(psi): apply Rz(psi) first (diagonal), then
 	# Ry(theta) via regridding, then Rz(phi) (diagonal).

@@ -245,8 +245,12 @@ def resample(fa, n, axes=(-1,), norm=True):
 	"""Fourier-space resample: truncate/zero-pad the spectrum fa to produce
 	new sample count(s) n along the given axes."""
 	fa = jnp.asarray(fa)
-	axes = [ax % fa.ndim for ax in np.atleast_1d(axes)]
-	ns = np.zeros(len(axes), int) + np.asarray(n)
+	naxes = tuple(int(ax) % fa.ndim for ax in np.atleast_1d(axes))
+	ns = tuple((np.zeros(len(naxes), int) + np.asarray(n)).tolist())
+	return _resample_jit(fa, ns, naxes)
+
+@functools.partial(jax.jit, static_argnames=("ns", "axes"))
+def _resample_jit(fa, ns, axes):
 	for ax, n_new in zip(axes, ns):
 		n_old = fa.shape[ax]
 		n_new = int(n_new)

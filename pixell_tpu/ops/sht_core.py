@@ -74,21 +74,50 @@ def seed_log(mmax, dtype=np.float64):
 
 
 def _prepare_geom(theta, mmax, dtype):
-	"""Seed values in scaled representation plus cached theta-functions."""
+	"""Seed values in scaled representation plus cached theta-functions.
+
+	For concrete theta (the usual case -- ring geometry is static) all the
+	prep runs host-side in true float64 regardless of jax_enable_x64, then
+	rounds once to the target dtype. Without this, a disabled-x64 process
+	silently computes the m*log(sin theta) seed exponents in f32, costing
+	~2.5 decimal digits of transform accuracy."""
+	S = _scale_log2(dtype)
+	maxlev = 200000//S
+	if not isinstance(theta, jax.core.Tracer):
+		th = np.asarray(theta, np.float64)
+		st = np.sin(th); ct = np.cos(th)
+		pole = np.abs(st) < 1e-12
+		st_safe = np.where(pole, 1.0, st)
+		logc, sign = seed_log(mmax, np.float64)
+		m = np.arange(mmax+1, dtype=np.float64)
+		with np.errstate(divide="ignore"):
+			logst = np.where(pole, -np.inf, np.log(np.abs(st_safe)))
+		logl = logc[:, None] + np.where(m[:, None] == 0, 0.0, m[:, None]*logst[None, :])
+		log2l = logl/np.log(2.0)
+		dead  = ~np.isfinite(log2l) | (log2l < -float(S*maxlev))
+		log2l = np.where(dead, -float(S*maxlev), log2l)
+		level = np.clip(np.floor(log2l/S), -float(maxlev+1), 0.0)
+		val   = np.exp2(log2l - level*S)
+		val   = np.where(dead, 0.0, val)*sign[:, None]
+		f = lambda x: jnp.asarray(np.asarray(x, np.float64).astype(dtype))
+		return dict(
+			ct=f(ct), st=f(st), seed_val=f(val), seed_level=f(level),
+			ct_st=f(ct/st_safe),
+			inv_st=f(np.where(pole, 0.0, 1/st_safe)),
+			inv_st2=f(np.where(pole, 0.0, 1/(st_safe*st_safe))),
+			notpole=f(np.where(pole, 0.0, 1.0)))
+	# traced-theta fallback (distributed SHT shards theta inside shard_map):
+	# f64 intermediates here require jax_enable_x64 to be effective.
 	theta = jnp.asarray(theta, dtype)
 	st = jnp.sin(theta)
 	ct = jnp.cos(theta)
 	pole = jnp.abs(st) < 1e-12
 	st_safe = jnp.where(pole, 1.0, st)
-	S = _scale_log2(dtype)
-	# seeds computed in f64 on all platforms (f64 exp2/log are fine even on
-	# TPU; this is a tiny [nm, nt] setup cost)
 	logc, sign = seed_log(mmax, np.float64)
 	m = jnp.arange(mmax+1, dtype=jnp.float64)
 	logst = jnp.where(pole, -jnp.inf, jnp.log(jnp.abs(st_safe.astype(jnp.float64))))
 	logl = logc[:, None] + jnp.where(m[:, None] == 0, 0.0, m[:, None]*logst[None, :])
 	log2l = logl/np.log(2.0)
-	maxlev = 200000//S
 	dead  = ~jnp.isfinite(log2l) | (log2l < -float(S*maxlev))
 	log2l = jnp.where(dead, -float(S*maxlev), log2l)
 	level = jnp.clip(jnp.floor(log2l/S), -float(maxlev+1), 0.0)
@@ -157,8 +186,7 @@ def _funcs_at_l(lf, g, marr, m2, lam, lam1, mode):
 	raise ValueError(mode)
 
 
-def _scan_core(theta, lmax, mmax, mode, dtype, synth, A=None, F=None, ncoef=None):
-	g = _prepare_geom(theta, mmax, dtype)
+def _scan_core(g, lmax, mmax, mode, dtype, synth, A=None, F=None, ncoef=None):
 	nt = g["ct"].shape[0]
 	nm = mmax + 1
 	nl = lmax + 1
@@ -247,12 +275,23 @@ def _scan_core(theta, lmax, mmax, mode, dtype, synth, A=None, F=None, ncoef=None
 		return ys.reshape(nlpad, nm, ncoef)[:nl]
 
 
-@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "dtype"))
 def synthesis_scan(A, theta, lmax, mmax, mode="scalar", dtype=np.float64):
-	"""G[f,c,m,t] = sum_l u_f(l,m,theta_t) A[l,m,c]."""
-	return _scan_core(theta, lmax, mmax, MODES[mode], np.dtype(dtype), True, A=A)
+	"""G[f,c,m,t] = sum_l u_f(l,m,theta_t) A[l,m,c].
+
+	The geometry prep runs outside the jit boundary so concrete thetas get
+	the host-float64 seed path regardless of jax_enable_x64."""
+	g = _prepare_geom(theta, mmax, np.dtype(dtype))
+	return _synthesis_scan_g(A, g, lmax, mmax, mode, np.dtype(dtype))
 
 @functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "dtype"))
+def _synthesis_scan_g(A, g, lmax, mmax, mode, dtype):
+	return _scan_core(g, lmax, mmax, MODES[mode], np.dtype(dtype), True, A=A)
+
 def analysis_scan(F, theta, lmax, mmax, mode="scalar", dtype=np.float64):
 	"""A[l,m,c] = sum_f sum_t u_f(l,m,theta_t) F[f,c,m,t]."""
-	return _scan_core(theta, lmax, mmax, MODES[mode], np.dtype(dtype), False, F=F)
+	g = _prepare_geom(theta, mmax, np.dtype(dtype))
+	return _analysis_scan_g(F, g, lmax, mmax, mode, np.dtype(dtype))
+
+@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "dtype"))
+def _analysis_scan_g(F, g, lmax, mmax, mode, dtype):
+	return _scan_core(g, lmax, mmax, MODES[mode], np.dtype(dtype), False, F=F)

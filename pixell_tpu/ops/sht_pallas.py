@@ -97,7 +97,7 @@ def _make_funcs(mode):
 
 def _prep_inputs(theta, lmax, mmax, mode):
 	"""Host-side padding and seed/theta-function tables (f32)."""
-	g = sht_core._prepare_geom(jnp.asarray(theta, jnp.float32), mmax, np.float32)
+	g = sht_core._prepare_geom(theta, mmax, np.float32)
 	nt = int(np.shape(theta)[0])
 	nm = mmax + 1
 	nl = lmax + 1
@@ -114,12 +114,17 @@ def _prep_inputs(theta, lmax, mmax, mode):
 	return th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp)
 
 
-@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "interpret"))
 def synthesis_scan_pallas(A, theta, lmax, mmax, mode="scalar", interpret=False):
-	"""Pallas version of sht_core.synthesis_scan (float32)."""
-	A = jnp.asarray(A, jnp.float32)
+	"""Pallas version of sht_core.synthesis_scan (float32). The geometry
+	prep runs outside the jit boundary (host float64 for concrete theta)."""
+	th, seedv, seedl, dims = _prep_inputs(theta, lmax, mmax, mode)
+	return _synthesis_pallas_g(jnp.asarray(A, jnp.float32), th, seedv, seedl,
+		dims, mode, interpret)
+
+@functools.partial(jax.jit, static_argnames=("dims", "mode", "interpret"))
+def _synthesis_pallas_g(A, th, seedv, seedl, dims, mode, interpret):
 	nfun, funcs = _make_funcs(mode)
-	th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp) = _prep_inputs(theta, lmax, mmax, mode)
+	nt, nm, nl, ntp, nmp, nlp = dims
 	C = A.shape[-1]
 	# layout: big axes minor so TPU (8,128) tiling doesn't pad the C axis
 	Ap = jnp.zeros((C, nlp, nmp), jnp.float32).at[:, :nl, :nm].set(
@@ -188,7 +193,6 @@ def synthesis_scan_pallas(A, theta, lmax, mmax, mode="scalar", interpret=False):
 	return out[:, :, :nm, :nt]
 
 
-@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "interpret"))
 def analysis_scan_pallas(F, theta, lmax, mmax, mode="scalar", interpret=False):
 	"""Pallas version of sht_core.analysis_scan (float32).
 	F: [nfun, C, nm, nt] -> out [nl, nm, C].
@@ -197,9 +201,14 @@ def analysis_scan_pallas(F, theta, lmax, mmax, mode="scalar", interpret=False):
 	writes its own partial-alm slab (every output block written exactly
 	once -- no revisit semantics needed); the theta-tile axis is then summed
 	outside the kernel."""
-	F = jnp.asarray(F, jnp.float32)
+	th, seedv, seedl, dims = _prep_inputs(theta, lmax, mmax, mode)
+	return _analysis_pallas_g(jnp.asarray(F, jnp.float32), th, seedv, seedl,
+		dims, mode, interpret)
+
+@functools.partial(jax.jit, static_argnames=("dims", "mode", "interpret"))
+def _analysis_pallas_g(F, th, seedv, seedl, dims, mode, interpret):
 	nfun, funcs = _make_funcs(mode)
-	th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp) = _prep_inputs(theta, lmax, mmax, mode)
+	nt, nm, nl, ntp, nmp, nlp = dims
 	C = F.shape[1]
 	Fp = jnp.zeros((nfun, C, nmp, ntp), jnp.float32).at[:, :, :nm, :nt].set(F)
 	ntb = ntp//TB
@@ -277,7 +286,7 @@ def analysis_scan_pallas_chunked(F, theta, lmax, mmax, mode="scalar", interpret=
 	nt = F.shape[-1]
 	if nt <= TCHUNK:
 		return analysis_scan_pallas(F, theta, lmax, mmax, mode=mode, interpret=interpret)
-	theta = jnp.asarray(theta)
+	if not isinstance(theta, jax.core.Tracer): theta = np.asarray(theta, np.float64)
 	out = None
 	for i0 in range(0, nt, TCHUNK):
 		i1 = min(i0 + TCHUNK, nt)

@@ -21,6 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from .ops import sht_core
+from . import utils as _utils
 
 # Kernel dispatch: on accelerators, float32 transforms use the Pallas kernel
 # (l-loop in VMEM, O(lmax^2) HBM traffic); CPU and float64 use the jnp scan.
@@ -96,7 +97,7 @@ def alm2rect(alm, lmax, mmax=None):
 	m = jax.lax.broadcasted_iota(jnp.int32, (nl, nm), 1)
 	valid = l >= m
 	idx = jnp.where(valid, m*(2*lmax+1-m)//2 + l, 0)
-	rect = jnp.asarray(alm)[..., idx]
+	rect = _utils.to_device(alm)[..., idx]
 	return jnp.where(valid, rect, 0)
 
 @functools.partial(jax.jit, static_argnames=("lmax", "mmax"))
@@ -163,6 +164,18 @@ def ring_theta(variant, n):
 # ---------------------------------------------------------------------------
 def _cdtype(dtype):
 	return np.complex64 if np.dtype(dtype) == np.float32 else np.complex128
+
+def _keep_theta(theta):
+	"""Preserve full theta precision down to the Legendre prep: concrete
+	thetas stay host float64 (see sht_core._prepare_geom); tracers pass."""
+	if isinstance(theta, jax.core.Tracer): return theta
+	return np.asarray(theta, np.float64)
+
+def _mul_i(z):
+	"""i*z for complex z without materializing a host complex constant
+	(eager-mode complex-constant transfer is unimplemented on some TPU
+	runtimes; under jit this fuses to the same HLO as 1j*z)."""
+	return jax.lax.complex(-z.imag, z.real)
 
 @functools.partial(jax.jit, static_argnames=("nphi",))
 def ring_synthesis(G, phi0, nphi):
@@ -234,7 +247,7 @@ def alm2coef(alm, lmax, mmax=None):
 	[..., nl, nm, 2K] in ONE gather (fuses alm2rect + _c2coef), with the
 	index tensor built on device (no huge baked constants at high lmax)."""
 	if mmax is None: mmax = lmax
-	alm = jnp.asarray(alm)
+	alm = _utils.to_device(alm)
 	K = alm.shape[-2]
 	nl, nm = lmax+1, mmax+1
 	ri = jnp.stack([alm.real, alm.imag], -1)
@@ -274,8 +287,8 @@ def synthesis(alm, theta, nphi, phi0=0.0, lmax=None, mmax=None, spin=(0, 2),
 	"""alm [..., ncomp, nalm] -> map [..., ncomp, nt, nphi].
 	If deriv, alm is [..., nalm] and output is [..., 2, nt, nphi] with
 	(d/dtheta, d/dphi) derivatives of the scalar synthesis."""
-	alm = jnp.asarray(alm)
-	theta = jnp.asarray(theta)
+	alm = _utils.to_device(alm)
+	theta = _keep_theta(theta)
 	if lmax is None: lmax = nalm2lmax(alm.shape[-1])
 	if mmax is None: mmax = lmax
 	rdt = np.float32 if alm.dtype == np.complex64 else np.float64
@@ -288,7 +301,7 @@ def synthesis(alm, theta, nphi, phi0=0.0, lmax=None, mmax=None, spin=(0, 2),
 		Gc = _coef2c(G, 1)[..., 0, :, :]                     # [2(fun), nm, nt]
 		G_s, G_dt = Gc[..., 0, :, :], Gc[..., 1, :, :]
 		m = jnp.arange(mmax+1, dtype=ldt)[:, None]
-		G_dp = 1j*m*G_s
+		G_dp = _mul_i(m*G_s)
 		mdt = ring_synthesis(jnp.stack([G_dt, G_dp], -3), phi0, nphi)
 		return mdt.astype(map_dtype)
 	ncomp = alm.shape[-2]
@@ -310,8 +323,8 @@ def synthesis(alm, theta, nphi, phi0=0.0, lmax=None, mmax=None, spin=(0, 2),
 			# both reduce to P1_m = -(w a1 + i x a2), P2_m = -(w a2 - i x a1)
 			GE = Gc[..., 0, 0, :, :]; GB = Gc[..., 0, 1, :, :]
 			XE = Gc[..., 1, 0, :, :]; XB = Gc[..., 1, 1, :, :]
-			P1 = -(GE + 1j*XB)
-			P2 = -(GB - 1j*XE)
+			P1 = -(GE + _mul_i(XB))
+			P2 = -(GB - _mul_i(XE))
 			outs.append(ring_synthesis(jnp.stack([P1, P2], -3), phi0, nphi))
 	return jnp.concatenate(outs, -3).astype(map_dtype)
 
@@ -321,7 +334,7 @@ def adjoint_synthesis(maps, theta, lmax, mmax=None, phi0=0.0, spin=(0, 2),
 	"""Exact transpose of synthesis: map [..., ncomp, nt, nphi] -> alm.
 	Note: sum over pixels, no quadrature weights."""
 	maps = jnp.asarray(maps)
-	theta = jnp.asarray(theta)
+	theta = _keep_theta(theta)
 	if mmax is None: mmax = lmax
 	rdt = maps.dtype
 	ldt = _leg_dtype(rdt)
@@ -332,7 +345,7 @@ def adjoint_synthesis(maps, theta, lmax, mmax=None, phi0=0.0, spin=(0, 2),
 		Fdt, Fdp = F2[..., 0, :, :], F2[..., 1, :, :]
 		m = jnp.arange(mmax+1, dtype=ldt)[:, None]
 		# transpose of (G_dp = i m G_s): F_s += conj(i m)* ... = -i m F_dp
-		Fs = -1j*m*Fdp
+		Fs = -_mul_i(m*Fdp)
 		F = jnp.stack([Fs[..., None, :, :], Fdt[..., None, :, :]], -4)
 		Fr = jnp.concatenate([F.real, F.imag], -3)           # [...,2(fun),2,nm,nt]
 		A = _anal_scan(Fr, theta, lmax, mmax, "deriv", ldt)
@@ -361,7 +374,7 @@ def adjoint_synthesis(maps, theta, lmax, mmax=None, phi0=0.0, spin=(0, 2),
 			Qf = Fm[..., 0, :, :]; Uf = Fm[..., 1, :, :]
 			# aE = -sum w Qf - i sum x Uf ; aB = -sum w Uf + i sum x Qf
 			Fc = jnp.stack([jnp.stack([-Qf, -Uf], -3),
-				jnp.stack([-1j*Uf, 1j*Qf], -3)], -4)         # [..., fun, 2, nm, nt]
+				jnp.stack([-_mul_i(Uf), _mul_i(Qf)], -3)], -4)         # [..., fun, 2, nm, nt]
 			Fr = jnp.concatenate([
 				jnp.stack([Fc.real[..., 0, :, :], Fc.imag[..., 0, :, :]], -3),
 				jnp.stack([Fc.real[..., 1, :, :], Fc.imag[..., 1, :, :]], -3)], -3)
@@ -407,8 +420,8 @@ def _undo_m_degeneracy(alm, lmax, mmax):
 def adjoint_analysis(alm, theta, nphi, weights, phi0=0.0, lmax=None, mmax=None,
 		spin=(0, 2), deriv=False, map_dtype=None):
 	"""Transpose of analysis: synthesis then multiply by the weight map."""
-	if lmax is None: lmax = nalm2lmax(jnp.asarray(alm).shape[-1])
-	alm = _undo_m_degeneracy(jnp.asarray(alm), lmax, mmax if mmax is not None else lmax)
+	if lmax is None: lmax = nalm2lmax(_utils.to_device(alm).shape[-1])
+	alm = _undo_m_degeneracy(_utils.to_device(alm), lmax, mmax if mmax is not None else lmax)
 	maps = synthesis(alm, theta, nphi, phi0=phi0, lmax=lmax, mmax=mmax,
 		spin=spin, deriv=deriv, map_dtype=map_dtype)
 	w = jnp.asarray(weights, maps.dtype)*(2*np.pi/nphi)
@@ -442,7 +455,11 @@ def resample_theta(maps, variant, nt_out, spins, phase_only=False):
 	"""Exactly resample a full-sky CC/F1 ring map [..., ncomp, nt, nphi] to
 	nt_out rings of the same variant, assuming it is band-limited to
 	lmax < NT/2 on the torus."""
-	maps = jnp.asarray(maps)
+	return _resample_theta_jit(jnp.asarray(maps), variant.upper(), int(nt_out),
+		tuple(int(s) for s in spins))
+
+@functools.partial(jax.jit, static_argnames=("variant", "nt_out", "spins"))
+def _resample_theta_jit(maps, variant, nt_out, spins):
 	rdt = maps.dtype
 	variant = variant.upper()
 	nt = maps.shape[-2]
@@ -453,14 +470,14 @@ def resample_theta(maps, variant, nt_out, spins, phase_only=False):
 	# grid offsets: F1 rows sit at (j+1/2)*dtheta -> adjust phases so both
 	# input and output grids are referenced to theta=0
 	if variant in ["F1", "FEJER1"]:
-		w_in  = jnp.asarray(np.fft.fftfreq(NT_in)*NT_in)   # integer freqs
-		w_out = jnp.asarray(np.fft.fftfreq(NT_out)*NT_out)
-		ft = ft*jnp.exp(-2j*np.pi*w_in*(0.5/NT_in))[:, None]
+		# phases computed host-side, transferred as split re/im (to_device)
+		ph_in = np.exp(-1j*np.pi*np.fft.fftfreq(NT_in))
+		ft = ft*_utils.to_device(ph_in, ft.dtype)[:, None]
 	from . import fft as enfft
 	ft = enfft.resample(ft, NT_out, axes=(-2,))/NT_in*NT_out
 	if variant in ["F1", "FEJER1"]:
-		w_out = jnp.asarray(np.fft.fftfreq(NT_out)*NT_out)
-		ft = ft*jnp.exp(+2j*np.pi*w_out*(0.5/NT_out))[:, None]
+		ph_out = np.exp(+1j*np.pi*np.fft.fftfreq(NT_out))
+		ft = ft*_utils.to_device(ph_out, ft.dtype)[:, None]
 	res = jnp.fft.ifft(ft, axis=-2)[..., :nt_out, :]
 	if not jnp.iscomplexobj(maps):
 		res = res.real.astype(rdt)

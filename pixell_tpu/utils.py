@@ -37,6 +37,37 @@ def _xp(*args):
 	return np
 
 
+def to_device(x, dtype=None):
+	"""jnp.asarray that also works for *host* complex arrays on backends
+	whose runtime lacks complex host->device transfer (seen on some TPU
+	plugins): the real and imaginary parts are transferred separately and
+	recombined on device. Jax arrays and tracers pass straight through."""
+	import jax, jax.numpy as jnp
+	if isinstance(x, (np.ndarray, np.generic)) and np.iscomplexobj(x) \
+			and jax.default_backend() != "cpu":
+		re = jnp.asarray(np.ascontiguousarray(x.real))
+		im = jnp.asarray(np.ascontiguousarray(x.imag))
+		out = jax.lax.complex(re, im)
+	else:
+		out = jnp.asarray(x)
+	if dtype is not None: out = out.astype(dtype)
+	return out
+
+
+def from_device(x):
+	"""np.asarray that also works for complex *device* arrays on backends
+	whose runtime lacks complex device->host transfer (see to_device): the
+	real and imaginary parts come back separately."""
+	import jax, jax.numpy as jnp
+	if isinstance(x, jax.Array) and jnp.iscomplexobj(x) \
+			and jax.default_backend() != "cpu":
+		re = np.asarray(x.real); im = np.asarray(x.imag)
+		out = np.empty(re.shape, np.complex64 if re.dtype == np.float32 else np.complex128)
+		out.real = re; out.imag = im
+		return out
+	return np.asarray(x)
+
+
 # ---------------------------------------------------------------------------
 # Small scalar/array helpers
 # ---------------------------------------------------------------------------
