@@ -73,63 +73,77 @@ def seed_log(mmax, dtype=np.float64):
 	return logc.astype(dtype), sign.astype(dtype)
 
 
+def _scaled_cumprod(fac, S, dtype):
+	"""Scaled-representation cumulative product along axis 0: returns
+	(val, level) with prod_{k<=m} fac[k] = val[m] * 2^(S*level[m]),
+	val in (2^-S, 1]. Implemented as lax.associative_scan with an exact
+	power-of-two renormalizing combiner: every operation is a plain
+	multiply, so relative error stays ~sqrt(log2 nm)*eps even in float32
+	(computing the exponent via exp2(m*log(sin theta)) in f32 instead
+	costs ~3 digits at high m from the large-magnitude log)."""
+	band = jnp.asarray(2.0**S, dtype)
+	invband = jnp.asarray(2.0**-S, dtype)
+	lev0 = jnp.zeros_like(fac)
+	def comb(a, b):
+		av, al = a
+		bv, bl = b
+		v = av*bv
+		small = v < invband
+		v = jnp.where(small, v*band, v)
+		return (v, al + bl + jnp.where(small, -1.0, 0.0))
+	return jax.lax.associative_scan(comb, (fac, lev0), axis=0)
+
+
 def _prepare_geom(theta, mmax, dtype):
 	"""Seed values in scaled representation plus cached theta-functions.
 
-	For concrete theta (the usual case -- ring geometry is static) all the
-	prep runs host-side in true float64 regardless of jax_enable_x64, then
-	rounds once to the target dtype. Without this, a disabled-x64 process
-	silently computes the m*log(sin theta) seed exponents in f32, costing
-	~2.5 decimal digits of transform accuracy."""
+	The lambda_mm = (-1)^m N_m sin^m(theta) seeds are built as a scaled
+	cumulative product over m (see _scaled_cumprod) rather than via
+	exp2(m log2 sin theta): in float32 the log formulation loses ~3
+	digits at high m (the exponent has magnitude ~1e5 but needs 1e-7
+	absolute accuracy). The cumprod form is accurate, works for traced
+	and concrete theta alike, and bakes no O(nm*nt) constants into
+	outer jits. Concrete theta gets host float64 sin/cos (exact to one
+	rounding regardless of jax_enable_x64)."""
 	S = _scale_log2(dtype)
-	maxlev = 200000//S
 	if not isinstance(theta, jax.core.Tracer):
 		th = np.asarray(theta, np.float64)
-		st = np.sin(th); ct = np.cos(th)
-		pole = np.abs(st) < 1e-12
-		st_safe = np.where(pole, 1.0, st)
-		logc, sign = seed_log(mmax, np.float64)
-		m = np.arange(mmax+1, dtype=np.float64)
-		with np.errstate(divide="ignore"):
-			logst = np.where(pole, -np.inf, np.log(np.abs(st_safe)))
-		logl = logc[:, None] + np.where(m[:, None] == 0, 0.0, m[:, None]*logst[None, :])
-		log2l = logl/np.log(2.0)
-		dead  = ~np.isfinite(log2l) | (log2l < -float(S*maxlev))
-		log2l = np.where(dead, -float(S*maxlev), log2l)
-		level = np.clip(np.floor(log2l/S), -float(maxlev+1), 0.0)
-		val   = np.exp2(log2l - level*S)
-		val   = np.where(dead, 0.0, val)*sign[:, None]
+		st64 = np.sin(th); ct64 = np.cos(th)
+		pole = np.abs(st64) < 1e-12
+		st_safe = np.where(pole, 1.0, st64)
 		f = lambda x: jnp.asarray(np.asarray(x, np.float64).astype(dtype))
-		return dict(
-			ct=f(ct), st=f(st), seed_val=f(val), seed_level=f(level),
-			ct_st=f(ct/st_safe),
-			inv_st=f(np.where(pole, 0.0, 1/st_safe)),
-			inv_st2=f(np.where(pole, 0.0, 1/(st_safe*st_safe))),
-			notpole=f(np.where(pole, 0.0, 1.0)))
-	# traced-theta fallback (distributed SHT shards theta inside shard_map):
-	# f64 intermediates here require jax_enable_x64 to be effective.
-	theta = jnp.asarray(theta, dtype)
-	st = jnp.sin(theta)
-	ct = jnp.cos(theta)
-	pole = jnp.abs(st) < 1e-12
-	st_safe = jnp.where(pole, 1.0, st)
-	logc, sign = seed_log(mmax, np.float64)
-	m = jnp.arange(mmax+1, dtype=jnp.float64)
-	logst = jnp.where(pole, -jnp.inf, jnp.log(jnp.abs(st_safe.astype(jnp.float64))))
-	logl = logc[:, None] + jnp.where(m[:, None] == 0, 0.0, m[:, None]*logst[None, :])
-	log2l = logl/np.log(2.0)
-	dead  = ~jnp.isfinite(log2l) | (log2l < -float(S*maxlev))
-	log2l = jnp.where(dead, -float(S*maxlev), log2l)
-	level = jnp.clip(jnp.floor(log2l/S), -float(maxlev+1), 0.0)
-	val   = jnp.exp2(log2l - level*S)
-	val   = jnp.where(dead, 0.0, val)*sign[:, None]
+		st = f(st64); ct = f(ct64)
+		ct_st = f(ct64/st_safe)
+		inv_st = f(np.where(pole, 0.0, 1/st_safe))
+		inv_st2 = f(np.where(pole, 0.0, 1/(st_safe*st_safe)))
+		notpole = f(np.where(pole, 0.0, 1.0))
+	else:
+		theta = jnp.asarray(theta, dtype)
+		st = jnp.sin(theta)
+		ct = jnp.cos(theta)
+		pole = jnp.abs(st) < 1e-12
+		st_safe = jnp.where(pole, 1.0, st)
+		ct_st = (ct/st_safe).astype(dtype)
+		inv_st = jnp.where(pole, 0.0, 1/st_safe).astype(dtype)
+		inv_st2 = jnp.where(pole, 0.0, 1/(st_safe*st_safe)).astype(dtype)
+		notpole = jnp.where(pole, 0.0, 1.0).astype(dtype)
+	# per-m factors: lambda_mm/lambda_(m-1)(m-1) = -sin(theta) sqrt((2m-1)/2m)
+	# (sign handled separately); prefix row 1 for m=0
+	nt = st.shape[0]
+	if mmax >= 1:
+		k = np.arange(1, mmax+1, dtype=np.float64)
+		rk = jnp.asarray(np.sqrt((2*k - 1)/(2*k)).astype(dtype))
+		fac = st[None, :]*rk[:, None]
+		fac = jnp.concatenate([jnp.ones((1, nt), dtype), fac], 0)
+	else:
+		fac = jnp.ones((1, nt), dtype)
+	val, level = _scaled_cumprod(fac, S, dtype)
+	m = np.arange(mmax+1, dtype=np.float64)
+	pref = np.sqrt((2*m + 1)/(4*np.pi))*np.where(m.astype(int) % 2 == 0, 1.0, -1.0)
+	val = val*jnp.asarray(pref.astype(dtype))[:, None]
 	return dict(
-		ct=ct.astype(dtype), st=st.astype(dtype),
-		seed_val=val.astype(dtype), seed_level=level.astype(dtype),
-		ct_st=(ct/st_safe).astype(dtype),
-		inv_st=jnp.where(pole, 0.0, 1/st_safe).astype(dtype),
-		inv_st2=jnp.where(pole, 0.0, 1/(st_safe*st_safe)).astype(dtype),
-		notpole=jnp.where(pole, 0.0, 1.0).astype(dtype))
+		ct=ct, st=st, seed_val=val, seed_level=level,
+		ct_st=ct_st, inv_st=inv_st, inv_st2=inv_st2, notpole=notpole)
 
 
 def _funcs_at_l(lf, g, marr, m2, lam, lam1, mode):
@@ -186,7 +200,8 @@ def _funcs_at_l(lf, g, marr, m2, lam, lam1, mode):
 	raise ValueError(mode)
 
 
-def _scan_core(g, lmax, mmax, mode, dtype, synth, A=None, F=None, ncoef=None):
+def _scan_core(theta, lmax, mmax, mode, dtype, synth, A=None, F=None, ncoef=None):
+	g = _prepare_geom(theta, mmax, dtype)
 	nt = g["ct"].shape[0]
 	nm = mmax + 1
 	nl = lmax + 1
@@ -275,23 +290,199 @@ def _scan_core(g, lmax, mmax, mode, dtype, synth, A=None, F=None, ncoef=None):
 		return ys.reshape(nlpad, nm, ncoef)[:nl]
 
 
+@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "dtype"))
 def synthesis_scan(A, theta, lmax, mmax, mode="scalar", dtype=np.float64):
-	"""G[f,c,m,t] = sum_l u_f(l,m,theta_t) A[l,m,c].
-
-	The geometry prep runs outside the jit boundary so concrete thetas get
-	the host-float64 seed path regardless of jax_enable_x64."""
-	g = _prepare_geom(theta, mmax, np.dtype(dtype))
-	return _synthesis_scan_g(A, g, lmax, mmax, mode, np.dtype(dtype))
+	"""G[f,c,m,t] = sum_l u_f(l,m,theta_t) A[l,m,c]."""
+	return _scan_core(theta, lmax, mmax, MODES[mode], np.dtype(dtype), True, A=A)
 
 @functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "dtype"))
-def _synthesis_scan_g(A, g, lmax, mmax, mode, dtype):
-	return _scan_core(g, lmax, mmax, MODES[mode], np.dtype(dtype), True, A=A)
-
 def analysis_scan(F, theta, lmax, mmax, mode="scalar", dtype=np.float64):
 	"""A[l,m,c] = sum_f sum_t u_f(l,m,theta_t) F[f,c,m,t]."""
-	g = _prepare_geom(theta, mmax, np.dtype(dtype))
-	return _analysis_scan_g(F, g, lmax, mmax, mode, np.dtype(dtype))
+	return _scan_core(theta, lmax, mmax, MODES[mode], np.dtype(dtype), False, F=F)
 
-@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "dtype"))
-def _analysis_scan_g(F, g, lmax, mmax, mode, dtype):
-	return _scan_core(g, lmax, mmax, MODES[mode], np.dtype(dtype), False, F=F)
+
+# ---------------------------------------------------------------------------
+# General spin-s transforms via the Wigner-d l-recurrence. The reference
+# supports arbitrary spin through ducc0 (pixell/curvedsky.py:900-1120,
+# spin argument); spins 0/1/2 above use cheaper derivative-based forms, and
+# this engine covers |s| > 2 with the same emission contract ([w, x]
+# theta-functions feeding the shared P1/P2 combination in pixell_tpu.sht).
+#
+# Math: sYlm = (w + x) e^{im phi}, -sYlm agrees up to the sign pattern
+#   w = (lam_p + (-1)^s lam_m)/2,  x = (lam_p - (-1)^s lam_m)/2
+# with lam_p = (-1)^m sqrt((2l+1)/4pi) d^l_{-m,s}(theta) and lam_m its
+# s -> -s partner. Both branches obey the 3-term recurrence
+#   v_l lam_l = (cos theta +- m s/((l-1) l)) lam_{l-1} - v_{l-1} lam_{l-2},
+#   v_l = sqrt((l^2-m^2)(l^2-s^2)) / (l sqrt(4 l^2 - 1)),
+# seeded at l0 = max(m, s). Unlike the derivative forms there is no
+# 1/sin(theta): poles are regular and need no masking.
+# ---------------------------------------------------------------------------
+def _scaled_pow_table(base, nmax, S, dtype):
+	"""(val, level) tables [nmax+1, nt] of base^k in scaled representation,
+	via _scaled_cumprod (base in [0, 1])."""
+	nt = base.shape[0]
+	fac = jnp.concatenate([jnp.ones((1, nt), dtype),
+		jnp.broadcast_to(base[None, :], (nmax, nt)).astype(dtype)], 0)
+	return _scaled_cumprod(fac, S, dtype)
+
+
+def _wigner_seed_norms(mmax, s, S):
+	"""Host-side scaled norm vectors N_p, N_m [nm] with
+	N = sqrt((2 l0 + 1)/4pi (2 l0)!/((m+s)! |m-s|!)), l0 = max(m, s),
+	including the (-1)^m convention sign and the (-1)^(s-m) branch sign
+	for m < s on the -s branch. Returned as (val, level) pairs."""
+	from math import lgamma
+	m = np.arange(mmax+1)
+	l0 = np.maximum(m, s)
+	ln = np.array([0.5*(lgamma(2*L+1) - lgamma(mm+s+1) - lgamma(abs(mm-s)+1))
+		for L, mm in zip(l0, m)])
+	log2N = (ln + 0.5*np.log((2*l0+1)/(4*np.pi)))/np.log(2.0)
+	level = np.floor(log2N/S)
+	val = np.exp2(log2N - level*S)
+	sign_m = np.where(m % 2 == 0, 1.0, -1.0)
+	sgn_branch = np.where(m < s, np.where((s - m) % 2 == 0, 1.0, -1.0), 1.0)
+	return (val*sign_m, level), (val*sign_m*sgn_branch, level)
+
+
+def _wigner_seeds(theta, mmax, s, dtype):
+	"""Seed tables (val, level) [2, nm, nt] for the +s/-s branches at
+	l0 = max(m, s), in scaled representation: N[m] sin(t/2)^a cos(t/2)^b
+	with (a, b) = (m+s, |m-s|) for +s and swapped for -s. Built from
+	scaled power tables, so float32 accuracy is ~sqrt(log nm) ulp and
+	poles (sin or cos of theta/2 = 0) come out exactly right."""
+	S = _scale_log2(dtype)
+	if not isinstance(theta, jax.core.Tracer):
+		th = np.asarray(theta, np.float64)
+		sb = jnp.asarray(np.sin(th/2).astype(dtype))
+		cb = jnp.asarray(np.cos(th/2).astype(dtype))
+	else:
+		th = jnp.asarray(theta, dtype)
+		sb = jnp.sin(th/2); cb = jnp.cos(th/2)
+	m = np.arange(mmax+1)
+	a = m + s; b = np.abs(m - s)
+	Pv, Pl = _scaled_pow_table(sb, mmax + s, S, dtype)
+	Qv, Ql = _scaled_pow_table(cb, mmax + s, S, dtype)
+	(Npv, Npl), (Nmv, Nml) = _wigner_seed_norms(mmax, s, S)
+	Npv = jnp.asarray(Npv.astype(np.float64).astype(dtype)); Npl = jnp.asarray(Npl.astype(dtype))
+	Nmv = jnp.asarray(Nmv.astype(np.float64).astype(dtype)); Nml = jnp.asarray(Nml.astype(dtype))
+	def build(Nv, Nl, ea, eb):
+		v = Nv[:, None]*Pv[ea]*Qv[eb]
+		lv = Nl[:, None] + Pl[ea] + Ql[eb]
+		# product of three scaled values can undershoot by up to 2 bands
+		for _ in range(3):
+			small = (v != 0) & (jnp.abs(v) < 2.0**-S)
+			v = jnp.where(small, v*2.0**S, v)
+			lv = jnp.where(small, lv - 1.0, lv)
+		big = jnp.abs(v) > 2.0**S
+		v = jnp.where(big, v*2.0**-S, v)
+		lv = jnp.where(big, lv + 1.0, lv)
+		return v, lv
+	vp, lp = build(Npv, Npl, a, b)
+	vm, lm = build(Nmv, Nml, b, a)
+	return jnp.stack([vp, vm]), jnp.stack([lp, lm])
+
+
+def _wigner_scan_core(theta, lmax, mmax, s, dtype, synth, A=None, F=None):
+	"""Shared scan for general-spin synthesis/analysis. Same contract as
+	_scan_core's spin modes: synthesis returns G[2(fun=w,x), ncoef, nm, nt],
+	analysis returns A[nl, nm, ncoef]."""
+	g = _prepare_geom(theta, mmax, dtype)   # for ct/st (seed tables separate)
+	seed_val, seed_level = _wigner_seeds(theta, mmax, s, dtype)  # [2, nm, nt]
+	nt = g["ct"].shape[0]
+	nm = mmax + 1
+	nl = lmax + 1
+	marr = jnp.arange(nm, dtype=dtype)
+	m2 = marr*marr
+	l0arr = jnp.maximum(marr, float(s))[None, :, None]   # [1, nm, 1]
+	x = g["ct"][None, None, :]            # [1, 1, nt]
+	sgn_b = jnp.asarray([1.0, -1.0], dtype)[:, None, None]
+	s2 = float(s)*float(s)
+	sgs = (-1.0)**s
+	nb = (nl + LBLOCK - 1)//LBLOCK
+	nlpad = nb*LBLOCK
+	S = _scale_log2(dtype)
+	band = jnp.asarray(2.0**S, dtype)
+	invband = jnp.asarray(2.0**-S, dtype)
+	fac_m1 = jnp.asarray(2.0**-S, dtype)
+
+	def vcoef(lf):
+		num = jnp.maximum((lf*lf - m2)*(lf*lf - s2), 0.0)
+		return jnp.sqrt(num)/jnp.maximum(lf*jnp.sqrt(jnp.maximum(4*lf*lf - 1, 0.0)), 1.0)
+
+	def step(l, prev, curr, lev):
+		lf = jnp.asarray(l, dtype)
+		vl = vcoef(lf)[None, :, None]
+		vl1 = vcoef(lf - 1)[None, :, None]
+		inv_vl = jnp.where(vl > 0, 1.0/jnp.maximum(vl, 1e-30), 0.0)
+		xt = x + sgn_b*(marr[None, :, None]*float(s))/jnp.maximum((lf - 1)*lf, 1.0)
+		new = (xt*curr - vl1*prev)*inv_vl
+		seedmask = (l0arr == lf)
+		new = jnp.where(seedmask, seed_val, new)
+		lev = jnp.where(seedmask, seed_level, lev)
+		currz = jnp.where(seedmask, 0.0, curr)
+		fac = jnp.where(lev == 0, jnp.asarray(1.0, dtype),
+			jnp.where(lev == -1, fac_m1, jnp.asarray(0.0, dtype)))
+		return currz, new, lev, new*fac, currz*fac
+
+	def rescale(prev, curr, lev):
+		big = jnp.abs(curr) > band
+		return (jnp.where(big, prev*invband, prev),
+			jnp.where(big, curr*invband, curr),
+			jnp.where(big, lev + 1, lev))
+
+	def emit(lam):
+		# lam [2, nm, nt] true values -> [w, x]
+		return [0.5*(lam[0] + sgs*lam[1]), 0.5*(lam[0] - sgs*lam[1])]
+
+	prev0 = jnp.zeros((2, nm, nt), dtype)
+	curr0 = jnp.zeros((2, nm, nt), dtype)
+	lev0  = jnp.zeros((2, nm, nt), dtype)
+
+	if synth:
+		ncoef = A.shape[-1]
+		Ap = jnp.zeros((nlpad, nm, ncoef), dtype).at[:nl].set(A.astype(dtype))
+		xs = (jnp.arange(nb)*LBLOCK, Ap.reshape(nb, LBLOCK, nm, ncoef))
+		acc0 = jnp.zeros((2, ncoef, nm, nt), dtype)
+		def body(carry, xblk):
+			prev, curr, lev, acc = carry
+			l0_, ablk = xblk
+			for i in range(LBLOCK):
+				l = l0_ + i
+				prev, curr, lev, lam, lam1 = step(l, prev, curr, lev)
+				us = emit(lam)
+				for f, u in enumerate(us):
+					acc = acc.at[f].add(u[None, :, :]*ablk[i].T[:, :, None])
+			prev, curr, lev = rescale(prev, curr, lev)
+			return (prev, curr, lev, acc), None
+		(_, _, _, acc), _ = lax.scan(body, (prev0, curr0, lev0, acc0), xs)
+		return acc
+	else:
+		F = F.astype(dtype)
+		ncoef = F.shape[1]
+		xs = jnp.arange(nb)*LBLOCK
+		def body(carry, l0_):
+			prev, curr, lev = carry
+			ys = []
+			for i in range(LBLOCK):
+				l = l0_ + i
+				prev, curr, lev, lam, lam1 = step(l, prev, curr, lev)
+				us = emit(lam)
+				y = jnp.zeros((nm, ncoef), dtype)
+				for f, u in enumerate(us):
+					y = y + jnp.einsum("mt,cmt->mc", u, F[f])
+				ys.append(y)
+			prev, curr, lev = rescale(prev, curr, lev)
+			return (prev, curr, lev), jnp.stack(ys)
+		_, ys = lax.scan(body, (prev0, curr0, lev0), xs)
+		return ys.reshape(nlpad, nm, ncoef)[:nl]
+
+
+@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "s", "dtype"))
+def wigner_synthesis_scan(A, theta, lmax, mmax, s, dtype=np.float64):
+	"""General-spin synthesis: G[f(w,x), c, m, t] = sum_l u_f(l,m,t) A[l,m,c]."""
+	return _wigner_scan_core(theta, lmax, mmax, int(s), np.dtype(dtype), True, A=A)
+
+@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "s", "dtype"))
+def wigner_analysis_scan(F, theta, lmax, mmax, s, dtype=np.float64):
+	"""General-spin analysis: A[l,m,c] = sum_f sum_t u_f(l,m,t) F[f,c,m,t]."""
+	return _wigner_scan_core(theta, lmax, mmax, int(s), np.dtype(dtype), False, F=F)

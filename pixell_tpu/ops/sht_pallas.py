@@ -114,17 +114,12 @@ def _prep_inputs(theta, lmax, mmax, mode):
 	return th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp)
 
 
+@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "interpret"))
 def synthesis_scan_pallas(A, theta, lmax, mmax, mode="scalar", interpret=False):
-	"""Pallas version of sht_core.synthesis_scan (float32). The geometry
-	prep runs outside the jit boundary (host float64 for concrete theta)."""
-	th, seedv, seedl, dims = _prep_inputs(theta, lmax, mmax, mode)
-	return _synthesis_pallas_g(jnp.asarray(A, jnp.float32), th, seedv, seedl,
-		dims, mode, interpret)
-
-@functools.partial(jax.jit, static_argnames=("dims", "mode", "interpret"))
-def _synthesis_pallas_g(A, th, seedv, seedl, dims, mode, interpret):
+	"""Pallas version of sht_core.synthesis_scan (float32)."""
+	A = jnp.asarray(A, jnp.float32)
 	nfun, funcs = _make_funcs(mode)
-	nt, nm, nl, ntp, nmp, nlp = dims
+	th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp) = _prep_inputs(theta, lmax, mmax, mode)
 	C = A.shape[-1]
 	# layout: big axes minor so TPU (8,128) tiling doesn't pad the C axis
 	Ap = jnp.zeros((C, nlp, nmp), jnp.float32).at[:, :nl, :nm].set(
@@ -193,6 +188,7 @@ def _synthesis_pallas_g(A, th, seedv, seedl, dims, mode, interpret):
 	return out[:, :, :nm, :nt]
 
 
+@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "interpret"))
 def analysis_scan_pallas(F, theta, lmax, mmax, mode="scalar", interpret=False):
 	"""Pallas version of sht_core.analysis_scan (float32).
 	F: [nfun, C, nm, nt] -> out [nl, nm, C].
@@ -201,14 +197,9 @@ def analysis_scan_pallas(F, theta, lmax, mmax, mode="scalar", interpret=False):
 	writes its own partial-alm slab (every output block written exactly
 	once -- no revisit semantics needed); the theta-tile axis is then summed
 	outside the kernel."""
-	th, seedv, seedl, dims = _prep_inputs(theta, lmax, mmax, mode)
-	return _analysis_pallas_g(jnp.asarray(F, jnp.float32), th, seedv, seedl,
-		dims, mode, interpret)
-
-@functools.partial(jax.jit, static_argnames=("dims", "mode", "interpret"))
-def _analysis_pallas_g(F, th, seedv, seedl, dims, mode, interpret):
+	F = jnp.asarray(F, jnp.float32)
 	nfun, funcs = _make_funcs(mode)
-	nt, nm, nl, ntp, nmp, nlp = dims
+	th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp) = _prep_inputs(theta, lmax, mmax, mode)
 	C = F.shape[1]
 	Fp = jnp.zeros((nfun, C, nmp, ntp), jnp.float32).at[:, :, :nm, :nt].set(F)
 	ntb = ntp//TB

@@ -315,9 +315,13 @@ def synthesis(alm, theta, nphi, phi0=0.0, lmax=None, mmax=None, spin=(0, 2),
 			outs.append(ring_synthesis(Gc, phi0, nphi))
 		else:
 			A = alm2coef(sub, lmax, mmax)                    # [..., nl, nm, 4]
-			mode = "spin1" if s == 1 else "spin2"
-			if s > 2: raise NotImplementedError("spin > 2 not yet supported")
-			G = _synth_scan(A, theta, lmax, mmax, mode, ldt)
+			if s <= 2:
+				mode = "spin1" if s == 1 else "spin2"
+				G = _synth_scan(A, theta, lmax, mmax, mode, ldt)
+			else:
+				# general spin via the Wigner-d recurrence engine
+				G = sht_core.wigner_synthesis_scan(A, theta, lmax, mmax, s,
+					dtype=ldt)
 			Gc = _coef2c(G, 2)                               # [..., 2(fun), 2(EB), nm, nt]
 			# (P1 + iP2) = -sum (a1 + i a2) sY;  (P1 - iP2) = -(-1)^s sum (a1 - i a2) -sY
 			# both reduce to P1_m = -(w a1 + i x a2), P2_m = -(w a2 - i x a1)
@@ -369,8 +373,6 @@ def adjoint_synthesis(maps, theta, lmax, mmax=None, phi0=0.0, spin=(0, 2),
 			rect = _m_degeneracy(rect, mmax)
 			outs.append(rect2alm(rect, lmax, mmax))
 		else:
-			if s > 2: raise NotImplementedError("spin > 2 not yet supported")
-			mode = "spin1" if s == 1 else "spin2"
 			Qf = Fm[..., 0, :, :]; Uf = Fm[..., 1, :, :]
 			# aE = -sum w Qf - i sum x Uf ; aB = -sum w Uf + i sum x Qf
 			Fc = jnp.stack([jnp.stack([-Qf, -Uf], -3),
@@ -378,7 +380,12 @@ def adjoint_synthesis(maps, theta, lmax, mmax=None, phi0=0.0, spin=(0, 2),
 			Fr = jnp.concatenate([
 				jnp.stack([Fc.real[..., 0, :, :], Fc.imag[..., 0, :, :]], -3),
 				jnp.stack([Fc.real[..., 1, :, :], Fc.imag[..., 1, :, :]], -3)], -3)
-			A = _anal_scan(Fr, theta, lmax, mmax, mode, ldt)
+			if s <= 2:
+				mode = "spin1" if s == 1 else "spin2"
+				A = _anal_scan(Fr, theta, lmax, mmax, mode, ldt)
+			else:
+				A = sht_core.wigner_analysis_scan(Fr, theta, lmax, mmax, s,
+					dtype=ldt)
 			A = A.reshape(A.shape[:-1] + (2, 2))
 			rect = jax.lax.complex(A[..., 0], A[..., 1])
 			rect = jnp.moveaxis(rect, -1, -3)
