@@ -130,11 +130,110 @@ def solve_mapsys(kappa, rho, lim=0):
 	snr = jnp.asarray(rho)/ksafe**0.5
 	return flux, dflux, snr
 
-def snr_split(snr, lim=4):
-	"""Split an snr map into (detections above lim, rest)."""
-	s = jnp.asarray(snr)
-	det = s > lim
-	return det, ~det
+def snr_split(snrs, sntol=0.25, snmin=5):
+	"""Group a list of S/N values into brightness tiers that can be processed
+	together without interfering: each group's weakest member is at least
+	sntol times its strongest; values below snmin share one group. Returns
+	[inds_strongest, ..., inds_weakest] (reference analysis.snr_split:1097)."""
+	from . import utils
+	v = np.log(np.maximum(np.abs(np.asarray(snrs)), snmin))/np.log(1/sntol)
+	v -= np.max(v) + 1e-9
+	v = np.floor(v).astype(int)
+	return utils.find_equal_groups(v)[::-1]
+
+def sanitize_kappa(kappa, tol=1e-4, inplace=False):
+	"""Floor the diagonal of a [ncomp,ncomp,...] kappa at tol times its max
+	(reference analysis.sanitize_kappa:1046)."""
+	k = jnp.asarray(kappa)
+	if k.ndim < 4 or k.shape[0] != k.shape[1]:
+		out = jnp.maximum(k, jnp.max(k)*tol)
+		from . import enmap as _e
+		return _e.samewcs(out, kappa) if hasattr(kappa, "wcs") else out
+	diag = jnp.einsum("aa...->a...", k)
+	floor = jnp.max(diag.reshape(diag.shape[0], -1), -1)*tol
+	floor = floor.reshape((-1,) + (1,)*(diag.ndim-1))
+	newdiag = jnp.maximum(diag, floor)
+	i = jnp.arange(k.shape[0])
+	k = k.at[i, i].set(newdiag)
+	from . import enmap as _e
+	return _e.samewcs(k, kappa) if hasattr(kappa, "wcs") else k
+
+def get_flat_sky_correction(pixratio):
+	"""(reference analysis.get_flat_sky_correction:1063)."""
+	return (0.5*(1 + pixratio**2))**-0.5, 1/pixratio
+
+def dtype_concat(dtypes):
+	return sum([np.dtype(dtype).descr for dtype in dtypes], [])
+
+def merge_arrays(arrays):
+	"""Merge record arrays column-wise (reference analysis.merge_arrays:1070)."""
+	odtype = dtype_concat([a.dtype for a in arrays])
+	res = np.zeros(arrays[0].shape, odtype)
+	for a in arrays:
+		for key in a.dtype.names:
+			res[key] = a[key]
+	return res
+
+def rpow(fmap, exp=2):
+	"""Raise a fourier-space map to a power in real space
+	(reference analysis.rpow:1078)."""
+	norm = fmap.area()**0.5
+	map = enmap.ifft(enmap.samewcs(jnp.asarray(fmap)/norm + 0j, fmap),
+		normalize="phys").real
+	return enmap.samewcs(jnp.asarray(enmap.fft(map**exp, normalize="phys").real)*norm, fmap)
+
+def rmul(*args):
+	"""Multiply fourier-space maps in real space (reference analysis.rmul:1085)."""
+	return rop(*args, op=jnp.multiply)
+
+def rop(*args, op=None):
+	"""Apply op to fourier-space maps in real space (reference analysis.rop:1094)."""
+	if op is None: op = jnp.multiply
+	norm = args[0].area()**0.5
+	reals = [enmap.ifft(enmap.samewcs(jnp.asarray(a)/norm + 0j, args[0]),
+		normalize="phys").real for a in args]
+	work = reals[0]
+	for r in reals[1:]: work = enmap.samewcs(op(jnp.asarray(work), jnp.asarray(r)), args[0])
+	return enmap.samewcs(jnp.asarray(enmap.fft(work, normalize="phys").real)*norm, args[0])
+
+def get_ref(a, tol=1e-3, default=0, n=1000):
+	"""Robust positive reference value of an array (reference analysis.get_ref:1110)."""
+	a = np.asarray(a)
+	ref = 0
+	for i in range(2):
+		vals = a[a > ref]
+		if vals.size == 0: return default
+		step = max(1, vals.size//n)
+		ref = np.median(vals[::step])
+	return ref
+
+def make_circle_labels(shape, wcs, pixs, inds=None, r=2*np.pi/180/60*2):
+	"""Labels image with constant-radius circles around the given peak pixels
+	(reference analysis.make_circle_labels:1124)."""
+	if inds is None: inds = np.arange(1, len(pixs[0])+1)
+	mask = np.zeros(shape[-2:], np.int32)
+	mask[np.asarray(pixs[0], int), np.asarray(pixs[1], int)] = inds
+	mask = enmap.ndmap(jnp.asarray(mask), wcs)
+	dists, labels = enmap.labeled_distance_transform(mask, rmax=r)
+	labels = np.array(labels)
+	labels[np.asarray(dists) >= r] = 0
+	return enmap.ndmap(jnp.asarray(labels), wcs)
+
+def get_central_radius(fbeam, lknee=2000, alpha=-3):
+	"""Radius of the first zero-crossing of the (filtered) real-space beam
+	(reference analysis.get_central_radius:1132)."""
+	l = np.asarray(fbeam.modlmap())
+	fb = np.mean(np.asarray(fbeam).reshape((-1,) + fbeam.shape[-2:]), 0)
+	with np.errstate(divide="ignore", invalid="ignore"):
+		fb = fb*(1 + (l/lknee)**alpha)**-1
+	fb = np.nan_to_num(fb)
+	rbeam = enmap.ifft(enmap.ndmap(jnp.asarray(fb + 0j), fbeam.wcs)).real
+	pos = enmap.pix2sky(fbeam.shape, fbeam.wcs, np.array([[0.0], [0.0]]))[:, 0]
+	br, r = enmap.rbin(rbeam, center=pos)
+	br = np.asarray(br); r = np.asarray(r)
+	br = br/br[0]
+	neg = np.nonzero(br < 0)[0]
+	return r[neg[0]] if len(neg) else r[-1]
 
 
 # ---------------------------------------------------------------------------
@@ -295,6 +394,69 @@ class FinderMulti:
 			np.zeros(0, dtype=[("dec", "f8"), ("ra", "f8"), ("flux", "f8"),
 			("dflux", "f8"), ("snr", "f8"), ("profile", "i4")])
 		return Bunch(cat=cat, snr=snr_best)
+
+
+class FinderMultiSafe:
+	"""Like FinderMulti, but measures each object only over pixels near its
+	own peak (constant-radius circle labels per profile case), avoiding the
+	mixed-case averaging problem (reference analysis.FinderMultiSafe:692)."""
+	def __init__(self, nmats, snmin=5, r=None):
+		"""nmats: list of noise models (one per profile case). r: per-case
+		measurement radius in radians (default 2 arcmin each)."""
+		self.nmats = nmats
+		self.snmin = snmin
+		if r is None: r = [2*np.pi/180/60]*len(nmats)
+		self.rs = np.atleast_1d(r)*np.ones(len(nmats))
+	def __call__(self, map, snmin=None):
+		from scipy import ndimage
+		if snmin is None: snmin = self.snmin
+		results = []
+		snr_tot, cases = None, None
+		for ca, nmat in enumerate(self.nmats):
+			rho, kappa = nmat.matched_filter(map)
+			kappa = sanitize_kappa(kappa)
+			flux, dflux, snr = solve_mapsys(kappa, rho)
+			results.append((flux, dflux, snr))
+			snr_np = np.asarray(snr)
+			if snr_tot is None:
+				snr_tot = snr_np.copy()
+				cases = np.zeros(snr_np.shape, np.int8)
+			else:
+				mask = snr_np > snr_tot
+				cases = np.where(mask, ca, cases)
+				snr_tot = np.where(mask, snr_np, snr_tot)
+		labels, nlab = ndimage.label(snr_tot > snmin)
+		dtype = [("dec", "f8"), ("ra", "f8"), ("flux", "f8"), ("dflux", "f8"),
+			("snr", "f8"), ("case", "i4")]
+		if nlab == 0:
+			return Bunch(cat=np.zeros(0, dtype).view(np.recarray),
+				snr=enmap.samewcs(jnp.asarray(snr_tot), map), snmin=snmin)
+		allofthem = np.arange(1, nlab+1)
+		pixs0 = np.array(ndimage.maximum_position(snr_tot, labels, allofthem)).T
+		cat = np.zeros(nlab, dtype).view(np.recarray)
+		cat.case = cases[pixs0[0], pixs0[1]]
+		cat.snr = snr_tot[pixs0[0], pixs0[1]]
+		# process each case separately with its own circle labels
+		for ca in range(len(self.nmats)):
+			sel = np.nonzero(cat.case == ca)[0]
+			if len(sel) == 0: continue
+			flux, dflux, snr = results[ca]
+			snr_np = np.asarray(snr)
+			my_labels = np.asarray(make_circle_labels(map.shape, map.wcs,
+				pixs0[:, sel], inds=sel+1, r=self.rs[ca]))
+			coms = ndimage.center_of_mass(snr_np**2, my_labels, sel+1)
+			pixs = np.array(coms).T
+			pos = np.asarray(enmap.pix2sky(map.shape, map.wcs, pixs))
+			cat.dec[sel], cat.ra[sel] = pos[0], pos[1]
+			fl = np.asarray(flux).reshape((-1,) + np.asarray(flux).shape[-2:])[0]
+			ip = np.round(pixs).astype(int)
+			ip[0] = np.clip(ip[0], 0, fl.shape[-2]-1)
+			ip[1] = np.clip(ip[1], 0, fl.shape[-1]-1)
+			cat.flux[sel] = fl[ip[0], ip[1]]
+			dfl = np.asarray(dflux)
+			cat.dflux[sel] = dfl[ip[0], ip[1]] if dfl.ndim >= 2 else float(dfl)
+		cat = cat[np.argsort(cat.snr)[::-1]]
+		return Bunch(cat=cat, snr=enmap.samewcs(jnp.asarray(snr_tot), map), snmin=snmin)
 
 
 class NmatWavelet(Nmat):

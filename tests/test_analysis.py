@@ -96,3 +96,45 @@ def test_matched_filter_white():
 	cy, cx = shape[-2]//2, shape[-1]//2
 	fhat = float(np.asarray(flux)[cy, cx])
 	assert abs(fhat - 20.0) < 4.0
+
+
+def test_finder_multi_safe():
+	"""FinderMultiSafe picks the right profile case and measures each object
+	over its own circle (reference analysis.FinderMultiSafe:692)."""
+	total, prof, sigma, pixarea, noise, shape, wcs = setup_scene(flux=30.0, noise=0.5)
+	uht = uharm.UHT(shape, wcs, mode="flat")
+	B1 = uht.rprof2hprof(prof[1], prof[0])
+	# second, much wider profile: should lose to the true one at the peak
+	r2 = prof[0]; b2 = np.exp(-0.5*(r2/(3*sigma))**2)/(2*np.pi*(3*sigma)**2)
+	B2 = uht.rprof2hprof(b2, r2)
+	iN = enmap.samewcs(jnp.ones(np.asarray(B1).shape)/(noise**2), B1)
+	nm1 = analysis.NmatConstcov(np.asarray(iN), np.asarray(B1), uht)
+	nm2 = analysis.NmatConstcov(np.asarray(iN), np.asarray(B2), uht)
+	finder = analysis.FinderMultiSafe([nm1, nm2], snmin=10, r=5*utils.arcmin)
+	res = finder(total)
+	assert len(res.cat) >= 1
+	best = res.cat[0]
+	assert best["case"] == 0
+	assert abs(best["dec"]) < 0.05*utils.degree
+	assert abs(best["ra"]) < 0.05*utils.degree
+	assert abs(best["flux"] - 30) < 5
+
+
+def test_analysis_helpers():
+	"""snr_split grouping, sanitize_kappa flooring, rpow/rmul consistency."""
+	groups = analysis.snr_split([100, 90, 20, 6, 3, 2], sntol=0.25, snmin=5)
+	flat = sorted(int(i) for g in groups for i in g)
+	assert flat == [0, 1, 2, 3, 4, 5]
+	assert set(int(i) for i in groups[0]) == {0, 1}   # strongest tier first
+	assert {4, 5}.issubset(set(int(i) for i in groups[-1]))  # sub-snmin bunched
+	k = np.array([2.0, 1e-9, 1.0])
+	ks = np.asarray(analysis.sanitize_kappa(k, tol=1e-4))
+	assert ks[1] >= 2.0*1e-4
+	# rmul(F,F) must agree with rpow(F,2) on a symmetric real kernel
+	shape, wcs = enmap.geometry(pos=np.array([[-1, 1], [1, -1]])*utils.degree,
+		res=0.05*utils.degree, proj="car")
+	l = enmap.modlmap(shape, wcs)
+	F = enmap.samewcs(jnp.exp(-0.5*(jnp.asarray(l)/2000.)**2), enmap.zeros(shape, wcs))
+	p1 = np.asarray(analysis.rmul(F, F))
+	p2 = np.asarray(analysis.rpow(F, 2))
+	assert np.allclose(p1, p2, atol=1e-10)
