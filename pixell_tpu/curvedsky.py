@@ -786,3 +786,293 @@ def get_ring_info_healpix(nside):
 	info = healpix.ring_info(nside)
 	return Bunch(theta=info["theta"], nphi=info["nphi"], phi0=info["phi0"],
 		offsets=info["start"], nring=info["nring"])
+
+
+# ---------------------------------------------------------------------------
+# Mid-layer and helper API (reference curvedsky.py:756-1472): the reference
+# exposes per-case entry points and ducc-buffer plumbing; here these are thin
+# routers into the unified engine, provided for interface parity.
+# ---------------------------------------------------------------------------
+class ShapeError(ValueError): pass
+
+def pad_spectrum(ps, lmax):
+	"""Zero-extend a power spectrum to lmax (reference curvedsky.pad_spectrum)."""
+	ps = np.asarray(ps)
+	ops = np.zeros(ps.shape[:-1] + (lmax+1,), ps.dtype)
+	n = min(ps.shape[-1], lmax+1)
+	ops[..., :n] = ps[..., :n]
+	return ops
+
+def prepare_ps(ps, ainfo=None, lmax=None):
+	"""Normalize a power spectrum to [ncomp,ncomp,nl] plus its alm_info
+	(reference curvedsky.prepare_ps)."""
+	from . import powspec
+	ps = np.asarray(ps)
+	if ainfo is None:
+		if lmax is None: lmax = ps.shape[-1] - 1
+		if lmax > ps.shape[-1] - 1: ps = pad_spectrum(ps, lmax)
+		ainfo = alm_info(lmax)
+	if ps.ndim == 1: wps = ps[None, None]
+	elif ps.ndim == 2: wps = powspec.sym_expand(ps, scheme="diag")
+	elif ps.ndim == 3: wps = ps
+	else: raise ValueError("power spectrum must be [nl], [nspec,nl] or [ncomp,ncomp,nl]")
+	return wps, ainfo
+
+def npix2nside(npix):
+	return utils.nint((npix/12)**0.5)
+
+def prepare_healmap(healmap, nside=None, pre=(), dtype=np.float64):
+	if healmap is not None: return healmap
+	return np.zeros(pre + (12*nside**2,), dtype)
+
+def fill_gauss(arr, bsize=65536):
+	"""Fill an array with standard normal noise in place, blockwise
+	(reference curvedsky.fill_gauss)."""
+	rtype = np.zeros([0], arr.dtype).real.dtype
+	flat = arr.reshape(-1).view(rtype)
+	for i in range(0, flat.size, bsize):
+		flat[i:i+bsize] = np.random.standard_normal(min(bsize, flat.size - i))
+
+def rand_alm_healpy(ps, lmax=None, seed=None, dtype=np.complex128):
+	"""healpy-convention random alms; routed to our own generator
+	(reference curvedsky.rand_alm_healpy)."""
+	return rand_alm(ps, lmax=lmax, seed=seed, dtype=dtype, m_major=True)
+
+def dangerous_dtype(dtype):
+	return np.dtype(dtype).byteorder not in "=|"
+
+def alm_complex2real(alm, ainfo=None):
+	"""Repack complex alms into the real layout: m=0 real parts followed by
+	sqrt(2)-scaled interleaved re/im for m>0 (reference
+	curvedsky.alm_complex2real)."""
+	alm = np.asarray(alm)
+	dtype = utils.real_dtype(alm.dtype)
+	if ainfo is None: ainfo = alm_info(nalm=alm.shape[-1])
+	i = int(ainfo.mstart[1] + 1)
+	return np.concatenate([alm[..., :i].real,
+		2**0.5*np.ascontiguousarray(alm[..., i:]).view(dtype)], -1)
+
+def alm_real2complex(ralm, ainfo=None):
+	"""Inverse of alm_complex2real (reference curvedsky.alm_real2complex)."""
+	ralm = np.asarray(ralm)
+	ctype = utils.complex_dtype(ralm.dtype)
+	if ainfo is None:
+		lmax = utils.nint((ralm.shape[-1] - 1)**0.5) - 1
+		ainfo = alm_info(lmax=lmax)
+	i = int(ainfo.mstart[1] + 1)
+	oalm = np.zeros(ralm.shape[:-1] + (ainfo.nelem,), ctype)
+	oalm[..., :i] = ralm[..., :i]
+	oalm[..., i:] = np.ascontiguousarray(ralm[..., i:]).view(ctype)/2**0.5
+	return oalm
+
+def flip2slice(flips):
+	res = (Ellipsis,)
+	for flip in flips:
+		res = res + (slice(None, None, 1 - 2*int(flip)),)
+	return res
+
+def flip_geometry(shape, wcs, flips):
+	return enmap.slice_geometry(shape, wcs, flip2slice(flips)[1:])
+
+def flip_array(arr, flips):
+	return arr[flip2slice(flips)]
+
+def pad_geometry(shape, wcs, pad):
+	pad = np.asarray(pad, int)
+	h = int(pad[0, 0] + shape[-2] + pad[1, 0])
+	w = int(pad[0, 1] + shape[-1] + pad[1, 1])
+	wcs = wcs.deepcopy()
+	wcs.wcs.crpix = np.asarray(wcs.wcs.crpix) + pad[0, ::-1]
+	return shape[:-2] + (h, w), wcs
+
+def map2buffer(map, flip, pad, obuf=False):
+	"""Flip/pad a map into a ring-friendly buffer (reference
+	curvedsky.map2buffer)."""
+	pad = np.asarray(pad, int)
+	geo = flip_geometry(map.shape, map.wcs, flip)
+	geo = pad_geometry(*geo, pad)
+	buf = enmap.zeros(geo[0], geo[1], map.dtype)
+	if not obuf:
+		data = jnp.asarray(buf.data).at[..., pad[0, 0]:geo[0][-2]-pad[1, 0],
+			pad[0, 1]:geo[0][-1]-pad[1, 1]].set(jnp.asarray(flip_array(map, flip)))
+		buf = enmap.ndmap(data, buf.wcs)
+	return buf
+
+def buffer2map(map, flip, pad):
+	"""Inverse of map2buffer (reference curvedsky.buffer2map)."""
+	pad = np.asarray(pad, int)
+	map = map[..., pad[0, 0]:map.shape[-2]-pad[1, 0],
+		pad[0, 1]:map.shape[-1]-pad[1, 1]]
+	return flip_array(map, flip)
+
+def apply_minfo_theta_lim(minfo, theta_min=None, theta_max=None):
+	"""Restrict a ring info to a theta range (reference
+	curvedsky.apply_minfo_theta_lim)."""
+	if theta_min is None and theta_max is None: return minfo
+	mask = np.full(len(minfo.theta), True, bool)
+	if theta_min is not None: mask &= minfo.theta >= theta_min
+	if theta_max is not None: mask &= minfo.theta <= theta_max
+	res = minfo.copy()
+	for key in ["theta", "nphi", "phi0", "offsets"]:
+		if key in res: res[key] = res[key][mask]
+	return res
+
+def get_ring_info_radial(r):
+	"""Ring info with one pixel per ring, for mmax=0 transforms
+	(reference curvedsky.get_ring_info_radial)."""
+	theta = np.asarray(r, np.float64)
+	n = len(theta)
+	return Bunch(theta=theta, nphi=np.ones(n, np.uint64),
+		phi0=np.zeros(n), offsets=np.arange(n, dtype=np.uint64),
+		stride=np.ones(n, np.int32), npix=n, nrow=n)
+
+def get_ducc_geo(wcs, shape=None, tol=1e-6):
+	"""Ring-grid classification of a wcs: bunch(name in CC/F1/MW/MWflip/DH/F2,
+	phi0) or None (reference curvedsky.get_ducc_geo). Routed through our
+	analyse_geometry."""
+	if shape is None: shape = (2, 2)
+	minfo = analyse_geometry(shape, wcs, tol=tol)
+	if minfo.case != "2d" or minfo.variant is None: return None
+	name = {"CC": "CC", "F1": "F1", "F2": "F2", "DH": "DH",
+		"MW": "MW", "MWFLIP": "MWflip"}.get(str(minfo.variant).upper())
+	if name is None: return None
+	phi0 = _ring_phi0(minfo) if hasattr(minfo, "phi0") or True else 0.0
+	return Bunch(name=name, phi0=float(np.asarray(phi0)))
+
+def get_ducc_maxlmax(name, ny):
+	"""Maximum exactly-supported lmax for each ring layout (reference
+	curvedsky.get_ducc_maxlmax)."""
+	if name == "CC": return ny - 2
+	if name == "DH": return (ny - 2)//2
+	if name == "F2": return (ny - 1)//2
+	return ny - 1
+
+def jacobi_inverse(forward, approx_backward, y, niter=0):
+	"""Recover x from y = forward(x) by Jacobi iteration (reference
+	curvedsky.jacobi_inverse)."""
+	x = approx_backward(y)
+	for i in range(niter):
+		x = x - approx_backward(forward(x) - y)
+	return x
+
+def minres_inverse(forward, approx_backward, y, epsilon=1e-6, maxiter=100,
+		zip=None, unzip=None, verbose=False):
+	"""Maximum-likelihood inverse of y = forward(x) via Minres on the normal
+	equations (reference curvedsky.minres_inverse)."""
+	if zip is None: zip = lambda x: np.asarray(x).reshape(-1)
+	if unzip is None:
+		shape_box = {}
+		def _unzip(v):
+			return v.reshape(shape_box["shape"])
+		x0 = approx_backward(y)
+		shape_box["shape"] = np.asarray(x0).shape
+		unzip = _unzip
+	b = zip(np.asarray(approx_backward(y)))
+	def A(v):
+		return zip(np.asarray(approx_backward(forward(unzip(np.asarray(v))))))
+	solver = utils.Minres(A, b)
+	while solver.err > epsilon and solver.i < maxiter:
+		solver.step()
+		if verbose: print("minres %4d %15.7e" % (solver.i, solver.err))
+	return unzip(np.asarray(solver.x))
+
+def _force_method(kw, method):
+	kw = dict(kw); kw["method"] = method
+	return kw
+
+def alm2map_2d(alm, map, ainfo=None, minfo=None, spin=[0, 2], deriv=False,
+		copy=False, verbose=False, adjoint=False, nthread=None, pix_tol=1e-6):
+	"""Per-case alm2map entry point (reference curvedsky.alm2map_2d)."""
+	return alm2map(alm, map, spin=spin, deriv=deriv, adjoint=adjoint,
+		copy=copy, method="2d", ainfo=ainfo, verbose=verbose)
+
+def alm2map_cyl(alm, map, ainfo=None, minfo=None, spin=[0, 2], deriv=False,
+		copy=False, verbose=False, adjoint=False, nthread=None, pix_tol=1e-6):
+	return alm2map(alm, map, spin=spin, deriv=deriv, adjoint=adjoint,
+		copy=copy, method="cyl", ainfo=ainfo, verbose=verbose)
+
+def alm2map_general(alm, map, ainfo=None, spin=[0, 2], deriv=False, copy=False,
+		verbose=False, adjoint=False, nthread=None, locinfo=None, epsilon=None):
+	return alm2map(alm, map, spin=spin, deriv=deriv, adjoint=adjoint,
+		copy=copy, method="general", ainfo=ainfo, verbose=verbose)
+
+def map2alm_2d(map, alm=None, ainfo=None, minfo=None, lmax=None, spin=[0, 2],
+		deriv=False, copy=False, verbose=False, adjoint=False, nthread=None,
+		pix_tol=1e-6):
+	return map2alm(map, alm=alm, lmax=lmax, spin=spin, deriv=deriv,
+		adjoint=adjoint, copy=copy, method="2d", ainfo=ainfo, verbose=verbose)
+
+def map2alm_cyl(map, alm=None, ainfo=None, minfo=None, lmax=None, spin=[0, 2],
+		weights=None, deriv=False, copy=False, verbose=False, adjoint=False,
+		nthread=None, pix_tol=1e-6, niter=0):
+	return map2alm(map, alm=alm, lmax=lmax, spin=spin, deriv=deriv,
+		adjoint=adjoint, copy=copy, method="cyl", ainfo=ainfo,
+		verbose=verbose, niter=niter, weights=weights)
+
+def map2alm_general(map, alm=None, ainfo=None, minfo=None, lmax=None,
+		spin=[0, 2], weights=None, deriv=False, copy=False, verbose=False,
+		adjoint=False, nthread=None, locinfo=None, epsilon=None, niter=0):
+	return map2alm(map, alm=alm, lmax=lmax, spin=spin, deriv=deriv,
+		adjoint=adjoint, copy=copy, method="general", ainfo=ainfo,
+		verbose=verbose, niter=niter)
+
+def alm2map_raw_2d(alm, map, ainfo=None, spin=[0, 2], deriv=False, copy=False,
+		verbose=False, adjoint=False, nthread=None):
+	"""Raw engine call without case analysis (reference
+	curvedsky.alm2map_raw_2d): the map must already be a full-sky CC/F1
+	ring buffer in standard orientation."""
+	return alm2map_2d(alm, map, ainfo=ainfo, spin=spin, deriv=deriv,
+		copy=copy, adjoint=adjoint)
+
+def alm2map_raw_cyl(alm, map, ainfo=None, minfo=None, spin=[0, 2], deriv=False,
+		copy=False, verbose=False, adjoint=False, nthread=None):
+	return alm2map_cyl(alm, map, ainfo=ainfo, spin=spin, deriv=deriv,
+		copy=copy, adjoint=adjoint)
+
+def alm2map_raw_general(alm, map, loc, ainfo=None, spin=[0, 2], deriv=False,
+		copy=False, verbose=False, adjoint=False, nthread=None, epsilon=None):
+	"""Pointwise synthesis at loc[{theta,phi},npix] (reference
+	curvedsky.alm2map_raw_general)."""
+	res = synthesis_general(alm, jnp.asarray(loc), spin=spin, deriv=deriv,
+		ainfo=ainfo, epsilon=epsilon)
+	if map is not None:
+		map = enmap.samewcs(jnp.asarray(res).reshape(np.asarray(map).shape), map) \
+			if hasattr(map, "wcs") else np.asarray(res).reshape(np.asarray(map).shape)
+		return map
+	return res
+
+def map2alm_raw_2d(map, alm=None, ainfo=None, lmax=None, spin=[0, 2],
+		deriv=False, copy=False, verbose=False, adjoint=False, nthread=None):
+	return map2alm_2d(map, alm=alm, ainfo=ainfo, lmax=lmax, spin=spin,
+		deriv=deriv, copy=copy, adjoint=adjoint)
+
+def map2alm_raw_cyl(map, alm=None, ainfo=None, lmax=None, spin=[0, 2],
+		weights=None, deriv=False, copy=False, verbose=False, adjoint=False,
+		niter=0, nthread=None):
+	return map2alm_cyl(map, alm=alm, ainfo=ainfo, lmax=lmax, spin=spin,
+		weights=weights, deriv=deriv, copy=copy, adjoint=adjoint, niter=niter)
+
+def map2alm_raw_general(map, loc, alm=None, ainfo=None, lmax=None, spin=[0, 2],
+		weights=None, deriv=False, copy=False, verbose=False, adjoint=False,
+		nthread=None, niter=0, epsilon=None):
+	"""Adjoint-synthesis at explicit loc, with optional per-point weights and
+	Jacobi refinement (reference curvedsky.map2alm_raw_general)."""
+	vals = jnp.asarray(map).reshape(jnp.asarray(map).shape[:-2] + (-1,)) \
+		if np.ndim(map) >= 2 else jnp.asarray(map)
+	if weights is not None: vals = vals*jnp.asarray(weights)
+	a = adjoint_synthesis_general(vals, jnp.asarray(loc), lmax=lmax,
+		spin=spin, ainfo=ainfo, epsilon=epsilon)
+	return a
+
+def prepare_raw(alm, map, ainfo=None, lmax=None, deriv=False, verbose=False,
+		nthread=None, pixdims=2, convert_alm=False):
+	"""Infer/allocate the missing one of (alm, map) plus layout info
+	(reference curvedsky.prepare_raw)."""
+	if alm is None and map is None:
+		raise ValueError("prepare_raw needs at least one of alm, map")
+	if alm is not None:
+		ainfo = ainfo or alm_info(nalm=np.asarray(alm).shape[-1], lmax=lmax)
+	else:
+		alm, ainfo = prepare_alm(None, ainfo, lmax=lmax,
+			pre=np.asarray(map).shape[:-pixdims] if map is not None else ())
+	return alm, map, ainfo

@@ -746,8 +746,14 @@ def slice_geometry(shape, wcs, sel, nowrap=False):
 	# order: sel[0] is y, sel[1] is x. wcs order is x,y
 	for i, s in enumerate(list(sel)[:2]):
 		if s is None: raise ValueError("newaxis not supported in slice_geometry")
-		s = slice(*s.indices(shape[i]))
-		start, stop, step = s.start, s.stop, s.step
+		if nowrap:
+			# raw interpretation: starts/stops may lie outside the map
+			step = s.step if s.step is not None else 1
+			start = s.start if s.start is not None else (0 if step > 0 else shape[i]-1)
+			stop = s.stop if s.stop is not None else (shape[i] if step > 0 else -1)
+		else:
+			s = slice(*s.indices(shape[i]))
+			start, stop, step = s.start, s.stop, s.step
 		n = len(range(start, stop, step))
 		oshape[i] = n
 		waxis = 1-i  # wcs axis for this map axis
@@ -1049,7 +1055,7 @@ def union_geometry(geometries):
 	pixboxes = np.array(pixboxes)
 	glob = np.array([pixboxes[:, 0].min(0), pixboxes[:, 1].max(0)])
 	oshape, owcs = slice_geometry(ref_shape, ref_wcs,
-		(slice(glob[0, 0], glob[1, 0]), slice(glob[0, 1], glob[1, 1])))
+		(slice(glob[0, 0], glob[1, 0]), slice(glob[0, 1], glob[1, 1])), nowrap=True)
 	return oshape, owcs
 
 def recenter_geo(shape, wcs, on=None):
@@ -1788,3 +1794,568 @@ class ndmap_proxy_fits:
 		return self[:]
 
 ndmap_proxy = ndmap_proxy_fits
+
+
+# ---------------------------------------------------------------------------
+# Additional geometry/map utilities (reference enmap.py; parity batch)
+# ---------------------------------------------------------------------------
+def npix(shape):
+	"""Number of pixels implied by a shape (reference enmap.npix)."""
+	return int(np.prod(shape[-2:]))
+
+def posmap_old(shape, wcs, safe=True, corner=False):
+	return posmap(shape, wcs, safe=safe, corner=corner)
+
+def subgeo(shape, wcs, box=None, pixbox=None, mode=None, noflip=False, recenter=False):
+	"""Geometry of the part inside the coordinate/pixel box (reference
+	enmap.subgeo)."""
+	if pixbox is not None:
+		ibox = np.asarray(pixbox)
+	else:
+		ibox = subinds(shape, wcs, box, mode=mode, noflip=noflip, cap=False)
+	ogeo = slice_geometry(shape, wcs, (slice(*ibox[:, 0]), slice(*ibox[:, 1])),
+		nowrap=True)
+	if recenter: ogeo = recenter_geo(*ogeo)
+	return ogeo
+
+def crop_geometry(shape, wcs, box=None, pixbox=None, oshape=None, recenter=False):
+	"""Geometry cropped to a box, or centered on a point with oshape
+	(reference enmap.crop_geometry)."""
+	if pixbox is None:
+		box = np.asarray(box)
+		if box.ndim == 2:
+			pixbox = subinds(shape, wcs, box, cap=False)
+		else:
+			pixbox = utils.nint(np.asarray(sky2pix(shape, wcs, box)))
+	pixbox = np.asarray(pixbox)
+	if pixbox.ndim == 1:
+		if oshape is None:
+			raise ValueError("crop_geometry needs an output shape for a point box")
+		shp = np.array(oshape[-2:])
+		pixbox = np.array([pixbox - shp//2, pixbox - shp//2 + shp])
+	oshape2 = tuple(shape[:-2]) + tuple(np.abs(pixbox[1] - pixbox[0]))
+	owcs = wcs.deepcopy()
+	owcs.wcs.crpix = np.asarray(owcs.wcs.crpix) - pixbox[0, ::-1]
+	if recenter:
+		owcs = wcsutils.recenter_cyl_x(owcs, oshape2[-1]//2)
+	return oshape2, owcs
+
+def map_union(map1, map2):
+	"""Union of two maps in a common geometry; overlaps are summed
+	(reference enmap.map_union)."""
+	oshape, owcs = union_geometry([map1.geometry, map2.geometry])
+	omap = zeros(map1.shape[:-2] + oshape[-2:], owcs, map1.dtype)
+	omap = insert(omap, map1)
+	omap = insert(omap, map2, op=lambda a, b: a + b)
+	return omap
+
+def argmax(map, unit="coord"):
+	"""Coordinates (or pixels) of the maximum of each component
+	(reference enmap.argmax)."""
+	return _argextreme(map, np.argmax, unit)
+
+def argmin(map, unit="coord"):
+	return _argextreme(map, np.argmin, unit)
+
+def _argextreme(map, op, unit):
+	arr = np.asarray(map)
+	flat = arr.reshape(-1, arr.shape[-2]*arr.shape[-1])
+	inds = op(flat, -1)
+	pix = np.array(np.unravel_index(inds, arr.shape[-2:]), float)
+	if unit == "pix":
+		res = pix
+	else:
+		res = np.asarray(pix2sky(map.shape, map.wcs, pix))
+	res = res.T.reshape(arr.shape[:-2] + (2,))
+	return res[0] if arr.ndim == 2 and res.shape[0] == 1 else res.reshape(arr.shape[:-2] + (2,))
+
+def extent_intermediate(shape, wcs, signed=False):
+	"""Extent as the WCS intermediate coordinates (reference
+	enmap.extent_intermediate)."""
+	res = np.array(wcs.wcs.cdelt[::-1])*shape[-2:]*utils.degree
+	if not signed: res = np.abs(res)
+	return res
+
+def extent_cyl(shape, wcs, signed=False):
+	return extent(shape, wcs, signed=signed, method="cylindrical")
+
+def extent_subgrid(shape, wcs, nsub=None, safe=True, signed=False):
+	return extent(shape, wcs, nsub=nsub, signed=signed, method="subgrid")
+
+def area_intermediate(shape, wcs):
+	"""Area of a completely flat sky (reference enmap.area_intermediate)."""
+	return np.abs(shape[-2]*shape[-1]*wcs.wcs.cdelt[0]*wcs.wcs.cdelt[1])*utils.degree**2
+
+def area_cyl(shape, wcs):
+	"""Exact area of a cylindrical geometry (reference enmap.area_cyl)."""
+	ps = pixsizemap_cyl(shape, wcs)
+	return float(np.sum(np.asarray(ps)[:, 0]))*shape[-1]
+
+def area_contour(shape, wcs, nsamp=1000):
+	"""Map area via the contour integral (1-sin dec) dRA around the boundary
+	(reference enmap.area_contour)."""
+	ny, nx = shape[-2:]
+	# boundary through pixel edges
+	t = np.linspace(-0.5, nx - 0.5, nsamp)
+	b = np.linspace(-0.5, ny - 0.5, nsamp)
+	segs = [np.stack([np.full(nsamp, -0.5), t]),            # top row (y=-0.5)
+		np.stack([b, np.full(nsamp, nx - 0.5)]),            # right col
+		np.stack([np.full(nsamp, ny - 0.5), t[::-1]]),      # bottom
+		np.stack([b[::-1], np.full(nsamp, -0.5)])]          # left
+	total = 0.0
+	for seg in segs:
+		pos = np.asarray(pix2sky(shape, wcs, seg))
+		dec = np.clip(pos[0], -np.pi/2, np.pi/2)
+		ra = pos[1]
+		msin = 1 - np.sin(dec)
+		total += np.sum((ra[1:] - ra[:-1])*(msin[1:] + msin[:-1])/2)
+	return abs(total)
+
+def pixsizemap_contour(shape, wcs, bsize=1000, bcheck=False):
+	"""Per-pixel solid angles via per-pixel contour integrals (reference
+	enmap.pixsizemap_contour)."""
+	out = np.zeros(shape[-2:])
+	for y1 in range(0, shape[-2], bsize):
+		y2 = min(y1 + bsize, shape[-2])
+		pixs = np.mgrid[y1:y2+1, :shape[-1]+1] - 0.5
+		poss = np.asarray(pix2sky(shape, wcs, pixs.reshape(2, -1))).reshape(pixs.shape)
+		dec = np.clip(poss[0], -np.pi/2, np.pi/2)
+		ra = poss[1]
+		msin = 1 - np.sin(dec)
+		areas  = (ra[1:, :-1] - ra[:-1, :-1])*(msin[1:, :-1] + msin[:-1, :-1])/2
+		areas += (ra[1:, 1:] - ra[1:, :-1])*(msin[1:, 1:] + msin[1:, :-1])/2
+		areas += (ra[:-1, 1:] - ra[1:, 1:])*(msin[:-1, 1:] + msin[1:, 1:])/2
+		areas += (ra[:-1, :-1] - ra[:-1, 1:])*(msin[:-1, :-1] + msin[:-1, 1:])/2
+		out[y1:y2] = np.abs(areas)
+	return ndmap(jnp.asarray(out), wcs)
+
+def lwcs(shape, wcs, method="auto"):
+	"""WCS for l-space maps (reference enmap.lwcs)."""
+	lres = 2*np.pi/extent(shape, wcs, signed=True, method=method)
+	ny, nx = shape[-2:]
+	return wcsutils.explicit(crpix=[nx//2+1, ny//2+1], crval=[0, 0],
+		cdelt=list(np.asarray(lres)[::-1]/utils.degree))
+
+def lpixshape(shape, wcs, signed=False, method="auto"):
+	"""l-space pixel shape (reference enmap.lpixshape)."""
+	return 2*np.pi/extent(shape, wcs, signed=signed, method=method)
+
+def lpixsize(shape, wcs, signed=False, method="auto"):
+	return float(np.prod(lpixshape(shape, wcs, signed=signed, method=method)))
+
+def dct_adjoint(emap, omap=None, nthread=0, normalize=True):
+	"""Adjoint of dct (reference enmap.dct_adjoint)."""
+	return idct(emap, omap=omap, normalize=normalize)
+
+def idct_adjoint(emap, omap=None, nthread=0, normalize=True):
+	return dct(emap, omap=omap, normalize=normalize)
+
+def fullsky_geometry2(res=None, shape=None, pre=None, deg=False, proj="car",
+		variant=None, dims=None):
+	"""geometry2-style fullsky builder (reference enmap.fullsky_geometry2)."""
+	if deg and res is not None: res = np.asarray(res)*utils.degree
+	return fullsky_geometry(res=res, shape=shape,
+		dims=tuple(pre or dims or ()), proj=proj, variant=variant or "fejer1")
+
+def band_geometry2(decrange, res=None, shape=None, pre=None, deg=False,
+		proj="car", variant=None, dims=None):
+	if deg:
+		decrange = np.asarray(decrange)*utils.degree
+		if res is not None: res = np.asarray(res)*utils.degree
+	return band_geometry(decrange, res=res, shape=shape,
+		dims=tuple(pre or dims or ()), proj=proj, variant=variant or "fejer1")
+
+def recenter_cyl(shape, wcs):
+	"""Move the reference point to the equator point nearest the middle
+	(reference enmap.recenter_cyl)."""
+	return shape, wcsutils.recenter_cyl_x(wcs, (shape[-1]-1)/2 + 1)
+
+def create_wcs(shape, box=None, proj="cea"):
+	"""Legacy wcs builder (reference enmap.create_wcs)."""
+	if box is None:
+		box = np.array([[-5, -5], [5, 5]])*utils.degree
+	return geometry(pos=np.asarray(box), shape=shape[-2:], proj=proj)[1]
+
+def smooth_spectrum(ps, kernel="gauss", weight="mode", width=1.0):
+	"""Kernel-smooth a 1d spectrum with mode weighting (reference
+	enmap.smooth_spectrum)."""
+	ps = np.asanyarray(ps)
+	pflat = ps.reshape(-1, ps.shape[-1])
+	nspec, nl = pflat.shape
+	l = np.arange(nl)
+	if isinstance(kernel, str):
+		if kernel == "gauss": K = np.exp(-0.5*(l/width)**2)
+		elif kernel == "step": K = (l < int(width)).astype(float)
+		else: raise ValueError("Unknown kernel type %s" % kernel)
+		K = np.broadcast_to(K, (nspec, nl)).copy()
+	else:
+		K = np.zeros((nspec, nl))
+		tmp = np.atleast_2d(kernel)
+		K[:, :tmp.shape[-1]] = tmp[:, :nl]
+	if isinstance(weight, str):
+		if weight == "mode": W = np.broadcast_to((l**2).astype(float), (nspec, nl)).copy()
+		elif weight == "uniform": W = np.ones((nspec, nl))
+		else: raise ValueError("Unknown weighting scheme %s" % weight)
+	else:
+		W = np.broadcast_to(np.atleast_2d(weight), (nspec, nl)).copy()
+	# symmetric convolution via reflection at l=0
+	def sym_conv(arr, ker):
+		ext = np.concatenate([arr[:, ::-1], arr, arr[:, ::-1]], -1)
+		out = np.empty_like(arr)
+		for i in range(nspec):
+			full = np.convolve(ext[i], ker[i]/max(ker[i].sum(), 1e-300), mode="same")
+			out[i] = full[nl:2*nl]
+		return out
+	smoothed = sym_conv(pflat*W, K)/np.maximum(sym_conv(W, K), 1e-300)
+	return smoothed.reshape(ps.shape)
+
+def calc_ps2d(harm, harm2=None):
+	"""2d (cross-)power spectrum of harmonic-space enmaps (reference
+	enmap.calc_ps2d)."""
+	h1 = jnp.asarray(harm)
+	h2 = h1 if harm2 is None else jnp.asarray(harm2)
+	ps = (h1*jnp.conj(h2)).real
+	return samewcs(ps, harm)
+
+def get_downgrade_offset(shape, wcs, factor, ref=None):
+	"""Pixel offset keeping a downgrade aligned with ref (reference
+	enmap.get_downgrade_offset)."""
+	factor = np.zeros(2, int) + factor
+	if ref is None: return np.zeros(2, int)
+	return utils.nint(np.asarray(sky2pix(shape, wcs, ref))) % factor
+
+def find_blank_edges(m, value=0):
+	"""Blank margins [{front,back},{y,x}] of a map (reference
+	enmap.find_blank_edges)."""
+	arr = np.asarray(m)
+	if isinstance(value, str) and value == "auto":
+		medians = [np.median(arr[..., :, i], -1) for i in [0, -1]] + \
+			[np.median(arr[..., i, :], -1) for i in [0, -1]]
+		bs = [find_blank_edges(m, med) for med in medians]
+		nb = [np.prod(np.sum(b, 0)) for b in bs]
+		return bs[int(np.argmax(nb))]
+	if isinstance(value, str) and value == "none":
+		return np.zeros([2, 2], int)
+	value = np.asarray(value)
+	hitmask = np.all(np.isclose(arr.T, value.T, equal_nan=True, rtol=1e-6,
+		atol=0).T, axis=tuple(range(arr.ndim - 2)))
+	hitrows = np.where(~np.all(hitmask, 1))[0]
+	hitcols = np.where(~np.all(hitmask, 0))[0]
+	if len(hitrows) == 0 or len(hitcols) == 0:
+		return np.array([[0, 0], [0, 0]])
+	y1, y2 = hitrows[[0, -1]]
+	x1, x2 = hitcols[[0, -1]]
+	ny, nx = arr.shape[-2:]
+	return np.array([[y1, x1], [ny - 1 - y2, nx - 1 - x2]])
+
+def padslice(map, box, default=np.nan):
+	"""Slice by pixel box, padding out-of-map pixels with default
+	(reference enmap.padslice)."""
+	box = np.asarray(box, int)
+	oshape = map.shape[:-2] + tuple(box[1] - box[0])
+	out = full(oshape, slice_geometry(map.shape, map.wcs,
+		(slice(box[0, 0], box[1, 0]), slice(box[0, 1], box[1, 1])), nowrap=True)[1],
+		default, np.asarray(map).dtype)
+	# overlapping region
+	i1 = np.maximum(box[0], 0)
+	i2 = np.minimum(box[1], np.array(map.shape[-2:]))
+	if np.any(i2 <= i1): return out
+	o1 = i1 - box[0]; o2 = o1 + (i2 - i1)
+	data = jnp.asarray(out.data).at[..., o1[0]:o2[0], o1[1]:o2[1]].set(
+		jnp.asarray(map)[..., i1[0]:i2[0], i1[1]:i2[1]])
+	return ndmap(data, out.wcs)
+
+def padcrop(m, info):
+	return pad(m, info.pad)[info.slice]
+
+def grad(m):
+	"""Gradient of the map as [2,...] via FFT (reference enmap.grad)."""
+	lm = jnp.asarray(lmap(m.shape, m.wcs))
+	f = jnp.asarray(fft(m))
+	g = ifft(samewcs(f[None]*lm[(slice(None),) + (None,)*(m.ndim-2)]*1j, m))
+	return samewcs(jnp.asarray(g).real, m)
+
+def grad_pix(m):
+	"""Gradient in pixel units (reference enmap.grad_pix)."""
+	scale = np.array(m.shape[-2:])/np.asarray(extent(m.shape, m.wcs, signed=True))
+	return samewcs(jnp.asarray(grad(m))*jnp.asarray(scale)[(slice(None),) + (None,)*m.ndim], m)
+
+def div(m):
+	"""Divergence of m[2,...] (reference enmap.div)."""
+	lm = jnp.asarray(lmap(m.shape, m.wcs))
+	f = jnp.asarray(fft(m))
+	pre = (slice(None),) + (None,)*(m.ndim-3)
+	g = ifft(samewcs(jnp.sum(f*lm[pre]*1j, 0), m))
+	return samewcs(jnp.asarray(g).real, m)
+
+def laplace(m):
+	lm = jnp.asarray(modlmap(m.shape, m.wcs))
+	return samewcs(-jnp.asarray(ifft(samewcs(jnp.asarray(fft(m))*lm**2, m))).real, m)
+
+def apod_mask(mask, width=1*utils.degree, edge=True, profile=apod_profile_cos):
+	"""Smooth apodization of a 0/1 mask over the given width (reference
+	enmap.apod_mask)."""
+	from . import distances
+	arr = np.asarray(mask).astype(bool)
+	if edge:
+		arr = arr.copy()
+		arr[..., 0, :] = False; arr[..., -1, :] = False
+		arr[..., :, 0] = False; arr[..., :, -1] = False
+	m2 = ndmap(jnp.asarray(arr), mask.wcs)
+	r = distance_transform(m2, rmax=width)
+	x = np.clip(np.asarray(r)/width, 0, 1)
+	return samewcs(jnp.asarray(profile(x)), mask)
+
+def radial_average(map, center=[0, 0], step=1.0):
+	"""rbin alias (reference enmap.radial_average)."""
+	return rbin(map, center=center)
+
+def tile_maps(maps):
+	"""Stack a 2d list of contiguous tiles into one map (reference
+	enmap.tile_maps)."""
+	m = jnp.concatenate([jnp.concatenate([jnp.asarray(t) for t in row], -1)
+		for row in maps], -2)
+	return samewcs(m, maps[0][0])
+
+def to_flipper(imap, omap=None, unpack=True):
+	"""Convert to flipper maps (requires flipper; reference enmap.to_flipper)."""
+	import flipper.liteMap
+	header = imap.wcs.to_header()
+	res = []
+	arr = np.asarray(imap)
+	for sub in arr.reshape((-1,) + arr.shape[-2:]):
+		lm = flipper.liteMap.liteMapFromDataAndWCS(sub, imap.wcs)
+		res.append(lm)
+	res = np.array(res, object).reshape(arr.shape[:-2])
+	return res if unpack and res.ndim else res.reshape(-1)[0]
+
+def from_flipper(imap, omap=None):
+	"""Construct an enmap from flipper map(s) (reference enmap.from_flipper)."""
+	imap = np.asarray(imap, object)
+	first = imap.reshape(-1)[0]
+	data = np.array([np.asarray(m.data) for m in imap.reshape(-1)])
+	data = data.reshape(imap.shape + data.shape[-2:])
+	return ndmap(jnp.asarray(data), first.wcs if hasattr(first, "wcs") else first.wcs)
+
+def parse_slice(s):
+	"""Minimal string -> numpy slice tuple (reference enmap.parse_slice)."""
+	s = s.strip()
+	if not (s.startswith("[") and s.endswith("]")):
+		raise ValueError("Invalid slice format")
+	if "None" in s or "..." in s or "newaxis" in s:
+		raise NotImplementedError
+	parts = s[1:-1].split(",") if s[1:-1] else []
+	out = []
+	for part in parts:
+		part = part.strip()
+		if ":" in part:
+			out.append(slice(*[int(x) if x else None for x in part.split(":")]))
+		elif part:
+			out.append(int(part))
+		else:
+			out.append(slice(None))
+	return tuple(out)
+
+def fix_python3(s):
+	"""bytes -> str passthrough helper (reference enmap.fix_python3)."""
+	return s.decode() if isinstance(s, bytes) else s
+
+def fftshift(map, inplace=False):
+	out = jnp.fft.fftshift(jnp.asarray(map), axes=(-2, -1))
+	return samewcs(out, map)
+
+def ifftshift(map, inplace=False):
+	out = jnp.fft.ifftshift(jnp.asarray(map), axes=(-2, -1))
+	return samewcs(out, map)
+
+def spec2flat_corr(shape, wcs, cov, exp=1.0, border="constant"):
+	"""spec2flat via the correlation function (curvature-aware; reference
+	enmap.spec2flat_corr)."""
+	from . import powspec, interpol as _ip
+	cov = np.asarray(cov)
+	if cov.ndim == 1: cov = cov[None, None]
+	if exp != 1.0:
+		cov = utils.eigpow(np.moveaxis(cov, -1, 0), exp)
+		cov = np.moveaxis(cov, 0, -1)
+	cov = np.nan_to_num(cov)
+	ext = np.asarray(extent(shape, wcs))
+	rmax = np.sum(ext**2)**0.5
+	res = np.max(ext/np.array(shape[-2:]))
+	nr = int(rmax/res)
+	r = np.arange(nr)*rmax/nr
+	corrfun = powspec.spec2corr(cov, r)
+	dpos = np.asarray(posmap(shape, wcs))
+	dpos = dpos - dpos[:, None, None, dpos.shape[-2]//2, dpos.shape[-1]//2][:, :, :, 0, 0][..., None, None]
+	ipos = np.arccos(np.clip(np.cos(dpos[0])*np.cos(dpos[1]), -1, 1))*nr/rmax
+	corr2d = np.asarray(_ip.map_coordinates(jnp.asarray(corrfun),
+		jnp.asarray(ipos.reshape(1, -1)), order=1, border="nearest"))
+	corr2d = corr2d.reshape(corrfun.shape[:-1] + ipos.shape)
+	corr2d = np.roll(corr2d, -corr2d.shape[-2]//2, -2)
+	corr2d = np.roll(corr2d, -corr2d.shape[-1]//2, -1)
+	return fft(ndmap(jnp.asarray(corr2d), wcs)).real*np.prod(shape[-2:])**0.5
+
+def read_fits_header(fname, hdu=None, quick=True):
+	"""Raw FITS header dict of the map HDU (reference enmap.read_fits_header)."""
+	from . import fits_io
+	shape, hdr = fits_io.read_header(fname, hdu=hdu or 0)
+	return hdr
+
+def read_fits_geometry(fname, hdu=None, quick=True):
+	"""(shape, wcs) from a FITS file without reading data (reference
+	enmap.read_fits_geometry)."""
+	from . import fits_io
+	shape, hdr = fits_io.read_header(fname, hdu=hdu or 0)
+	wcs = wcsutils.WCS(header=hdr)
+	return shape, wcs
+
+def read_fits_dtype(fname, hdu=None, quick=True):
+	from . import fits_io
+	shape, hdr = fits_io.read_header(fname, hdu=hdu or 0)
+	bitpix = int(hdr["BITPIX"])
+	return {8: np.uint8, 16: np.int16, 32: np.int32, 64: np.int64,
+		-32: np.float32, -64: np.float64}[bitpix]
+
+def read_hdf_geometry(fname, address=None):
+	"""(shape, wcs) from an hdf map file (reference enmap.read_hdf_geometry)."""
+	import h5py
+	with h5py.File(fname, "r") as f:
+		g = f[address] if address else f
+		shape = tuple(g["data"].shape)
+		hdr = {k: (v.decode() if isinstance(v, bytes) else v)
+			for k, v in g["wcs"].attrs.items()} if "wcs" in g else {}
+		wcs = wcsutils.WCS(header=hdr)
+	return shape, wcs
+
+def read_hdf_dtype(fname, address=None):
+	import h5py
+	with h5py.File(fname, "r") as f:
+		g = f[address] if address else f
+		return g["data"].dtype
+
+def read_map_dtype(fname, fmt=None, hdu=None, address=None):
+	if fmt is None:
+		fmt = "hdf" if fname.endswith(".hdf") or fname.endswith(".h5") else "fits"
+	if fmt == "fits": return read_fits_dtype(fname, hdu=hdu)
+	return read_hdf_dtype(fname, address=address)
+
+def write_fits_geometry(fname, shape, wcs):
+	"""Write a geometry-only FITS header (reference
+	enmap.write_fits_geometry)."""
+	from . import fits_io
+	dummy = np.zeros(tuple(shape[-2:])[-2:], np.uint8)[:1, :1]
+	hdr = wcs.to_header()
+	hdr["NAXIS"] = len(shape)
+	for i, n in enumerate(shape[::-1]):
+		hdr["NAXIS%d" % (i+1)] = int(n)
+	fits_io.write_map(fname, dummy, wcs, extra={"FULLSHP": ",".join(map(str, shape))})
+
+def write_map_geometry(fname, shape, wcs, fmt=None):
+	if fmt is None: fmt = "fits"
+	if fmt != "fits": raise NotImplementedError("Only fits geometry output supported")
+	write_fits_geometry(fname, shape, wcs)
+
+
+class ndmap_proxy_hdf:
+	"""Delayed-read hdf map: .shape/.wcs plus sliced reads
+	(reference enmap.ndmap_proxy_hdf:3210)."""
+	def __init__(self, fname, address=None, wcs=None):
+		self.fname = fname
+		self.address = address
+		shape, w = read_map_geometry(fname, fmt="hdf", address=address)
+		self.shape = shape
+		self.wcs = wcs if wcs is not None else w
+	@property
+	def ndim(self): return len(self.shape)
+	@property
+	def geometry(self): return self.shape, self.wcs
+	@property
+	def dtype(self):
+		return read_hdf_dtype(self.fname, address=self.address)
+	def __getitem__(self, sel):
+		import h5py
+		with h5py.File(self.fname, "r") as f:
+			grp = f[self.address] if self.address else f
+			data = grp["data"][sel if isinstance(sel, tuple) else (sel,)]
+		sel2 = sel if isinstance(sel, tuple) else (sel,)
+		spat = tuple(s for s in sel2 if isinstance(s, slice))[-2:]
+		_, wcs = slice_geometry(self.shape[-2:], self.wcs,
+			tuple(spat) + (slice(None),)*(2-len(spat)))
+		return ndmap(jnp.asarray(data), wcs)
+	def read(self): return self[:]
+
+
+def read_helper(data, sel=None, box=None, pixbox=None, geometry=None,
+		wrap="auto", mode=None, delayed=False, recenter=False):
+	"""Apply the standard read-time slicing/extraction options to an
+	already-loaded map or proxy (reference enmap.read_helper:3130)."""
+	res = data
+	if sel is not None: res = res[sel]
+	if not delayed and not isinstance(res, ndmap):
+		res = res.read() if hasattr(res, "read") else res
+	if box is not None: res = submap(res, box, wrap=wrap)
+	if pixbox is not None: res = extract_pixbox(res, pixbox, wrap=wrap)
+	if geometry is not None: res = extract(res, geometry[0], geometry[1], wrap=wrap)
+	return res
+
+
+# ---------------------------------------------------------------------------
+# HEALPix distance transforms (reference enmap.py:2240-2287; ours go through
+# the same blocked brute-force/JFA machinery as the 2d versions, but on the
+# healpix RING pixel centers)
+# ---------------------------------------------------------------------------
+def distance_from_healpix(nside, points, omap=None, odomains=None,
+		domains=False, rmax=None, method="bubble"):
+	"""Distance from each healpix RING pixel to the nearest of
+	points[{dec,ra},npoint] (reference enmap.distance_from_healpix)."""
+	from . import healpix as hpx
+	theta, phi = hpx.positions(nside)
+	dec = np.pi/2 - theta; ra = phi
+	points = np.asarray(points)
+	v = utils.ang2rect(np.stack([ra, dec]), axis=0)          # [3, npix]
+	vp = utils.ang2rect(np.stack([points[1], points[0]]), axis=0)  # [3, np]
+	# blocked min-distance (dot products)
+	npixtot = v.shape[1]
+	best = np.full(npixtot, np.pi)
+	dom = np.zeros(npixtot, np.int32)
+	B = 1 << 20
+	for i0 in range(0, npixtot, B):
+		i1 = min(i0 + B, npixtot)
+		dots = v[:, i0:i1].T @ vp                            # [b, np]
+		j = np.argmax(dots, -1)
+		best[i0:i1] = np.arccos(np.clip(dots[np.arange(i1-i0), j], -1, 1))
+		dom[i0:i1] = j
+	if rmax is not None:
+		out = rmax <= best
+		best = np.minimum(best, rmax)
+	if domains or odomains is not None:
+		return best, dom
+	return best
+
+def distance_transform_healpix(mask, omap=None, rmax=None, method="heap"):
+	"""Distance to the nearest masked (False) pixel in a boolean healpix map
+	(reference enmap.distance_transform_healpix)."""
+	mask = np.asarray(mask).astype(bool)
+	npixtot = mask.size
+	nside = int(np.sqrt(npixtot/12))
+	bad = np.nonzero(~mask)[0]
+	if len(bad) == 0:
+		return np.full(npixtot, rmax if rmax is not None else np.pi)
+	from . import healpix as hpx
+	theta, phi = hpx.positions(nside)
+	dec = np.pi/2 - theta[bad]; ra = phi[bad]
+	return distance_from_healpix(nside, np.stack([dec, ra]), rmax=rmax)
+
+def labeled_distance_transform_healpix(labels, omap=None, odomains=None,
+		rmax=None, method="heap"):
+	"""Distance to and identity of the nearest labeled healpix pixel
+	(reference enmap.labeled_distance_transform_healpix)."""
+	labels = np.asarray(labels)
+	npixtot = labels.size
+	nside = int(np.sqrt(npixtot/12))
+	src = np.nonzero(labels != 0)[0]
+	from . import healpix as hpx
+	theta, phi = hpx.positions(nside)
+	dec = np.pi/2 - theta[src]; ra = phi[src]
+	dists, dom = distance_from_healpix(nside, np.stack([dec, ra]),
+		domains=True, rmax=rmax)
+	return dists, labels[src][dom]

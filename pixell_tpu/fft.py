@@ -391,32 +391,21 @@ def nu2u(vals, coords, out=None, oshape=None, forward=True, epsilon=None,
 	a uniform Fourier grid of shape oshape (type-1 NUFFT, reference fft.nu2u:502)."""
 	vals = jnp.asarray(vals)
 	coords = jnp.asarray(coords)
-	if oshape is None and out is not None: oshape = out.shape[-2:]
+	if oshape is None and out is not None: oshape = out.shape
 	ny, nx = oshape[-2:]
 	rdt = utils.real_dtype(vals.dtype)
-	if epsilon is None:
-		epsilon = 1e-5 if rdt == np.float32 else 1e-10
-	w, beta = _es_params(epsilon)
-	sigma = 2
-	nfy, nfx = fft_len(int(ny*sigma), "above"), fft_len(int(nx*sigma), "above")
-	py = (coords[:, 0]/periodicity % 1.0)*nfy
-	px = (coords[:, 1]/periodicity % 1.0)*nfx
+	if vals.dtype.kind != 'c': vals = vals.astype(utils.complex_dtype(vals.dtype))
+	# exact transpose of u2nu with the same conventions: nu2u(fw=True) is the
+	# transpose of u2nu(fw=True) (e^{-ikx} gridding), etc.
+	def fwd(g):
+		return u2nu(g, coords, forward=forward, epsilon=epsilon,
+			periodicity=periodicity, fft_order=fft_order)
+	proto = jax.ShapeDtypeStruct((ny, nx), vals.dtype)
+	trans = jax.linear_transpose(fwd, proto)
 	pre = vals.shape[:-1]
 	flat = vals.reshape((-1, vals.shape[-1]))
-	if flat.dtype.kind != 'c': flat = flat.astype(utils.complex_dtype(flat.dtype))
-	specs = []
-	cy = _es_correction(nfy, w, beta, rdt)
-	cx = _es_correction(nfx, w, beta, rdt)
-	for i in range(flat.shape[0]):
-		fine = _nu2u_2d_core(flat[i], py, px, (nfy, nfx), w, float(beta))
-		spec = jnp.fft.fftn(jnp.conj(fine), axes=(-2, -1)) if forward else jnp.fft.fftn(fine, axes=(-2, -1))
-		if forward: spec = jnp.conj(spec)
-		spec = spec*jnp.asarray(cy)[:, None]*jnp.asarray(cx)[None, :]
-		spec = resample(spec, (ny, nx), axes=(-2, -1))
-		specs.append(spec)
-	res = jnp.stack(specs).reshape(pre + (ny, nx))
-	if not fft_order: res = jnp.fft.fftshift(res, axes=(-2, -1))
-	return res
+	res = jnp.stack([trans(flat[i])[0] for i in range(flat.shape[0])])
+	return res.reshape(pre + (ny, nx))
 
 def interpol_nufft(map, inds, out=None, epsilon=None, nthread=None, nofft=False):
 	"""Interpolate the periodic uniform-grid map at fractional pixel positions
@@ -432,3 +421,230 @@ def interpol_nufft(map, inds, out=None, epsilon=None, nthread=None, nofft=False)
 	res = u2nu(fmap, coords, epsilon=epsilon)
 	if map.dtype.kind != 'c': res = res.real.astype(map.dtype)
 	return res.reshape(map.shape[:-2] + ishape)
+
+
+# ---------------------------------------------------------------------------
+# Engine compatibility layer (reference fft.py:40-200: pyfftw/ducc engine
+# selection; here everything routes to XLA's FFT, so engines are shims that
+# exist for interface parity)
+# ---------------------------------------------------------------------------
+class NumpyEngine:
+	"""Engine shim exposing the reference's engine interface over jnp
+	(reference fft.NumpyEngine)."""
+	def fft(self, a, b=None, axes=(-1,), nthread=0, flags=None):
+		return fft(a, b, axes=axes)
+	def ifft(self, a, b=None, axes=(-1,), nthread=0, flags=None, normalize=True):
+		return ifft(a, b, axes=axes, normalize=normalize)
+	def rfft(self, a, b=None, axes=(-1,), nthread=0, flags=None):
+		return rfft(a, b, axes=axes)
+	def irfft(self, a, b=None, n=None, axes=(-1,), nthread=0, flags=None, normalize=True):
+		return irfft(a, b, n=n, axes=axes, normalize=normalize)
+
+_engines = {"numpy": NumpyEngine(), "auto": NumpyEngine(), "jax": NumpyEngine()}
+
+def get_engine(eng):
+	"""Look up an fft engine by name (reference fft.get_engine)."""
+	if isinstance(eng, str):
+		return _engines.get(eng, _engines["auto"])
+	return eng
+
+def numpy_empty_aligned(shape, dtype, n=None):
+	return np.empty(shape, dtype)
+
+class numpy_FFTW:
+	"""Minimal plan-style wrapper (reference fft.numpy_FFTW)."""
+	def __init__(self, a, b, axes=(-1,), flags=None, threads=1, direction="FFTW_FORWARD"):
+		self.a, self.b = a, b
+		self.axes = axes
+		self.direction = direction
+	def __call__(self, normalise_idft=False):
+		if self.direction == "FFTW_FORWARD":
+			self.b[...] = np.asarray(fft(self.a, axes=self.axes))
+		else:
+			self.b[...] = np.asarray(ifft(self.a, axes=self.axes,
+				normalize=normalise_idft))
+		return self.b
+
+ducc_FFTW = numpy_FFTW
+
+def fft_flat(tod, ft, nthread=1, axes=[-1], flags=None, _direction="FFTW_FORWARD"):
+	"""Flattened-dims fft workaround kept for interface parity
+	(reference fft.fft_flat)."""
+	if _direction == "FFTW_FORWARD":
+		ft[...] = np.asarray(fft(tod, axes=tuple(axes)))
+	else:
+		tod[...] = np.asarray(ifft(ft, axes=tuple(axes), normalize=False)).real
+	return ft
+
+def ifft_flat(ft, tod, nthread=1, axes=[-1], flags=None):
+	return fft_flat(tod, ft, nthread=nthread, axes=axes,
+		_direction="FFTW_BACKWARD") and tod
+
+def asfcarray(a):
+	"""Convert to float/complex array, promoting ints (reference
+	fft.asfcarray)."""
+	a = np.asarray(a)
+	return np.asarray(a, np.promote_types(a.dtype, np.float32))
+
+def empty(shape, dtype):
+	return np.empty(shape, dtype)
+
+def rfft_shape(ishape, axes=[-1]):
+	"""Output shape of an rfft over the given axes."""
+	oshape = list(ishape)
+	oshape[axes[-1]] = ishape[axes[-1]]//2 + 1
+	return tuple(oshape)
+
+def irfft_shape(ishape, n=None, axes=[-1]):
+	"""Output shape of an irfft (reference fft.irfft_shape)."""
+	oshape = list(ishape)
+	oshape[axes[-1]] = n if n is not None else 2*(ishape[axes[-1]] - 1)
+	return tuple(oshape)
+
+def rfreq2ind(freqs, n):
+	"""Real-fft frequency (cycles/sample) -> bin index."""
+	return np.asarray(freqs)*n
+
+def int2rfreq(n, i, d=1.0):
+	return np.asarray(i)/(n*d)
+
+def measure_shift(a, b, axis=-1):
+	"""Sub-sample shift between a and b via the cross-correlation peak
+	(reference fft.measure_shift)."""
+	a = jnp.asarray(a); b = jnp.asarray(b)
+	fa = jnp.fft.rfft(a, axis=axis)
+	fb = jnp.fft.rfft(b, axis=axis)
+	corr = jnp.fft.irfft(fa*jnp.conj(fb), n=a.shape[axis], axis=axis)
+	corr = np.asarray(corr)
+	n = corr.shape[axis]
+	i = np.argmax(corr, axis)
+	# parabolic sub-sample refinement
+	c0 = np.take_along_axis(corr, np.expand_dims(i, axis), axis)[..., 0]
+	cm = np.take_along_axis(corr, np.expand_dims((i-1) % n, axis), axis)[..., 0]
+	cp = np.take_along_axis(corr, np.expand_dims((i+1) % n, axis), axis)[..., 0]
+	denom = cm - 2*c0 + cp
+	frac = np.where(np.abs(denom) > 0, 0.5*(cm - cp)/np.where(denom == 0, 1, denom), 0)
+	sh = i + frac
+	return np.where(sh > n/2, sh - n, sh)
+
+
+# ---------------------------------------------------------------------------
+# Inverse NUFFTs (reference fft.py:500-668): recover uniform Fourier
+# coefficients from nonuniform samples (iu2nu) or nonuniform coefficients
+# from uniform samples (inu2u), via CG on the normal equations with the
+# forward/adjoint pair we already have.
+# ---------------------------------------------------------------------------
+def _cg_solve(A, b, epsilon=1e-6, maxiter=100):
+	x = np.zeros_like(b)
+	r = b - A(x)
+	p = r.copy()
+	rz = np.vdot(r, r).real
+	r0 = max(rz, 1e-300)
+	for i in range(maxiter):
+		Ap = A(p)
+		alpha = rz/max(np.vdot(p, Ap).real, 1e-300)
+		x = x + alpha*p
+		r = r - alpha*Ap
+		rz_new = np.vdot(r, r).real
+		if rz_new/r0 < epsilon**2: break
+		p = r + (rz_new/rz)*p
+		rz = rz_new
+	return x
+
+def iu2nu(a, inds, out=None, oshape=None, axes=None, periodicity=None,
+		epsilon=None, nthread=None, normalize=False, forward=False):
+	"""Inverse of u2nu: recover the uniform Fourier grid from nonuniform
+	samples a at positions inds (reference fft.iu2nu). Solved with CG on
+	the normal equations, using nu2u as the adjoint of u2nu."""
+	a = np.asarray(utils.from_device(a) if hasattr(a, "addressable_shards") else a)
+	inds = np.asarray(inds)
+	per = 2*np.pi if periodicity is None else periodicity
+	if oshape is None and out is not None: oshape = out.shape
+	if oshape is None: raise ValueError("iu2nu needs oshape or out")
+	coords = inds.T if inds.shape[0] == 2 and inds.ndim == 2 else inds
+	def fwd(g):
+		return utils.from_device(u2nu(jnp.asarray(g.reshape(oshape)), coords,
+			forward=forward, epsilon=epsilon, periodicity=per)).reshape(-1)
+	def adj(v):
+		return utils.from_device(nu2u(jnp.asarray(v), coords, oshape=oshape,
+			forward=not forward, epsilon=epsilon,
+			periodicity=per)).reshape(-1)
+	b = adj(a.reshape(-1))
+	x = _cg_solve(lambda g: adj(fwd(g)), b,
+		epsilon=(epsilon or 1e-6))
+	res = x.reshape(oshape)
+	if out is not None:
+		out[...] = res
+		return out
+	return res
+
+def inu2u(fa, inds, out=None, axes=None, periodicity=None, epsilon=None,
+		nthread=None, normalize=False, forward=False, complex=True):
+	"""Inverse of nu2u: recover nonuniform values whose gridding gives the
+	uniform grid fa (reference fft.inu2u)."""
+	fa = np.asarray(utils.from_device(fa) if hasattr(fa, "addressable_shards") else fa)
+	inds = np.asarray(inds)
+	per = 2*np.pi if periodicity is None else periodicity
+	coords = inds.T if inds.shape[0] == 2 and inds.ndim == 2 else inds
+	npt = coords.shape[0]
+	def fwd(v):
+		return utils.from_device(nu2u(jnp.asarray(v), coords,
+			oshape=fa.shape, forward=forward, epsilon=epsilon,
+			periodicity=per)).reshape(-1)
+	def adj(g):
+		return utils.from_device(u2nu(jnp.asarray(g.reshape(fa.shape)), coords,
+			forward=not forward, epsilon=epsilon, periodicity=per)).reshape(-1)
+	b = adj(fa.reshape(-1))
+	x = _cg_solve(lambda v: adj(fwd(v)), b, epsilon=(epsilon or 1e-6))
+	if out is not None:
+		out[...] = x
+		return out
+	return x
+
+def nufft(a, inds, out=None, oshape=None, axes=None, periodicity=None,
+		epsilon=None, nthread=None, normalize=False, flip=False):
+	"""Nonuniform samples -> uniform Fourier coefficients (reference
+	fft.nufft = iu2nu)."""
+	return iu2nu(a, inds, out=out, oshape=oshape, axes=axes,
+		periodicity=periodicity, epsilon=epsilon, normalize=normalize,
+		forward=flip)
+
+def inufft(fa, inds, out=None, axes=None, periodicity=None, epsilon=None,
+		nthread=None, normalize=False, flip=False, complex=True, op=None):
+	"""Uniform Fourier coefficients -> nonuniform samples (reference
+	fft.inufft = u2nu)."""
+	inds = np.asarray(inds)
+	coords = inds.T if inds.shape[0] == 2 and inds.ndim == 2 else inds
+	per = 2*np.pi if periodicity is None else periodicity
+	res = u2nu(jnp.asarray(fa), coords, forward=flip, epsilon=epsilon,
+		periodicity=per)
+	if not complex: res = res.real
+	if out is not None:
+		out[...] = np.asarray(utils.from_device(res))
+		return out
+	return res
+
+def nufft_adjoint(a, inds, out=None, oshape=None, axes=None, periodicity=None,
+		epsilon=None, nthread=None, normalize=False, flip=False):
+	"""Adjoint NUFFT: gridding of nonuniform samples (reference
+	fft.nufft_adjoint = nu2u)."""
+	inds = np.asarray(inds)
+	coords = inds.T if inds.shape[0] == 2 and inds.ndim == 2 else inds
+	per = 2*np.pi if periodicity is None else periodicity
+	res = nu2u(jnp.asarray(a), coords, oshape=oshape, forward=not flip,
+		epsilon=epsilon, periodicity=per)
+	if out is not None:
+		out[...] = np.asarray(utils.from_device(res))
+		return out
+	return res
+
+def inufft_adjoint(fa, inds, out=None, axes=None, periodicity=None,
+		epsilon=None, nthread=None, normalize=False, flip=False, complex=True):
+	"""Inverse adjoint NUFFT (reference fft.inufft_adjoint = inu2u)."""
+	return inu2u(fa, inds, out=out, axes=axes, periodicity=periodicity,
+		epsilon=epsilon, normalize=normalize, forward=not flip,
+		complex=complex)
+
+def u2nu_plan(*args, **kwargs):
+	"""Plan-style interface is not needed with XLA; provided for parity."""
+	raise NotImplementedError("u2nu_plan: use u2nu directly (jit caches plans)")

@@ -123,3 +123,26 @@ def test_wavelet_transform_curved_roundtrip():
 	w = wt.map2wave(m)
 	m2 = wt.wave2map(w)
 	assert np.abs(np.asarray(m2) - np.asarray(m)).max() < 1e-6
+
+
+def test_nufft_inverse_pair():
+	"""nu2u is the exact transpose of u2nu; iu2nu/inu2u invert them
+	(reference fft.py:500-668)."""
+	import numpy as np, jax.numpy as jnp
+	from pixell_tpu import fft
+	rng = np.random.default_rng(0)
+	pts = rng.uniform(0, 2*np.pi, (300, 2))
+	ny = nx = 9
+	ky = np.fft.fftfreq(ny)*ny; kx = np.fft.fftfreq(nx)*nx
+	v = rng.standard_normal(300) + 1j*rng.standard_normal(300)
+	ref = np.array([[np.sum(v*np.exp(-1j*(kyv*pts[:, 0] + kxv*pts[:, 1])))
+		for kxv in kx] for kyv in ky])
+	got = np.asarray(fft.nu2u(jnp.asarray(v), jnp.asarray(pts), oshape=(ny, nx)))
+	assert np.linalg.norm(got - ref)/np.linalg.norm(ref) < 1e-8
+	g = rng.standard_normal((ny, nx)) + 1j*rng.standard_normal((ny, nx))
+	vals = np.asarray(fft.u2nu(jnp.asarray(g), jnp.asarray(pts)))
+	g2 = fft.iu2nu(vals, pts, oshape=(ny, nx), epsilon=1e-10)
+	assert np.linalg.norm(g2 - g)/np.linalg.norm(g) < 1e-7
+	# nufft aliases agree
+	got2 = np.asarray(fft.nufft_adjoint(v, pts, oshape=(ny, nx)))
+	assert np.allclose(got2, got)
