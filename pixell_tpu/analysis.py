@@ -511,3 +511,170 @@ class NmatWavelet(Nmat):
 		else:
 			kappa = ivar_map
 		return rho, kappa
+
+
+def matched_filter_constcorr_dual(map, B, ivar, iC, uht=None, S=None, iS=None):
+	"""Matched filter for the dual constant-correlation model
+	iN = iC^0.5 ivar iC^0.5 (reference analysis.matched_filter_constcorr_dual)."""
+	if uht is None: uht = uharm.UHT(map.shape, map.wcs)
+	pixarea = np.asarray(enmap.pixsizemap(map.shape, map.wcs, broadcastable=True))
+	W = uht.quad_weights()
+	hC = np.asarray(iC)**0.5
+	BC2 = uht.hprof_rpow(np.asarray(B)*hC, 2)
+	if S is None: S = lambda x: x
+	if iS is None: iS = lambda x: x
+	def h2m(h): return uht.harm2map(h)
+	def m2h(m): return uht.map2harm(m)
+	inner = h2m(uht.hmul(hC, m2h(S(map))))
+	inner = enmap.samewcs(jnp.asarray(ivar)*jnp.asarray(iS(inner)), map)
+	inner = h2m(uht.hmul(hC, m2h(S(inner))))
+	rho = uht.harm2map(uht.hmul(np.asarray(B), uht.map2harm(iS(inner))))
+	rho = enmap.samewcs(jnp.asarray(rho)/pixarea, map)
+	kappa = uht.map2harm_adjoint(uht.hmul(BC2,
+		uht.harm2map_adjoint(enmap.samewcs(jnp.asarray(ivar)*W, map))))
+	kappa = enmap.samewcs(jnp.asarray(kappa)/pixarea**2, map)
+	return rho, kappa
+
+
+# Abstract bases (reference analysis.py:560-580)
+class Finder:
+	def __call__(self, map): raise NotImplementedError
+
+class Measurer:
+	def __call__(self, map, cat): raise NotImplementedError
+
+class Modeller:
+	def __call__(self, cat): raise NotImplementedError
+	def amplitudes(self, cat): raise NotImplementedError
+
+
+class MeasurerMulti(Measurer):
+	"""Route each catalog case to its own measurer (reference
+	analysis.MeasurerMulti)."""
+	def __init__(self, measurers):
+		self.measurers = measurers
+	def __call__(self, map, icat):
+		from . import utils as _u
+		cat = icat.copy()
+		if len(icat) == 0: return Bunch(cat=cat)
+		uvals, order, edges = _u.find_equal_groups_fast(icat["case"])
+		for i, ca in enumerate(uvals):
+			sel = order[edges[i]:edges[i+1]]
+			if len(sel) == 0: continue
+			cat[sel] = self.measurers[int(ca)](map, icat[sel]).cat
+		return Bunch(cat=cat)
+
+
+class MeasurerIterative(Measurer):
+	"""Measure in brightness tiers, subtracting models of brighter tiers
+	(reference analysis.MeasurerIterative)."""
+	def __init__(self, measurer, modeller, sntol=0.25, snscale=1):
+		self.measurer = measurer
+		self.modeller = modeller
+		self.sntol = sntol
+		self.snscale = snscale
+		self.snmin = 0.1
+	def __call__(self, map, icat, verbose=False):
+		cat = icat.copy()
+		if cat.size == 0:
+			return Bunch(cat=cat, model=self.modeller(cat))
+		snr = icat["snr"]*self.snscale
+		groups = snr_split(snr, sntol=self.sntol, snmin=self.snmin)
+		model = enmap.samewcs(jnp.zeros_like(jnp.asarray(map)), map)
+		for gi, group in enumerate(groups):
+			group = np.asarray(group, int)
+			if verbose:
+				print("Measuring group %d with snmin %6.2f" % (gi+1, np.min(np.asarray(snr)[group])))
+			resid = enmap.samewcs(jnp.asarray(map) - jnp.asarray(model), map)
+			subcat = self.measurer(resid, icat[group]).cat
+			model = enmap.samewcs(jnp.asarray(model) + jnp.asarray(self.modeller(subcat)), map)
+			cat[group] = subcat
+		return Bunch(cat=cat, model=model)
+
+
+class ModellerPerfreq(Modeller):
+	"""Per-frequency source model painting (reference
+	analysis.ModellerPerfreq)."""
+	def __init__(self, shape, wcs, beam_profiles, dtype=np.float32, nsigma=5):
+		from . import utils as _u
+		self.shape, self.wcs = shape, wcs
+		self.dtype, self.nsigma = dtype, nsigma
+		self.beam_profiles = [np.array([r, b/np.max(b)]) for r, b in beam_profiles]
+		self.areas = np.array([_u.calc_beam_area(p) for p in self.beam_profiles])
+	def __call__(self, cat):
+		from . import pointsrcs
+		ncomp = len(self.beam_profiles)
+		omap = enmap.zeros((ncomp,) + tuple(self.shape[-2:]), self.wcs, self.dtype)
+		if len(cat) == 0: return omap
+		outs = []
+		flux = np.atleast_2d(np.asarray(cat["flux"]))
+		if flux.shape[0] == len(cat): flux = flux.T if flux.ndim == 2 and flux.shape[1] != len(cat) else flux
+		for i in range(ncomp):
+			fi = np.asarray(cat["flux"]) if np.asarray(cat["flux"]).ndim == 1 \
+				else np.asarray(cat["flux"])[:, i]
+			srcparam = np.stack([np.asarray(cat["dec"]), np.asarray(cat["ra"]),
+				fi/self.areas[i]], -1)
+			outs.append(jnp.asarray(pointsrcs.sim_srcs(tuple(self.shape[-2:]), self.wcs,
+				srcparam, self.beam_profiles[i], dtype=self.dtype, nsigma=self.nsigma)))
+		return enmap.ndmap(jnp.stack(outs), self.wcs)
+	def amplitudes(self, cat):
+		bpeaks = np.array([p[1, 0] for p in self.beam_profiles])
+		return np.asarray(cat["flux"])*(bpeaks/self.areas)
+
+
+class ModellerScaled(Modeller):
+	"""Scaled total-flux source model (reference analysis.ModellerScaled)."""
+	def __init__(self, shape, wcs, beam_profiles, scaling, dtype=np.float32, nsigma=5):
+		from . import utils as _u
+		self.shape, self.wcs = shape, wcs
+		self.dtype, self.nsigma = dtype, nsigma
+		self.scaling = np.asarray(scaling)
+		self.beam_profiles = [np.array([r, b/np.max(b)]) for r, b in beam_profiles]
+		self.areas = np.array([_u.calc_beam_area(p) for p in self.beam_profiles])
+	def __call__(self, cat):
+		from . import pointsrcs
+		ncomp = len(self.beam_profiles)
+		omap = enmap.zeros((ncomp,) + tuple(self.shape[-2:]), self.wcs, self.dtype)
+		if len(cat) == 0: return omap
+		ftot = np.asarray(cat["flux_tot"]) if "flux_tot" in cat.dtype.names \
+			else np.asarray(cat["flux"])
+		outs = []
+		for i in range(ncomp):
+			srcparam = np.stack([np.asarray(cat["dec"]), np.asarray(cat["ra"]),
+				ftot*self.scaling[i]/self.areas[i]], -1)
+			outs.append(jnp.asarray(pointsrcs.sim_srcs(tuple(self.shape[-2:]), self.wcs,
+				srcparam, self.beam_profiles[i], dtype=self.dtype, nsigma=self.nsigma)))
+		return enmap.ndmap(jnp.stack(outs), self.wcs)
+	def amplitudes(self, cat):
+		bpeaks = np.array([p[1, 0] for p in self.beam_profiles])
+		ftot = np.asarray(cat["flux_tot"]) if "flux_tot" in cat.dtype.names \
+			else np.asarray(cat["flux"])
+		return ftot[:, None]*(self.scaling*bpeaks/self.areas)
+
+
+class ModellerMulti(Modeller):
+	"""Route each catalog case to its own modeller (reference
+	analysis.ModellerMulti)."""
+	def __init__(self, modellers):
+		self.modellers = modellers
+	def __call__(self, cat):
+		from . import utils as _u
+		if len(cat) == 0: return self.modellers[0](cat)
+		uvals, order, edges = _u.find_equal_groups_fast(cat["case"])
+		omap = None
+		for i, ca in enumerate(uvals):
+			subcat = cat[order[edges[i]:edges[i+1]]]
+			if len(subcat) == 0: continue
+			m = self.modellers[int(ca)](subcat)
+			omap = m if omap is None else enmap.samewcs(
+				jnp.asarray(omap) + jnp.asarray(m), m)
+		return omap
+	def amplitudes(self, cat):
+		from . import utils as _u
+		res = np.zeros(np.asarray(cat["flux"]).shape)
+		if len(cat) == 0: return res
+		uvals, order, edges = _u.find_equal_groups_fast(cat["case"])
+		for i, ca in enumerate(uvals):
+			sel = order[edges[i]:edges[i+1]]
+			res[sel] = self.modellers[int(ca)].amplitudes(cat[sel])
+		return res

@@ -195,3 +195,48 @@ def rand_map(shape, wcs, ps_lensinput, lmax=None, maplmax=None, dtype=np.float64
 	return lens_map_curved(shape=shape, wcs=wcs, phi_alm=phi_alm, cmb_alm=cmb_alm,
 		maplmax=maplmax, dtype=dtype, oversample=oversample, spin=spin,
 		output=output, geodesic=geodesic, verbose=verbose, delta_theta=delta_theta)
+
+
+def delens_grad(grad_phi, nstep=3, order=3, mode="spline", border="cyclic"):
+	"""Undisplaced gradient from a self-displaced one, by fixed-point
+	iteration (reference lensing.delens_grad)."""
+	alpha = grad_phi
+	for i in range(nstep):
+		alpha = lens_map(grad_phi, -alpha, order=order, border=border)
+	return alpha
+
+def offset_by_grad_helper(ipos, grad, pol):
+	"""Geodesic offset of positions ipos[2,n] by gradient grad[2,n], plus the
+	parallel-transport rotation when pol (reference
+	lensing.offset_by_grad_helper)."""
+	grad = np.array(grad, float)
+	grad[:, np.all(grad == 0, 0)] = 1e-20
+	d = np.sum(grad**2, 0)**0.5
+	grad = grad/d
+	cosd, sind = np.cos(d), np.sin(d)
+	cost, sint = np.cos(ipos[0]), np.sin(ipos[0])
+	ocost = cosd*cost - sind*sint*grad[0]
+	osint = (1 - ocost**2)**0.5
+	ophi = ipos[1] + np.arcsin(sind*grad[1]/np.maximum(osint, 1e-300))
+	if not pol:
+		return np.array([np.arccos(np.clip(ocost, -1, 1)), ophi]), None
+	with np.errstate(divide="ignore", invalid="ignore"):
+		A = grad[1]/(sind*cost/np.maximum(sint, 1e-300) + grad[0]*cosd)
+	A = np.nan_to_num(A)
+	nom1 = grad[0] + grad[1]*A
+	denom = 1 + A**2
+	cosgam = 2*nom1**2/denom - 1
+	singam = 2*nom1*(grad[1] - grad[0]*A)/denom
+	return np.array([np.arccos(np.clip(ocost, -1, 1)), ophi]), np.array([cosgam, singam])
+
+def pole_wrap(pos):
+	"""Mirror out-of-range latitudes around the poles (reference
+	lensing.pole_wrap)."""
+	a = np.array(pos)
+	bad = a[0] > np.pi/2
+	a[0] = np.where(bad, np.pi - a[0], a[0])
+	a[1] = np.where(bad, a[1] + np.pi, a[1])
+	bad = a[0] < -np.pi/2
+	a[0] = np.where(bad, -np.pi - a[0], a[0])
+	a[1] = np.where(bad, a[1] + np.pi, a[1])
+	return a

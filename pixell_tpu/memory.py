@@ -42,3 +42,62 @@ def trace(msg=""):
 	dev_live, dev_peak = device_memory()
 	sys.stderr.write("mem %8.3f GB cur %8.3f GB res %8.3f GB peak | dev %8.3f GB live %8.3f GB peak %s\n" % (
 		current()/1e9, resident()/1e9, max()/1e9, dev_live/1e9, dev_peak/1e9, msg))
+
+
+def fallback(things, default=lambda: 0):
+	"""First callable in things that doesn't raise (reference
+	memory.fallback)."""
+	for thing in things:
+		try: return thing()
+		except Exception: continue
+	return default()
+
+def linux_current():
+	"""Current memory use from /proc (reference memory.linux_current)."""
+	with open("/proc/self/status") as f:
+		for line in f:
+			if line.startswith("VmSize:"):
+				return int(line.split()[1])*1024
+	raise OSError("VmSize not found")
+
+def linux_resident():
+	with open("/proc/self/status") as f:
+		for line in f:
+			if line.startswith("VmRSS:"):
+				return int(line.split()[1])*1024
+	raise OSError("VmRSS not found")
+
+def linux_max():
+	with open("/proc/self/status") as f:
+		for line in f:
+			if line.startswith("VmPeak:"):
+				return int(line.split()[1])*1024
+	raise OSError("VmPeak not found")
+
+def get_mac_taskinfo():
+	raise OSError("mac taskinfo not available on this platform")
+
+def mac_current():
+	import resource
+	return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+
+def mac_resident():
+	return mac_current()
+
+def mac_max():
+	return mac_current()
+
+class MemUse:
+	"""Track memory use across a with-block (reference memory.MemUse)."""
+	def __init__(self, name="", verbose=True):
+		self.name = name
+		self.verbose = verbose
+	def __enter__(self):
+		self.start = fallback([linux_resident, mac_resident])
+		return self
+	def __exit__(self, type, value, traceback):
+		self.stop = fallback([linux_resident, mac_resident])
+		self.diff = self.stop - self.start
+		if self.verbose:
+			print("memuse %s: %.2f MB -> %.2f MB (%+.2f MB)" % (self.name,
+				self.start/1e6, self.stop/1e6, self.diff/1e6))

@@ -143,3 +143,42 @@ def spec2corr(spec, pos, iscos=False, symmetric=True):
 		p0, p1 = p1, ((2*ll-1)*x*p1 - (ll-1)*p0)/ll
 		res = res + spec[..., ll:ll+1]*((2*ll+1)/(4*np.pi))*p1
 	return res
+
+
+def expand_inds(x, y):
+	"""Scatter columns y[:,len(x)] to positions x (reference
+	powspec.expand_inds)."""
+	x = np.asarray(x, int); y = np.asarray(y)
+	n = int(np.max(x)) + 1
+	res = np.zeros((y.shape[0], n))
+	res[:, x] = y
+	return res
+
+def sym_expand_camb_full_lens(a):
+	"""Expand camb full-lens columns into a [4,4,nl] matrix (reference
+	powspec.sym_expand_camb_full_lens)."""
+	a = np.asarray(a)
+	res = np.zeros((4, 4) + a.shape[1:], a.dtype)
+	res[0, 0] = a[4]
+	res[0, 1] = res[1, 0] = a[5]
+	res[0, 2] = res[2, 0] = a[6]
+	res[1, 1], res[2, 2], res[3, 3] = a[:3]
+	res[1, 2] = res[2, 1] = a[3]
+	return res
+
+def scale_camb_scalar_phi(a, direction, l=None):
+	"""Convert camb's dimensionless deflection spectrum to/from phi
+	(reference powspec.scale_camb_scalar_phi)."""
+	a = np.array(a, float)
+	if l is None: l = np.arange(a.shape[-1])
+	a[..., 1:] /= (l[1:]**4*2.726e6**2)**direction
+	a[..., 0] = 0
+	return a
+
+def read_phi_spectrum(fname, coloff=0, inds=True, scale=True, expand="diag"):
+	"""Read a lensing potential spectrum from a camb scalar file
+	(reference powspec.read_phi_spectrum)."""
+	a = read_spectrum(fname, inds=inds, scale=False, expand=None)[coloff]
+	if scale: a = scale_camb_scalar_phi(a, 1)
+	if expand is not None: a = a[None, None]
+	return a

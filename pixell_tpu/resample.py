@@ -58,3 +58,52 @@ def resample_bin(d, factors=[0.5], axes=None):
 		_, owcs = enmap.downgrade_geometry(d.shape, d.wcs, fac)
 		return enmap.ndmap(res, owcs)
 	return res
+
+
+def downsample_bin(d, steps=[2], axes=None):
+	"""Block-average downsample by integer steps (reference
+	resample.downsample_bin)."""
+	from . import utils
+	d = np.asarray(d) if not hasattr(d, "aval") else d
+	steps = np.atleast_1d(steps)
+	if axes is None: axes = list(range(-len(steps), 0))
+	return utils.downgrade(d, steps, axes=axes, op=np.mean, inclusive=False)
+
+def upsample_bin(d, steps=[2], axes=None):
+	"""Repeat-upsample by integer steps (reference resample.upsample_bin)."""
+	from . import utils
+	steps = np.atleast_1d(steps)
+	if axes is None: axes = list(range(-len(steps), 0))
+	return utils.upgrade(np.asarray(d), steps, axes=axes)
+
+def resample_fft_simple(d, n, ngroup=100):
+	"""Fourier-resample along the last axis in groups (reference
+	resample.resample_fft_simple)."""
+	from . import fft as _fft
+	return np.asarray(_fft.resample_fft(d, n, axes=(-1,)))
+
+def make_equispaced(d, t, quantile=0.1, order=3, mask_nan=False):
+	"""Resample data sampled at irregular times t to a constant rate
+	(reference resample.make_equispaced). Returns (d_out, t_out)."""
+	from . import interpol
+	import jax.numpy as jnp
+	d = np.asarray(d, float); t = np.asarray(t, float)
+	dt_all = np.diff(t)
+	dt = np.quantile(dt_all, quantile)
+	n = int(np.floor((t[-1] - t[0])/dt)) + 1
+	t_out = t[0] + np.arange(n)*dt
+	# fractional indices into the original sampling
+	idx = np.interp(t_out, t, np.arange(len(t)))
+	res = np.asarray(interpol.map_coordinates(jnp.asarray(d),
+		jnp.asarray(idx[None]), order=order, border="nearest"))
+	if mask_nan: res = np.nan_to_num(res)
+	return res, t_out
+
+
+def resample_fft(d, n, axes=None):
+	"""Fourier-resample d to lengths n along axes (reference
+	resample.resample_fft)."""
+	from . import fft as _fft
+	n = np.atleast_1d(n)
+	if axes is None: axes = list(range(-len(n), 0))
+	return _fft.resample_fft(d, n, axes=tuple(np.atleast_1d(axes)))

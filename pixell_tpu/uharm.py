@@ -177,3 +177,37 @@ def harm2profile_flat_2d(hprof, r):
 def _aswcs(harm, uht):
 	if isinstance(harm, enmap.ndmap): return harm
 	return enmap.ndmap(jnp.asarray(harm), uht.wcs)
+
+
+def res2lmax(res):
+	"""lmax needed to represent spatial scale res in radians
+	(reference uharm.res2lmax)."""
+	return utils.nint(np.pi/res)
+
+def beam2res(br, r):
+	"""Map resolution appropriate for a beam profile (reference
+	uharm.beam2res): a third of its fwhm."""
+	br = np.asarray(br); r = np.asarray(r)
+	fwhm = 2*r[np.where(br >= br[0]*0.5)[0][-1]]
+	return fwhm/3
+
+def beam2rmax(br, r, tol=1e-5, return_index=False):
+	"""Radius beyond which the beam is negligible (reference
+	uharm.beam2rmax)."""
+	br = np.asarray(br); r = np.asarray(r)
+	imax = np.where(br >= br[0]*tol)[0][-1]
+	return (r[imax], imax) if return_index else r[imax]
+
+def profile2harm_flat(br, r, oversample=2, pad_factor=2):
+	"""Flat-sky approximation to curvedsky.profile2harm for a 1d profile
+	(reference uharm.profile2harm_flat)."""
+	res = beam2res(br, r)
+	rmax = beam2rmax(br, r)*pad_factor
+	n = 2*utils.nint(rmax/res*oversample) + 1
+	shape, wcs = enmap.geometry(pos=np.array([0, 0]), res=res/oversample,
+		shape=(n, n), proj="car")
+	lbeam_2d = profile2harm_flat_2d(br, r, shape, wcs)
+	bl_tmp, l_tmp = enmap.lbin(lbeam_2d)
+	lmax = res2lmax(res)
+	l = np.arange(lmax + 1)
+	return np.interp(l, np.asarray(l_tmp), np.asarray(bl_tmp))

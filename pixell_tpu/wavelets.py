@@ -254,3 +254,47 @@ class VarButter(ButterTrim):
 		if self.shapes is not None:
 			self.shape = self.shapes[min(i, len(self.shapes)-1)]
 		return ButterTrim.kernel(self, i, l)
+
+
+def trim_kernel(a, tol):
+	"""(reference wavelets.trim_kernel)."""
+	return np.clip(np.asarray(a)*(1 + 2*tol) - tol, 0, 1)
+
+def digitize(a):
+	"""Approximate a smooth 0..1 array with an on/off array whose cumulative
+	sum tracks it (reference wavelets.digitize)."""
+	f = np.round(np.cumsum(np.asarray(a)))
+	return np.concatenate([[1], (f[1:] != f[:-1]).astype(int)])
+
+def make_wavelet_geometry_flat(ishape, iwcs, ires, ores, margin=4):
+	"""Downgraded flat geometry for a wavelet scale (reference
+	wavelets.make_wavelet_geometry_flat)."""
+	oshape = np.ceil(np.array(ishape[-2:])*ires/ores).astype(int) + margin
+	oshape = np.minimum(oshape, ishape[-2:])
+	owcs = wcsutils.scale(iwcs, oshape[-2:]/np.array(ishape[-2:]),
+		rowmajor=True, corner=True)
+	return tuple(oshape), owcs
+
+def make_wavelet_geometry_curved(ishape, iwcs, ores, minres=2*np.pi/180*2):
+	"""Fullsky-compatible geometry at resolution ores covering the input
+	patch (reference wavelets.make_wavelet_geometry_curved)."""
+	res = min(np.pi/np.ceil(np.pi/ores), minres)
+	box = np.array(enmap.corners(ishape, iwcs))
+	box[:, 0] = np.clip(box[:, 0], -np.pi/2, np.pi/2)
+	box[1, 1] = box[0, 1] + np.clip(box[1, 1] - box[0, 1], -2*np.pi, 2*np.pi)
+	tshape, twcs = enmap.fullsky_geometry(res=res)
+	pbox = np.asarray(enmap.skybox2pixbox(tshape, twcs, box))
+	pbox[np.argmax(pbox[:, 0]), 0] += 1
+	pbox = utils.nint(pbox)
+	# y ascending; x kept at its full (possibly wrapped) width, anchored at
+	# the rewound left edge
+	y1, y2 = int(min(pbox[:, 0])), int(max(pbox[:, 0]))
+	# width from the sky box itself (pixbox x coords may wrap)
+	wx = min(int(utils.nint(abs(box[1, 1] - box[0, 1])/(2*np.pi)*tshape[-1])),
+		tshape[-1])
+	# a full-wrap input's corner ra difference rewinds to 0; detect via cdelt
+	if wx == 0 and abs(ishape[-1]*iwcs.wcs.cdelt[0]) >= 360 - 1e-6:
+		wx = tshape[-1]
+	x1 = int(utils.rewind(min(pbox[:, 1]), ref=tshape[-1]//2, period=tshape[-1]))
+	return enmap.slice_geometry(tshape, twcs,
+		(slice(y1, y2), slice(x1, x1 + wx)), nowrap=True)

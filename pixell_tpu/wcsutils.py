@@ -589,3 +589,69 @@ def build(pos, res=None, shape=None, rowmajor=False, system="car", ref=None, **k
 
 def finalize(wcs, pos, res=None, shape=None, ref=None):
 	return wcs
+
+
+def extent2bounds(extent):
+	"""(reference wcsutils.extent2bounds)."""
+	return [[-e/2, e/2] for e in extent]
+
+def angdist(lon1, lat1, lon2, lat2):
+	"""Angular distance between lonlat points (reference wcsutils.angdist)."""
+	return np.arccos(np.clip(np.cos(lat1)*np.cos(lat2)*(np.cos(lon1)*np.cos(lon2)
+		+ np.sin(lon1)*np.sin(lon2)) + np.sin(lat1)*np.sin(lat2), -1, 1))
+
+def recenter_cyl_x(wcs, x):
+	"""Move a cylindrical wcs reference point along the equator to pixel x
+	(1-based) (reference wcsutils.recenter_cyl_x)."""
+	if not is_separable(wcs):
+		raise ValueError("recenter_cyl requires a cylindrical wcs with crval on the equator")
+	owcs = wcs.deepcopy()
+	owcs.wcs.crval = list(owcs.wcs.crval)
+	owcs.wcs.crpix = list(owcs.wcs.crpix)
+	owcs.wcs.crval[0] = wcs.wcs.crval[0] + (x - wcs.wcs.crpix[0])*wcs.wcs.cdelt[0]
+	owcs.wcs.crpix[0] = x
+	return owcs
+
+def recenter_cyl_ra(wcs, ra):
+	"""Move a cylindrical wcs reference point to the given ra (degrees)
+	(reference wcsutils.recenter_cyl_ra)."""
+	return recenter_cyl_x(wcs, wcs.wcs.crpix[0] + (ra - wcs.wcs.crval[0])/wcs.wcs.cdelt[0])
+
+def center_cyl_wcs(wcs, shape=None, off=0.5):
+	"""Move the reference point of a cylindrical wcs to the middle of the
+	patch (reference wcsutils.center_cyl_wcs)."""
+	if not is_separable(wcs):
+		raise ValueError("Can't fix wcs for non-separable wcs")
+	n = abs(360/wcs.wcs.cdelt[0]) if shape is None else shape[-1]
+	x = (n - 1)/2 + 1
+	ra = wcs.wcs.crval[0] + (x - wcs.wcs.crpix[0])*wcs.wcs.cdelt[0]
+	ra = (ra - off) % 360 + off
+	owcs = wcs.deepcopy()
+	owcs.wcs.crval = list(owcs.wcs.crval)
+	owcs.wcs.crpix = list(owcs.wcs.crpix)
+	owcs.wcs.crval[0] = ra
+	owcs.wcs.crpix[0] = x
+	return owcs
+
+def validate(pos, res, shape, rowmajor=False, default_dirs=[1, -1]):
+	"""Normalize (pos, res, shape) geometry arguments (reference
+	wcsutils.validate)."""
+	pos = np.asarray(pos)
+	if pos.shape != (2,) and pos.shape != (2, 2):
+		raise ValueError("pos must be [2] or [2,2]")
+	if res is None and shape is None:
+		raise ValueError("At least one of res and shape must be specified")
+	if res is not None:
+		res = np.atleast_1d(res)
+		if res.shape == (1,):
+			res = (np.zeros(2) + res) if pos.shape == (2, 2) else np.array(default_dirs)*res
+		elif res.shape != (2,):
+			raise ValueError("res must be num or [2]")
+	if rowmajor:
+		pos = pos[..., ::-1]
+		if shape is not None: shape = shape[::-1]
+		if res is not None: res = res[::-1]
+	if shape is not None: shape = shape[:2]
+	if res is None and pos.ndim != 2:
+		raise ValueError("pos must be a bounding box if res is not specified")
+	return pos, res, shape
