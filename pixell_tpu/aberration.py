@@ -137,17 +137,15 @@ def _deflect_coords(c, dir, beta):
 	d, r = deflect(c[1], c[0], dir, beta)
 	return np.array([r, d])
 
-def calc_boost_1d(t, beta):
-	"""Aberrated angle and derivative for angles t from the apex
-	(reference aberration.calc_boost_1d:197)."""
-	cost = np.cos(t)
-	cost2 = (cost + beta)/(1 + beta*cost)
-	t2 = np.arccos(np.clip(cost2, -1, 1))
-	# dt2/dt
-	dt2 = (1 - beta**2)/(1 + beta*cost)  # d(cost2)/d(cost)... chain rule:
-	sint, sint2 = np.sin(t), np.maximum(np.sin(t2), 1e-300)
-	deriv = sint/sint2*(1 - beta**2)/(1 + beta*cost)**2
-	return t2, deriv
+def calc_boost_1d(z, beta):
+	"""Observed z_obs = cos(theta_obs) and modulation A for rest-frame
+	z = cos(theta) (reference aberration.calc_boost_1d:197). Pass -beta
+	for the inverse transform."""
+	z = np.asarray(z, float)
+	gamma = (1 - beta**2)**-0.5
+	z_obs = np.clip((z + beta)/(1 + z*beta), -1, 1)
+	A = 1/(gamma*(1 - z_obs*beta))
+	return z_obs, A
 
 def beta2lmax(beta, lmax0):
 	"""Empirical lmax needed to resolve an aberrated map
@@ -159,3 +157,150 @@ def _cos_from_dir(dec, ra, dir):
 	"""cos(angle) between positions (dec,ra) and the apex dir [{ra,dec}]."""
 	dra = ra - dir[0]
 	return np.sin(dec)*np.sin(dir[1]) + np.cos(dec)*np.cos(dir[1])*np.cos(dra)
+
+
+# ---------------------------------------------------------------------------
+# Reference-named operation wrappers (reference aberration.py:10-330)
+# ---------------------------------------------------------------------------
+def aberrate_map(map, dir=dir_equ, beta=beta, spin=[0, 2], nthread=None,
+		coord_dtype=None, boundary="auto"):
+	"""Aberration-only part of the boost (reference aberration.aberrate_map)."""
+	return boost_map(map, dir=dir, beta=beta, aberrate=True, modulate=False)
+
+def deaberrate_map(map, dir=dir_equ, beta=beta, spin=[0, 2], nthread=None,
+		coord_dtype=None, boundary="auto"):
+	return boost_map(map, dir=dir, beta=-beta, aberrate=True, modulate=False)
+
+def modulate_map(map, dir=dir_equ, beta=beta, modulation="T2lin",
+		T0=utils.T_cmb, freq=150e9, return_modulation=False, dipole=False,
+		map_unit=1e-6, spin=[0, 2], nthread=None):
+	"""Modulation-only part of the boost (reference aberration.modulate_map)."""
+	return boost_map(map, dir=dir, beta=beta, aberrate=False, modulate=True,
+		modulation=modulation, T0=T0, freq=freq, dipole=dipole,
+		return_modulation=return_modulation)
+
+def demodulate_map(map, dir=dir_equ, beta=beta, modulation="lin2T",
+		T0=utils.T_cmb, freq=150e9, return_modulation=False, dipole=False,
+		map_unit=1e-6, spin=[0, 2], nthread=None):
+	return boost_map(map, dir=dir, beta=-beta, aberrate=False, modulate=True,
+		modulation=modulation, T0=T0, freq=freq, dipole=dipole,
+		return_modulation=return_modulation)
+
+def deboost_map(map, dir=dir_equ, beta=beta, modulation="lin2T",
+		T0=utils.T_cmb, freq=150e9, return_modulation=False, dipole=False,
+		map_unit=1e-6, spin=[0, 2], aberrate=True, modulate=True,
+		nthread=None, coord_dtype=None, boundary="auto"):
+	"""Inverse of boost_map (reference aberration.deboost_map)."""
+	return boost_map(map, dir=dir, beta=-beta, aberrate=aberrate,
+		modulate=modulate, modulation=modulation, T0=T0, freq=freq,
+		dipole=dipole, return_modulation=return_modulation)
+
+def fully(shape, wcs, tol=0.1):
+	"""Does the geometry cover ~the full sky in y? (reference
+	aberration.fully)."""
+	from . import curvedsky
+	minfo = curvedsky.analyse_geometry(shape, wcs)
+	if minfo.case != "2d" or getattr(minfo, "nphi_full", None) is None:
+		return False
+	ny_full = getattr(minfo, "ny_full", None)
+	if ny_full is None:
+		ny_full = shape[-2] + sum(np.atleast_1d(getattr(minfo, "ypad", [0, 0])))
+	return abs(shape[-2]/ny_full) > 1 - tol
+
+def calc_boost_field(beta, dir, lmax=None, nthread=None, modulation=False,
+		mod_exp=1):
+	"""Spin-1 alm of the aberration deflection field (and optionally the
+	spin-0 alm of the modulation) (reference aberration.calc_boost_field)."""
+	from . import curvedsky
+	if lmax is None: lmax = beta2lmax(beta, 1000)
+	n = lmax + 2
+	itheta = np.arange(n)*np.pi/(n - 1)
+	iz = np.cos(itheta)
+	oz, A = calc_boost_1d(iz, beta)
+	otheta = np.arccos(oz)
+	dpos = np.zeros([2, n])
+	dpos[0] = otheta - itheta
+	alm = curvedsky.prof2alm(dpos, dir=dir, spin=1)
+	if modulation:
+		malm = curvedsky.prof2alm(A**mod_exp, dir=dir, spin=0)
+		return alm, malm
+	return alm
+
+def interpol_map(imap, pixs, epsilon=None, nthread=None, ydouble=False):
+	"""NUFFT interpolation of a map at fractional pixels, with optional
+	y-doubling for full-sky boundary conditions (reference
+	aberration.interpol_map)."""
+	from . import fft as enfft
+	arr = jnp.asarray(imap)
+	ny, nx = arr.shape[-2:]
+	if ydouble:
+		mirror = jnp.roll(arr[..., ::-1, :], nx//2, -1)
+		arr = jnp.concatenate([arr, mirror], -2)
+	res = enfft.interpol_nufft(arr, jnp.asarray(pixs), epsilon=epsilon)
+	return np.asarray(utils.from_device(res)) if not isinstance(res, np.ndarray) else res
+
+def rotate_pol(pmap, gamma, spin=2):
+	"""In-place-style polarization rotation of pmap[{Q,U},...] by gamma
+	(reference aberration.rotate_pol)."""
+	if spin == 0: return pmap
+	q = jnp.asarray(pmap[0]); u = jnp.asarray(pmap[1])
+	g = jnp.asarray(gamma)
+	c, s = jnp.cos(spin*g), jnp.sin(spin*g)
+	return type(pmap)([q*c + u*s, -q*s + u*c]) if isinstance(pmap, list) \
+		else jnp.stack([q*c + u*s, -q*s + u*c])
+
+def apply_modulation(map, A, T0=utils.T_cmb, freq=150e9, map_unit=1e-6,
+		mode="T2lin", dipole=False, spin=[0, 2]):
+	"""Apply the modulation field A with optional thermodynamic-unit
+	corrections (reference aberration.apply_modulation). T components get
+	the frequency-dependent quadratic correction; polarization is scaled."""
+	arr = jnp.asarray(map)
+	Aj = jnp.asarray(A)
+	if mode in [None, "none"]:
+		return map
+	if mode in ["plain", "T2T"]:
+		res = arr*Aj
+		if dipole:
+			if arr.ndim >= 3:
+				res = res.at[..., 0, :, :].add((Aj - 1)*(T0/map_unit))
+			else:
+				res = res + (Aj - 1)*(T0/map_unit)
+		return enmap.samewcs(res, map) if hasattr(map, "wcs") else res
+	if mode in ["T2lin", "lin2T", "lin2lin"]:
+		# thermodynamic <-> linearized conversion at frequency freq:
+		# x = h nu / k T; f(x) quantifies the quadratic correction
+		x = utils.h*freq/(utils.k*T0)
+		fnl = x*(np.exp(x) + 1)/(np.exp(x) - 1) - 4
+		T = arr*map_unit/T0  # dimensionless fluctuation
+		if mode == "T2lin":
+			res = Aj*(T + fnl*T**2) if False else Aj*T  # linear term; correction below
+			res = Aj*T*(1 + fnl*(Aj - 1))
+		elif mode == "lin2T":
+			res = Aj*T*(1 - fnl*(Aj - 1))
+		else:
+			res = T
+		res = res*T0/map_unit
+		if dipole:
+			if arr.ndim >= 3:
+				res = res.at[..., 0, :, :].add((Aj - 1)*(T0/map_unit))
+			else:
+				res = res + (Aj - 1)*(T0/map_unit)
+		return enmap.samewcs(res, map) if hasattr(map, "wcs") else res
+	raise ValueError("Unrecognized modulation mode '%s'" % mode)
+
+def fast_rewind(arr, period, ref=None):
+	"""In-place single-period rewind (reference aberration.fast_rewind)."""
+	if ref is None: ref = period/2
+	off = arr - ref
+	arr -= period*(off >= period/2)
+	arr += period*(off < -period/2)
+	return arr
+
+def sky2pix(shape, wcs, pos):
+	"""Fast CAR special-case sky->pix (reference aberration.sky2pix)."""
+	typ = wcs.wcs.ctype[0][-3:]
+	if typ == "CAR" and wcs.wcs.crval[1] == 0:
+		return np.array([
+			(pos[0] - wcs.wcs.crval[1]*utils.degree)/(wcs.wcs.cdelt[1]*utils.degree) + (wcs.wcs.crpix[1]-1),
+			(pos[1] - wcs.wcs.crval[0]*utils.degree)/(wcs.wcs.cdelt[0]*utils.degree) + (wcs.wcs.crpix[0]-1)])
+	return np.asarray(enmap.sky2pix(shape, wcs, pos))

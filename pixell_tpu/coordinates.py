@@ -100,6 +100,8 @@ def getsys(sys):
 	raise ValueError("Unknown coordinate system '%s'" % sys)
 
 def getsys_full(sys, time=None, site=None):
+	if isinstance(sys, str) and sys.lower() in ["hor", "altaz", "tele", "bore"]:
+		return sys.lower()
 	return getsys(sys)
 
 def recenter(angs, center, restore=False):
@@ -172,3 +174,138 @@ def hor2equ(coords, mjd, site):
 	lst = gmst(mjd) + lon
 	ra = (lst - H) % (2*np.pi)
 	return np.stack([ra, dec])
+
+
+# ---------------------------------------------------------------------------
+# Site-relative systems: hor/cel via the sidereal rotation above, tele/bore
+# via fixed euler rotations (reference coordinates.py:145-270; the reference
+# drives slalib/astropy, which are absent here -- accuracy is arcminute-level
+# for hor, exact for tele/bore)
+# ---------------------------------------------------------------------------
+class default_site:
+	"""ACT-like site (reference coordinates.default_site)."""
+	lat = -22.9585
+	lon = -67.7876
+	alt = 5188.0
+	T = 273.15
+	P = 550.0
+	hum = 0.2
+	freq = 150.0
+	lapse = 0.0065
+	base_tilt = 0.0107693
+	base_az = -114.9733961
+
+def hor2cel(coord, time, site=default_site, copy=True):
+	"""[{az,el},...] -> [{ra,dec},...] at the given mjd times
+	(reference coordinates.hor2cel; sidereal approximation)."""
+	coord = np.array(coord, copy=copy)
+	res = hor2equ(coord[:2], np.asarray(time), site)
+	coord[:2] = res
+	return coord
+
+def cel2hor(coord, time, site=default_site, copy=True):
+	coord = np.array(coord, copy=copy)
+	res = equ2hor(coord[:2], np.asarray(time), site)
+	coord[:2] = res
+	return coord
+
+def tele2hor(coord, site=default_site, copy=True):
+	"""Telescope -> horizontal coordinates via the base tilt
+	(reference coordinates.tele2hor)."""
+	coord = np.array(coord, copy=copy)
+	return euler_rot([site.base_az*utils.degree, site.base_tilt*utils.degree,
+		-site.base_az*utils.degree], coord)
+
+def hor2tele(coord, site=default_site, copy=True):
+	coord = np.array(coord, copy=copy)
+	return euler_rot([site.base_az*utils.degree, -site.base_tilt*utils.degree,
+		-site.base_az*utils.degree], coord)
+
+def tele2bore(coord, bore, copy=True):
+	"""To boresight-relative coordinates (reference coordinates.tele2bore)."""
+	return recenter(np.array(coord, copy=copy), bore)
+
+def bore2tele(coord, bore, copy=True):
+	"""From boresight-relative coordinates (reference coordinates.bore2tele)."""
+	return decenter(np.array(coord, copy=copy), bore)
+
+def nohor(sys):
+	return sys if sys not in ["altaz", "tele", "bore", "hor"] else "icrs"
+
+def get_handedness(sys):
+	"""IAU handedness of the system as seen from inside the sphere
+	(reference coordinates.get_handedness)."""
+	return "R" if sys in ["altaz", "tele", "bore", "hor"] else "L"
+
+def make_mapping(dict_):
+	return {value: key for key in dict_ for value in dict_[key]}
+
+def ephem_pos(name, mjd):
+	"""Equatorial position of a named ephemeris object (reference
+	coordinates.ephem_pos; analytic sun/moon backend)."""
+	from . import ephem as ephem_mod
+	return ephem_mod.ephem_pos(name, mjd)
+
+def interpol_pos(from_sys, to_sys, name_or_pos, mjd, site=default_site, dt=10):
+	"""Densely-sampled transformed positions of a moving object
+	(reference coordinates.interpol_pos)."""
+	mjd = np.asarray(mjd)
+	box = utils.widen_box(np.array([np.min(mjd), np.max(mjd)]), 0.01)
+	sub_nsamp = max(3, int((box[1] - box[0])*24.*3600/dt))
+	sub_mjd = np.linspace(box[0], box[1], sub_nsamp, endpoint=True)
+	if isinstance(name_or_pos, str):
+		sub_from = ephem_pos(name_or_pos, sub_mjd)
+	else:
+		pos = np.asarray(name_or_pos)
+		sub_from = np.zeros([2, sub_nsamp])
+		sub_from[:] = pos[:, None]
+	sub_to = transform_raw(from_sys, to_sys, sub_from, time=sub_mjd, site=site)
+	ra = utils.unwind(sub_to[0])
+	return np.array([np.interp(mjd, sub_mjd, ra) % (2*np.pi),
+		np.interp(mjd, sub_mjd, sub_to[1])])
+
+def transform_raw(from_sys, to_sys, coords, time=None, site=default_site, bore=None):
+	"""Transform between hor/cel/gal (+tele/bore) systems, handling the
+	time-dependent hor chain (reference coordinates.transform_raw)."""
+	coords = np.array(coords)[:2]
+	fs, ts = getsys_full(from_sys), getsys_full(to_sys)
+	cur = coords
+	# to celestial first
+	if fs in ["hor", "altaz"]:
+		cur = hor2cel(cur, time, site)
+	elif fs == "tele":
+		cur = hor2cel(tele2hor(cur, site), time, site)
+	elif fs == "bore":
+		cur = hor2cel(tele2hor(bore2tele(cur, bore), site), time, site)
+	elif fs != "equ":
+		cur = transform(fs, "equ", cur)
+	# celestial to target
+	if ts in ["hor", "altaz"]:
+		cur = cel2hor(cur, time, site)
+	elif ts == "tele":
+		cur = hor2tele(cel2hor(cur, time, site), site)
+	elif ts == "bore":
+		cur = tele2bore(hor2tele(cel2hor(cur, time, site), site), bore)
+	elif ts != "equ":
+		cur = transform("equ", ts, cur)
+	return cur
+
+def transform_euler(euler, coords, pol=None, mag=None):
+	"""Transform coords by zyz euler angles, with optional polarization
+	angle and magnification rows (reference coordinates.transform_euler)."""
+	coords = np.asarray(coords)
+	def rotfun(c): return euler_rot(euler, c)
+	meta = transform_meta(rotfun, coords[:2])
+	nfield = max(0, len(coords) - 2)
+	res = np.zeros((2 + nfield,) + np.shape(meta.ocoord)[1:])
+	res[:2] = meta.ocoord
+	if nfield >= 1:
+		res[2] = coords[2] + meta.ang
+	if nfield >= 2:
+		res[3] = coords[3]
+	return res
+
+def transform_astropy(from_sys, to_sys, coords):
+	"""astropy-free version of the reference's astropy fallback: supports the
+	fixed-matrix systems (reference coordinates.transform_astropy)."""
+	return transform(from_sys, to_sys, coords)

@@ -687,9 +687,40 @@ def harm2profile(bl, r):
 	l = np.arange(lmax+1)
 	return np.einsum("...l,l,lq->...q", bl, (2*l+1)/(4*np.pi), P)
 
-def prof2alm(br, r, lmax=None, pos=None, ainfo=None):
-	"""Alm of an azimuthally symmetric profile centered at pos [dec,ra]
-	(defaults to the north pole) (reference curvedsky.prof2alm:558)."""
+def prof2alm(profile, dir=[0, np.pi/2], spin=0, geometry="CC", nthread=None,
+		norot=False):
+	"""Alm of a 1d equispaced (CC-grid) theta-profile[..., n] of the given
+	spin, oriented along dir=[ra, dec] (reference curvedsky.prof2alm:558).
+	A spin-s azimuthally symmetric field has power at m=0 only, so this is
+	an mmax=0 analysis followed by an alm rotation to dir."""
+	profile = np.asarray(profile, np.float64)
+	n = profile.shape[-1]
+	lmax = get_ducc_maxlmax(geometry.upper(), n)
+	theta = sht.ring_theta(geometry.upper() if geometry.upper() in ["CC", "F1", "F2"] else "CC", n)
+	w = sht.ring_weights("CC" if geometry.upper() == "CC" else geometry.upper(), n)
+	ncomp = 1 if spin == 0 else 2
+	prof = profile.reshape((-1, ncomp, n, 1)) if profile.ndim > 1 else \
+		profile.reshape((1, 1, n, 1))
+	outs = []
+	for sub in prof:
+		a0 = sht.analysis(jnp.asarray(sub), theta, lmax, jnp.asarray(w),
+			mmax=0, spin=[spin])
+		a0 = np.asarray(utils.from_device(a0))     # [ncomp, lmax+1]
+		full = np.zeros(a0.shape[:-1] + (sht.nalm(lmax),), a0.dtype)
+		full[..., :lmax+1] = a0
+		outs.append(full)
+	alm = np.concatenate(outs, 0)
+	alm = alm.reshape(profile.shape[:-1] + (sht.nalm(lmax),)) if profile.ndim > 1 \
+		else alm.reshape(-1, sht.nalm(lmax))[0]
+	if not norot:
+		ra, dec = dir[0], dir[1]
+		if not (np.abs(dec - np.pi/2) < 1e-12 and np.abs(ra) < 1e-12):
+			alm = rotate_alm(alm, 0.0, np.pi/2 - dec, ra)
+	return alm
+
+def prof2alm_radial(br, r, lmax=None, pos=None, ainfo=None):
+	"""Alm of an azimuthally symmetric radial profile br(r) centered at pos
+	[dec,ra] (north pole by default)."""
 	bl = profile2harm(br, r, lmax=lmax)
 	lmax = len(bl)-1
 	if ainfo is None: ainfo = alm_info(lmax=lmax)
