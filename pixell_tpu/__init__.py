@@ -28,6 +28,8 @@ from . import pointsrcs
 from . import analysis
 from . import distances
 from . import coordinates
+from . import coordsys
+from . import old_aberration
 from . import healpix
 from . import colorize
 from . import colors
@@ -44,7 +46,8 @@ from . import sites
 from . import mpi
 from . import mpiutils
 from . import warray
-from . import sqlite_util as sqlite
+from . import sqlite
+from . import sqlite_util
 from . import checkpoint
 from . import parallel
 from . import models

@@ -66,3 +66,73 @@ def draw_labels(img, labels, color="000000ff", fsize=12):
 	for lab in labels:
 		draw.text((float(lab.pos[0]) + 2, float(lab.pos[1]) + 2), lab.text, fill=col)
 	return img
+
+
+class Gridinfo:
+	"""(reference cgrid.Gridinfo)."""
+	pass
+
+def fix_wcs(wcs):
+	"""WCS suitable for drawing grid lines (reference cgrid.fix_wcs);
+	our analytic wcs has no bounds checking, so this is the identity for
+	cylindrical systems."""
+	return wcs
+
+def calc_bounds(boxes, size):
+	"""Bounding box of boxes [:,{from,to},{x,y}], at least ((0,0),size)
+	(reference cgrid.calc_bounds)."""
+	boxes = np.asarray(boxes)
+	return np.array([np.minimum((0, 0), np.min(boxes[:, 0], 0)),
+		np.maximum(size, np.max(boxes[:, 1], 0))]).astype(int)
+
+def expand_image(img, bounds):
+	from PIL import Image
+	res = Image.new("RGBA", tuple(int(v) for v in (bounds[1] - bounds[0])))
+	res.paste(img, tuple(int(v) for v in -bounds[0]))
+	return res
+
+def get_font(fsize=16, fname="arial.ttf"):
+	from PIL import ImageFont
+	try:
+		return ImageFont.truetype(fname, size=fsize)
+	except (IOError, OSError):
+		try:
+			return ImageFont.truetype("DejaVuSans.ttf", size=fsize)
+		except (IOError, OSError):
+			return ImageFont.load_default()
+
+def calc_line_segs(pixs, steplim=10.0, extrapolate=2.0):
+	"""Split a point sequence at huge jumps, extrapolating the cut edges
+	(reference cgrid.calc_line_segs)."""
+	pixs = np.asarray(pixs)
+	lens = np.sum((pixs[1:] - pixs[:-1])**2, 1)**0.5
+	typical = np.median(lens) if len(lens) else 0
+	jump = np.where(lens > typical*steplim)[0]
+	segs = np.split(pixs, jump + 1)
+	def extrap(seg):
+		if len(seg) < 2: return seg
+		return np.concatenate([seg, [seg[-1] + (seg[-1] - seg[-2])*extrapolate]])
+	nseg = len(segs)
+	segs = list(segs)
+	for i in range(nseg - 1): segs[i] = extrap(segs[i])
+	for i in range(1, nseg): segs[i] = extrap(segs[i][::-1])[::-1]
+	return segs
+
+def prune_bad_segs(segs, shape, tol=10000):
+	"""Drop segments with NaNs or entirely outside the image (reference
+	cgrid.prune_bad_segs)."""
+	osegs = []
+	pmin = -tol
+	pmax = np.array([shape[-1], shape[-2]]) + tol
+	for seg in segs:
+		if len(seg) <= 1: continue
+		seg = np.asarray(seg)
+		finite = np.all(np.isfinite(seg), 1)
+		seg = seg[finite]
+		if len(seg) == 0: continue
+		inside = np.all((seg >= pmin) & (seg <= pmax), 1)
+		left = np.concatenate([[False], inside[:-1]])
+		right = np.concatenate([inside[1:], [False]])
+		seg = seg[inside | left | right]
+		if len(seg) > 1: osegs.append(seg)
+	return osegs

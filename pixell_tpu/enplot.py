@@ -284,3 +284,324 @@ def draw_annotations(img, map, args):
 		elif kind in ["point", "p"]:
 			draw.ellipse([x-2, y-2, x+2, y+2], fill=(255, 0, 0, 255))
 	return img
+
+
+# ---------------------------------------------------------------------------
+# Reference-interface compatibility layer (reference enplot.py). The drawing
+# machinery above uses our own names; these provide the reference's public
+# functions on top of it.
+# ---------------------------------------------------------------------------
+class BackendError(Exception): pass
+
+class Printer:
+	"""Leveled printer (reference enplot.Printer)."""
+	def __init__(self, level=1, prefix=""):
+		self.level = level
+		self.prefix = prefix
+	def write(self, desc, level=1, exact=None, newline=True, prepend=""):
+		if level <= self.level or level == exact:
+			import sys
+			sys.stderr.write(prepend + self.prefix + desc + ("\n" if newline else ""))
+	def push(self, desc):
+		return Printer(self.level, self.prefix + desc)
+	def time(self, desc, level=1, exact=None):
+		class _T:
+			def __enter__(s): return s
+			def __exit__(s, *a): pass
+		return _T()
+
+noprint = Printer(level=0)
+
+def get_plots(*arglist, **args):
+	"""Alias of plot (reference enplot.get_plots)."""
+	return plot(*arglist, **args)
+
+def extract_arg(args, name, default):
+	if name in args: return args.pop(name)
+	return default
+
+def check_args(kwargs):
+	parser = define_arg_parser()
+	known = set()
+	for action in parser._actions:
+		known.add(action.dest)
+	bad = [k for k in kwargs if k not in known]
+	if bad: raise ValueError("Unrecognized plot arguments: %s" % str(bad))
+
+def get_cache(cache, key, fun):
+	if cache is None: return fun()
+	if key not in cache: cache[key] = fun()
+	return cache[key]
+
+def get_map(ifile, args, return_info=False, name=None):
+	"""Read and massage a map according to the plot options (reference
+	enplot.get_map)."""
+	from . import enmap
+	m = enmap.read_map(ifile) if isinstance(ifile, str) else ifile
+	if getattr(args, "downgrade", None):
+		m = enmap.downgrade(m, int(args.downgrade))
+	if getattr(args, "autocrop", False):
+		m = enmap.autocrop(m)
+	if return_info:
+		from .bunch import Bunch
+		return m, Bunch(fname=ifile if isinstance(ifile, str) else (name or "map"),
+			ishape=m.shape, names=[])
+	return m
+
+def parse_range(desc, n):
+	if desc is None: return None
+	parts = str(desc).split(":")
+	res = np.array([float(p) for p in parts])
+	return np.concatenate([res, np.repeat(res[-1:], n - len(res))])[:n]
+
+def parse_list(desc, dtype=float, sep=","):
+	if desc is None or desc == "": return []
+	return [dtype(tok) for tok in str(desc).split(sep)]
+
+def get_num_digits(n):
+	return int(np.log10(max(n, 1))) + 1
+
+def split_file_name(fname):
+	"""fname -> (dirname, basename, ext) (reference enplot.split_file_name)."""
+	import os
+	dirname, base = os.path.split(fname)
+	if not dirname: dirname = "."
+	base, ext = os.path.splitext(base)
+	return dirname, base, ext.lstrip(".")
+
+def is_video_ext(ext):
+	return ext.lower() in ["gif", "mp4", "webm", "avi", "mov"]
+
+def map_to_color(map, crange, args):
+	"""[{R,G,B,A},ny,nx] uint8 color map from map values and color range
+	(reference enplot.map_to_color)."""
+	from . import colorize
+	arr = np.asarray(map)
+	if arr.ndim > 2: arr = arr.reshape((-1,) + arr.shape[-2:])[0]
+	x = (arr - crange[0])/max(crange[1] - crange[0], 1e-300)
+	cmap = getattr(args, "color", "planck") if not isinstance(args, str) else args
+	rgba = colorize.colorize(x, cmap=cmap if isinstance(cmap, str) else "planck")
+	return np.moveaxis(rgba, -1, 0)
+
+def calc_contours(crange, args):
+	"""Contour levels from a value range and the contour spec (reference
+	enplot.calc_contours)."""
+	spec = getattr(args, "contours", None)
+	if spec is None: return None
+	return _contour_levels(spec, np.asarray(crange))
+
+def parse_annotations(afile):
+	"""Parse an annotation file into [[type, args...]] entries (reference
+	enplot.parse_annotations)."""
+	res = []
+	with open(afile, "r") as f:
+		for line in f:
+			line = line.strip()
+			if not line or line.startswith("#"): continue
+			res.append(line.split())
+	return res
+
+def calc_gridinfo(shape, wcs, args):
+	"""Grid-line points for the map (reference enplot.calc_gridinfo)."""
+	from . import cgrid
+	ticks = np.zeros(2) + (getattr(args, "ticks", 1) or 1)
+	nstep = np.zeros(2, int) + (getattr(args, "nstep", 200) or 200)
+	ginfo = cgrid.calc_gridinfo(shape, wcs, steps=ticks, nstep=nstep)
+	ginfo.shape = tuple(shape[-2:])
+	return ginfo
+
+def draw_grid(ginfo, args):
+	"""Render grid lines onto a transparent canvas (reference
+	enplot.draw_grid): returns (img, bounds)."""
+	from . import cgrid
+	from PIL import Image
+	size = tuple(int(v) for v in np.asarray(ginfo.shape[-2:])[::-1])
+	img = Image.new("RGBA", size)
+	img = cgrid.draw_grid(img, ginfo, color=getattr(args, "grid_color", None) or "00000020")
+	bounds = np.array([[0, 0], list(img.size)])
+	return img, bounds
+
+def draw_grid_labels(ginfo, args):
+	"""Render grid labels (reference enplot.draw_grid_labels): returns
+	(img, bounds)."""
+	from . import cgrid
+	from PIL import Image
+	size = tuple(int(v) for v in np.asarray(ginfo.shape[-2:])[::-1])
+	img = Image.new("RGBA", size)
+	labels = cgrid.calc_label_pos(ginfo, ginfo.shape[-2:])
+	img = cgrid.draw_labels(img, labels, fsize=getattr(args, "font_size", 16))
+	bounds = np.array([[0, 0], list(img.size)])
+	return img, bounds
+
+def standardize_images(tuples):
+	"""Composite (img, bounds) layers onto a common canvas (reference
+	enplot.standardize_images)."""
+	from PIL import Image
+	boxes = np.array([np.asarray(b) for i, b in tuples if b is not None])
+	if len(boxes) == 0:
+		return [i for i, b in tuples]
+	lo = boxes[:, 0].min(0)
+	hi = boxes[:, 1].max(0)
+	size = tuple((hi - lo).astype(int))
+	out = []
+	for img, b in tuples:
+		canvas = Image.new("RGBA", size)
+		off = tuple((np.asarray(b)[0] - lo).astype(int)) if b is not None else (0, 0)
+		canvas.paste(img, off)
+		out.append(canvas)
+	return out
+
+def merge_images(images):
+	"""Alpha-composite a list of same-size images (reference
+	enplot.merge_images)."""
+	from PIL import Image
+	out = images[0].convert("RGBA")
+	for img in images[1:]:
+		out = Image.alpha_composite(out, img.convert("RGBA"))
+	return out
+
+def merge_plots(plots):
+	from .bunch import Bunch
+	imgs = [p.img for p in plots]
+	return Bunch(img=merge_images(imgs), name=plots[0].name if plots else "")
+
+def prepare_map_field(map, args, crange=None, printer=noprint):
+	"""Color-range + massaging for a single field (reference
+	enplot.prepare_map_field)."""
+	arr = np.asarray(map)
+	if crange is None:
+		crange = get_color_range(arr,
+			quantile=getattr(args, "quantile", 0.01) or 0.01)
+	return map, crange
+
+def makefoot(n):
+	"""Circular morphology footprint (reference enplot.makefoot)."""
+	y, x = np.mgrid[-n:n+1, -n:n+1]
+	return ((y**2 + x**2) <= n**2).astype(np.int32)
+
+def contour_widen(cmap, width):
+	"""Widen contour lines by morphological dilation (reference
+	enplot.contour_widen)."""
+	from scipy import ndimage
+	if width <= 1: return cmap
+	return ndimage.grey_dilation(cmap, footprint=makefoot(int(width)))
+
+def draw_ellipse(image, bounds, width=1, outline="white", antialias=1):
+	"""Antialiased ellipse outline (reference enplot.draw_ellipse)."""
+	from PIL import Image, ImageDraw
+	mask = Image.new("L", (int(image.size[0]*antialias), int(image.size[1]*antialias)), 0)
+	draw = ImageDraw.Draw(mask)
+	for off, fill in [(width/-2.0, "white"), (width/2.0, "black")]:
+		left, top = [(v + off)*antialias for v in bounds[:2]]
+		right, bottom = [(v - off)*antialias for v in bounds[2:]]
+		draw.ellipse([left, top, right, bottom], fill=fill)
+	mask = mask.resize(image.size, Image.LANCZOS)
+	result = image.copy()
+	result.paste(outline, mask=mask)
+	return result
+
+def hwexpand(m, nrow=-1, ncol=-1, transpose=False, dims=None):
+	"""Stack maps [n,ny,nx] -> [nrow,ncol,ny,nx] (reference enplot.hwexpand)."""
+	m = np.asarray(m)
+	m = m.reshape((-1,) + m.shape[-2:])
+	n = m.shape[0]
+	if nrow < 0 and ncol < 0: ncol = int(np.ceil(n**0.5))
+	if nrow < 0: nrow = (n + ncol - 1)//ncol
+	if ncol < 0: ncol = (n + nrow - 1)//nrow
+	out = np.zeros((nrow, ncol) + m.shape[-2:], m.dtype)
+	for i in range(n):
+		r, c = (i//ncol, i % ncol) if not transpose else (i % nrow, i//nrow)
+		out[r, c] = m[i]
+	return out
+
+def hwstack(mexp):
+	"""[nrow,ncol,ny,nx] -> [nrow*ny, ncol*nx] (reference enplot.hwstack)."""
+	mexp = np.asarray(mexp)
+	nrow, ncol, ny, nx = mexp.shape[-4:]
+	out = np.moveaxis(mexp, -3, -2)
+	return out.reshape(mexp.shape[:-4] + (nrow*ny, ncol*nx))
+
+def extract_stamps(map, args):
+	"""Stack of postage stamps from args.stamps (reference
+	enplot.extract_stamps)."""
+	from . import enmap
+	spec = getattr(args, "stamps", None)
+	if spec is None: return map
+	toks = str(spec).split(":")
+	srcfile = toks[0]
+	size = int(toks[1]) if len(toks) > 1 else 16
+	srcs = np.loadtxt(srcfile, ndmin=2).T
+	pixs = np.round(np.asarray(enmap.sky2pix(map.shape, map.wcs,
+		srcs[:2]*np.pi/180))).astype(int)
+	stamps = []
+	for py, px in pixs.T:
+		stamps.append(np.asarray(map)[..., py-size//2:py+size//2, px-size//2:px+size//2])
+	return np.array(stamps)
+
+def draw_map_field_mpl(map, args, crange=None, printer=noprint):
+	"""Matplotlib rendering path (reference enplot.draw_map_field_mpl)."""
+	import matplotlib
+	matplotlib.use("Agg")
+	import matplotlib.pyplot as plt
+	import io
+	from PIL import Image
+	arr = np.asarray(map)
+	if arr.ndim > 2: arr = arr.reshape((-1,) + arr.shape[-2:])[0]
+	if crange is None: crange = get_color_range(arr)
+	fig, ax = plt.subplots()
+	im = ax.imshow(arr, vmin=crange[0], vmax=crange[1], origin="lower")
+	fig.colorbar(im)
+	buf = io.BytesIO()
+	fig.savefig(buf, format="png")
+	plt.close(fig)
+	buf.seek(0)
+	return Image.open(buf)
+
+def show(img, title=None, method="auto"):
+	"""Display an image interactively (reference enplot.show)."""
+	methods = {"ipython": show_ipython, "tk": show_tk, "wx": show_wx,
+		"qt": show_qt}
+	if method != "auto":
+		return methods[method](img, title=title)
+	for m in ["ipython", "tk", "qt", "wx"]:
+		try:
+			return methods[m](img, title=title)
+		except BackendError:
+			continue
+		except Exception:
+			continue
+	raise BackendError("Could not find any working display backends")
+
+def show_ipython(img, title=None):
+	try:
+		from IPython.display import display
+	except ImportError:
+		raise BackendError("ipython backend unavailable")
+	try:
+		get_ipython
+	except NameError:
+		raise BackendError("not in an ipython session")
+	plots = img if isinstance(img, list) else [img]
+	for p in plots:
+		display(getattr(p, "img", p))
+
+def show_tk(img, title=None):
+	try:
+		import tkinter
+		from PIL import ImageTk
+	except ImportError:
+		raise BackendError("tk backend unavailable")
+	plots = img if isinstance(img, list) else [img]
+	root = tkinter.Tk()
+	if title: root.title(str(title))
+	im = getattr(plots[0], "img", plots[0])
+	photo = ImageTk.PhotoImage(im)
+	label = tkinter.Label(root, image=photo)
+	label.pack()
+	root.mainloop()
+
+def show_wx(img, title=None):
+	raise BackendError("wx backend not available")
+
+def show_qt(img, title=None):
+	raise BackendError("qt backend not available")

@@ -333,12 +333,16 @@ def read_table(fname, hdu=None):
 		raw = f.read(nrow*rowbytes)
 		data = np.frombuffer(raw, dtype=rec, count=nrow)
 		out = {}
-		for name in names:
+		for ci, name in enumerate(names):
 			col = data[name]
 			if col.dtype.kind in "iufc":
 				col = col.astype(col.dtype.newbyteorder("="))
 			elif col.dtype.kind == "S":
 				col = np.char.decode(col, "ascii")
+			tdim = h.get("TDIM%d" % (ci+1))
+			if tdim:
+				sub = tuple(int(t) for t in str(tdim).strip("() ").split(","))[::-1]
+				col = col.reshape((nrow,) + sub)
 			out[name] = col
 		out["_header"] = h
 		return out
@@ -363,18 +367,23 @@ def write_table_fits(fname, columns, header=None):
 		"f4": "E", "f8": "D", "c8": "C", "c16": "M"}
 	for name in names:
 		col = np.asarray(columns[name])
+		sub = col.shape[1:]
+		count = int(np.prod(sub)) if sub else 1
 		if col.dtype.kind == "U":
 			w = max(int(col.dtype.itemsize//4), 1)
 			dtypes.append((name, "S%d" % w)); fits_cols.append((name, "%dA" % w))
 		else:
 			key = col.dtype.str.lstrip("<>=|")
 			code = code_map[key]
-			dtypes.append((name, ">" + key)); fits_cols.append((name, code))
+			dt = (name, ">" + key, sub) if sub else (name, ">" + key)
+			dtypes.append(dt)
+			fits_cols.append((name, ("%d%s" % (count, code)) if count > 1 else code))
 	rec = np.dtype(dtypes)
 	data = np.zeros(len(np.asarray(columns[names[0]])), rec)
 	for name in names:
 		col = np.asarray(columns[name])
-		data[name] = col.astype(rec[name]) if col.dtype.kind != "U" else col.astype("S")
+		data[name] = col.astype(rec[name].base if rec[name].subdtype else rec[name]) \
+			if col.dtype.kind != "U" else col.astype("S")
 	cards = [
 		_format_card("SIMPLE", True), _format_card("BITPIX", 8),
 		_format_card("NAXIS", 0), _format_card("END", None)]
@@ -388,6 +397,10 @@ def write_table_fits(fname, columns, header=None):
 	for i, (name, code) in enumerate(fits_cols):
 		tcards.append(_format_card("TTYPE%d" % (i+1), name))
 		tcards.append(_format_card("TFORM%d" % (i+1), code))
+		sub = np.asarray(columns[name]).shape[1:]
+		if len(sub) > 1:
+			tcards.append(_format_card("TDIM%d" % (i+1),
+				"(" + ",".join(str(n) for n in sub[::-1]) + ")"))
 	if header:
 		for k, v in header.items(): tcards.append(_format_card(k, v))
 	tcards.append(_format_card("END", None))

@@ -229,7 +229,7 @@ def build(func, interpolator, box, errlim, maxsize=None, maxdepth=None,
 	errlim = np.asarray(errlim)
 	for depth in range(maxdepth or 10):
 		grid = _eval_grid(func, box, n)
-		ip = interpolator(grid, box)
+		ip = interpolator(box, grid)
 		# test at midpoints
 		ntest = np.minimum(n*2-1, 64)
 		test_grid = _eval_grid(func, box, ntest)
@@ -251,17 +251,100 @@ def _eval_grid(func, box, n):
 	vals = np.asarray(func(coords))
 	return vals.reshape(vals.shape[:-1] + tuple(n))
 
-class ip_ndimage:
-	"""Spline-interpolator over a gridded function (reference interpol.ip_ndimage:201)."""
-	def __init__(self, grid, box, order=3):
-		self.grid = jnp.asarray(np.asarray(grid))
-		self.box = np.asarray(box, float)
-		self.n = np.array(self.grid.shape[-self.box.shape[1]:])
-		self.order = order
-	def __call__(self, coords):
-		coords = np.asarray(coords)
-		pix = (coords - self.box[0][:, None])/(self.box[1] - self.box[0])[:, None]*(self.n[:, None]-1)
-		return np.asarray(map_coordinates(self.grid, jnp.asarray(pix),
-			order=self.order, border="nearest"))
 
-ip_linear = functools.partial(ip_ndimage, order=1)
+
+# ---------------------------------------------------------------------------
+# Box-based interpolator objects (reference interpol.py:200-330)
+# ---------------------------------------------------------------------------
+def get_core(dtype):
+	"""Engine lookup retained for interface parity: everything routes to the
+	jax map_coordinates here (reference interpol.get_core)."""
+	return map_coordinates
+
+def lin_derivs_forward(y, npre=0):
+	"""All 0th/1st forward-difference derivative combinations along the
+	last n axes: shape (2,)*n + y.shape-with-each-interp-axis-shortened
+	(reference interpol.lin_derivs_forward)."""
+	y = np.asarray(y, float)
+	nin = y.ndim - npre
+	ys = np.zeros((2,)*nin + y.shape)
+	ys[(0,)*nin] = y
+	for i in range(nin):
+		whole, start, end = slice(None), slice(0, -1), slice(1, None)
+		target = (whole,)*i + (1,) + (0,)*(nin-i-1)
+		source = (whole,)*i + (0,) + (0,)*(nin-i-1)
+		cells1 = (whole,)*(npre+i) + (start,) + (whole,)*(nin-i-1)
+		cells2 = (whole,)*(npre+i) + (end,) + (whole,)*(nin-i-1)
+		ys[target + cells1] = ys[source + cells2] - ys[source + cells1]
+	return ys[(slice(None),)*nin + (slice(None),)*npre + (slice(0, -1),)*nin]
+
+def grad_forward(y, npre=0):
+	"""Forward-difference gradient along the last n axes, shape (n,)+...
+	(reference interpol.grad_forward)."""
+	y = np.asarray(y, float)
+	nin = y.ndim - npre
+	dy = np.zeros((nin,) + y.shape)
+	for i in range(nin):
+		whole, start, end = slice(None), slice(0, -1), slice(1, None)
+		cells1 = (whole,)*(npre+i) + (start,) + (whole,)*(nin-i-1)
+		cells2 = (whole,)*(npre+i) + (end,) + (whole,)*(nin-i-1)
+		dy[(i,) + cells1] = y[cells2] - y[cells1]
+	return dy[(slice(None),) + (slice(None, -1),)*(dy.ndim-1)]
+
+class Interpolator:
+	"""Base for box-mapped interpolators (reference interpol.Interpolator)."""
+	def __init__(self, box, y, *args, **kwargs):
+		self.box, self.y = np.array(box), np.array(y)
+		self.args, self.kwargs = args, kwargs
+
+class ip_ndimage(Interpolator):
+	def __call__(self, x):
+		import jax.numpy as jnp
+		x = np.asarray(x)
+		px = ((x.reshape(x.shape[0], -1).T - self.box[0])
+			/(self.box[1] - self.box[0])*(np.array(self.y.shape[-x.shape[0]:]) - 1)).T
+		res = np.asarray(map_coordinates(jnp.asarray(self.y), jnp.asarray(px),
+			*self.args, **self.kwargs))
+		return res.reshape(res.shape[:-1] + x.shape[1:])
+
+class ip_linear(Interpolator):
+	"""Precomputed multilinear interpolation (reference interpol.ip_linear)."""
+	def __init__(self, box, y, *args, **kwargs):
+		Interpolator.__init__(self, box, y, *args, **kwargs)
+		self.n = self.box.shape[1] if self.box.ndim > 1 else 1
+		self.npre = self.y.ndim - self.n
+		self.ys = lin_derivs_forward(self.y, self.npre)
+	def __call__(self, x):
+		x = np.asarray(x)
+		flatx = x.reshape(x.shape[0], -1)
+		nshape = np.array(self.ys.shape[-self.n:])
+		px = ((flatx.T - self.box[0])/(self.box[1] - self.box[0])*nshape).T
+		ix = np.floor(px).astype(int)
+		ix = np.maximum(0, np.minimum(nshape[:, None] - 1, ix))
+		fx = px - ix
+		res = np.zeros(self.ys.shape[self.n:self.n+self.npre] + fx.shape[1:2])
+		for i in range(2**self.n):
+			I = np.unravel_index(i, (2,)*self.n)
+			w = np.ones(fx.shape[1:])
+			for d in range(self.n):
+				w = w*(fx[d]**I[d])
+			res += self.ys[I][(slice(None),)*self.npre + tuple(ix)]*w
+		return res.reshape(res.shape[:-1] + x.shape[1:])
+
+class ip_grad(ip_linear):
+	"""Gradient (first-order only) interpolation -- faster, less accurate
+	(reference interpol.ip_grad)."""
+	def __call__(self, x):
+		x = np.asarray(x)
+		flatx = x.reshape(x.shape[0], -1)
+		nshape = np.array(self.ys.shape[-self.n:])
+		px = ((flatx.T - self.box[0])/(self.box[1] - self.box[0])*nshape).T
+		ix = np.floor(px).astype(int)
+		ix = np.maximum(0, np.minimum(nshape[:, None] - 1, ix))
+		fx = px - ix
+		zero = (0,)*self.n
+		res = self.ys[zero][(slice(None),)*self.npre + tuple(ix)].copy()
+		for d in range(self.n):
+			I = tuple(1 if k == d else 0 for k in range(self.n))
+			res += self.ys[I][(slice(None),)*self.npre + tuple(ix)]*fx[d]
+		return res.reshape(res.shape[:-1] + x.shape[1:])

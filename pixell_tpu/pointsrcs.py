@@ -309,3 +309,277 @@ def src2param(srcs):
 			if key in srcs: cols.append(srcs[key])
 		return np.array(cols).T
 	return np.asarray(srcs)
+
+
+# ---------------------------------------------------------------------------
+# Source-cell machinery and catalog IO formats (reference pointsrcs.py)
+# ---------------------------------------------------------------------------
+def is_equi(r):
+	"""Is r an equispaced arange-like grid starting at 0? (reference
+	pointsrcs.is_equi)."""
+	r = np.asarray(r)
+	return len(r) > 1 and r[0] == 0 and np.allclose(r[-1], (len(r)-1)*r[1])
+
+def sim_srcs_python(shape, wcs, srcs, beam, omap=None, dtype=None, nsigma=5,
+		rmax=None, smul=1, return_padded=False, pixwin=False, pixwin_order=0,
+		op=None, wrap="auto", verbose=False, cache=None, separable="auto"):
+	"""Pure-sky-coordinate source painter (reference
+	pointsrcs.sim_srcs_python); routes to the vectorized painter."""
+	return sim_srcs(shape, wcs, srcs, beam, omap=omap,
+		dtype=dtype or np.float32, nsigma=nsigma, smul=smul,
+		pixwin=pixwin, verbose=verbose)
+
+def sim_srcs_dist_transform(shape, wcs, srcs, beam, omap=None, dtype=None,
+		nsigma=4, rmax=None, smul=1, pixwin=False, ignore_outside=False,
+		op=None, verbose=False):
+	"""Source painting via a distance transform from the source positions
+	(reference pointsrcs.sim_srcs_dist_transform): good for very crowded
+	fields where every pixel is near some source."""
+	from . import distances, enmap as _e
+	srcs = np.asarray(srcs)
+	r, b = expand_beam(beam)
+	if rmax is None:
+		sigma_eff = r[np.argmin(np.abs(b - b[0]*np.exp(-0.5)))]
+		rmax = nsigma*max(sigma_eff, r[1])
+	points = srcs[:, :2].T
+	dists, domains = distances.distance_from_points(tuple(shape[-2:]), wcs,
+		points, domains=True, rmax=rmax)
+	amp = srcs[:, 2]*smul
+	vals = np.interp(np.asarray(dists).reshape(-1), r, b, right=0)
+	vals = vals.reshape(np.asarray(dists).shape)
+	dom = np.asarray(domains)
+	good = dom >= 0
+	out = np.where(good, vals*amp[np.clip(dom, 0, len(amp)-1)], 0)
+	res = _e.ndmap(jnp.asarray(out.astype(dtype or np.float32)), wcs)
+	if omap is not None:
+		res = _e.samewcs(jnp.asarray(omap) + jnp.asarray(res), res)
+	return res
+
+def eval_srcs_loop(posmap, poss, amps, beam, cres, nhit, cell_srcs,
+		dtype=np.float64, op=None, verbose=False):
+	"""Cell-based source evaluation loop (reference
+	pointsrcs.eval_srcs_loop); simple direct evaluation version."""
+	from . import utils as _u
+	posmap = np.asarray(posmap)
+	r, b = beam
+	model = np.zeros(posmap.shape[-2:], dtype)
+	for si in range(len(np.atleast_2d(poss))):
+		p = np.atleast_2d(poss)[si]
+		d = _u.angdist(np.stack([posmap[1], posmap[0]]),
+			np.array([p[1], p[0]])[:, None, None], axis=0)
+		model += np.atleast_1d(amps)[si]*np.interp(d, r, b, right=0)
+	return model
+
+def build_src_cells(cbox, srcpos, cres, unwind=False, wrap=None):
+	"""Assign sources to coarse cells (reference pointsrcs.build_src_cells).
+	Returns (ncell[cy,cx], cells[cy,cx,nmax]) of source indices."""
+	from . import utils as _u
+	cbox = np.asarray(cbox)
+	srcpos = np.asarray(srcpos)[:, :2]
+	cshape = tuple(np.ceil((cbox[1] - cbox[0])/cres).astype(int))
+	if unwind:
+		ref = np.mean(cbox[:, 1], 0)
+		srcpos = srcpos.copy()
+		srcpos[:, 1] = _u.rewind(srcpos[:, 1], ref)
+	lists = [[[] for _ in range(cshape[1])] for _ in range(cshape[0])]
+	inv_dc = np.array(cshape)/(cbox[1] - cbox[0])
+	woffs_y = [0] if not wrap or wrap[0] == 0 else [-wrap[0], 0, wrap[0]]
+	woffs_x = [0] if not wrap or wrap[1] == 0 else [-wrap[1], 0, wrap[1]]
+	cres2 = np.zeros(2) + cres
+	for si, pos in enumerate(srcpos):
+		for wy in woffs_y:
+			for wx in woffs_x:
+				wpos = pos + np.array([wy, wx])
+				i1 = np.maximum(((wpos - cres2 - cbox[0])*inv_dc).astype(int), 0)
+				i2 = np.minimum(((wpos + cres2 - cbox[0])*inv_dc).astype(int) + 1,
+					cshape)
+				for cy in range(i1[0], i2[0]):
+					for cx in range(i1[1], i2[1]):
+						lists[cy][cx].append(si)
+	nmax = max(1, max(len(c) for row in lists for c in row))
+	ncell = np.zeros(cshape, np.int32)
+	cells = np.zeros(cshape + (nmax,), np.int32)
+	for cy in range(cshape[0]):
+		for cx in range(cshape[1]):
+			n = len(lists[cy][cx])
+			ncell[cy, cx] = n
+			cells[cy, cx, :n] = lists[cy][cx]
+	return ncell, cells
+
+def build_src_cells_helper(cbox, cshape, cres, srcpos, nmax=0, wrap=None):
+	ncell, cells = build_src_cells(cbox, np.asarray(srcpos).reshape(-1, np.asarray(srcpos).shape[-1]), cres, wrap=wrap)
+	if nmax == 0: return ncell
+	return ncell, cells
+
+def cellify(map, res):
+	"""Reshape a map into a cell grid [...,ncy,ncx,ry,rx] (reference
+	pointsrcs.cellify)."""
+	from . import utils as _u
+	res = np.array(res, int)
+	arr = np.asarray(map)
+	cshape = np.array(arr.shape[-2:])//res
+	omap = arr[..., :cshape[0]*res[0], :cshape[1]*res[1]]
+	omap = omap.reshape(omap.shape[:-2] + (cshape[0], res[0], cshape[1], res[1]))
+	return np.moveaxis(omap, -3, -2)
+
+def uncellify(cmap):
+	omap = np.moveaxis(np.asarray(cmap), -2, -3)
+	return omap.reshape(omap.shape[:-4] + (omap.shape[-4]*omap.shape[-3],
+		omap.shape[-2]*omap.shape[-1]))
+
+def crossmatch(srcs1, srcs2, tol=1*utils.degree/60, safety=4):
+	"""Positional cross-match of catalogs [:,{ra,dec},...] (reference
+	pointsrcs.crossmatch)."""
+	return utils.crossmatch(np.asarray(srcs1)[:, :2],
+		np.asarray(srcs2)[:, :2], tol=tol, mode="closest")
+
+def translate_dtype_keys(d, translation):
+	"""Rename record-array fields (reference pointsrcs.translate_dtype_keys)."""
+	descr = [(name if name not in translation else translation[name], char)
+		for name, char in d.dtype.descr]
+	return np.asarray(d, descr)
+
+def read_nemo(fname):
+	"""Read the nemo ascii catalog format (reference pointsrcs.read_nemo)."""
+	idtype = [("name", "2S64"), ("ra", "d"), ("dec", "d"), ("snr", "d"),
+		("npix", "i"), ("detfrac", "d"), ("template", "S32"), ("glat", "d"),
+		("I", "d"), ("dI", "d")]
+	try:
+		icat = np.loadtxt(fname, dtype=idtype)
+	except (ValueError, IndexError):
+		idtype = [("name", "2S64"), ("ra", "d"), ("dec", "d"), ("snr", "d"),
+			("npix", "i"), ("template", "S32"), ("glat", "d"),
+			("I", "d"), ("dI", "d")]
+		try:
+			icat = np.loadtxt(fname, dtype=idtype)
+		except (ValueError, IndexError) as e:
+			raise IOError(str(e))
+	icat = np.atleast_1d(icat)
+	odtype = [("name", "S64"), ("ra", "d"), ("dec", "d"), ("snr", "d"),
+		("I", "d"), ("dI", "d"), ("npix", "i"), ("template", "S32"), ("glat", "d")]
+	ocat = np.zeros(len(icat), odtype).view(np.recarray)
+	ocat.name = np.char.add(np.char.add(icat["name"][:, 0], b" "), icat["name"][:, 1])
+	for f in ["ra", "dec", "snr", "I", "dI", "npix", "template", "glat"]:
+		if f in icat.dtype.names: ocat[f] = icat[f]
+	ocat.ra *= utils.degree
+	ocat.dec *= utils.degree
+	return ocat
+
+def read_dory_fits(fname, hdu=1):
+	from . import fits_io
+	tab = fits_io.read_table(fname, hdu=hdu)
+	d = {k.lower(): v for k, v in tab.items()}
+	ocat = np.zeros(len(d["ra"]), dtype=[("ra", "d"), ("dec", "d"),
+		("I", "d"), ("Q", "d"), ("U", "d")]).view(np.recarray)
+	ocat.ra = d["ra"]*utils.degree
+	ocat.dec = d["dec"]*utils.degree
+	amp = np.asarray(d["amp"])
+	ocat.I, ocat.Q, ocat.U = np.atleast_2d(amp.T)*1e3
+	return ocat
+
+def read_dory_txt(fname):
+	try:
+		d = np.loadtxt(fname, usecols=[0, 1, 3, 5, 7],
+			dtype=[("ra", "d"), ("dec", "d"), ("I", "d"), ("Q", "d"), ("U", "d")])
+		d = np.atleast_1d(d).view(np.recarray)
+		for f, s in [("I", 1e3), ("Q", 1e3), ("U", 1e3),
+				("ra", utils.degree), ("dec", utils.degree)]:
+			d[f] = d[f]*s
+		return d
+	except (ValueError, IndexError) as e:
+		raise IOError(str(e))
+
+def read_fits(fname, hdu=1, fix=True):
+	"""Read a FITS binary-table catalog (reference pointsrcs.read_fits)."""
+	from . import fits_io
+	tab = fits_io.read_table(fname, hdu=hdu)
+	rec = np.rec.fromarrays(list(tab.values()), names=",".join(tab.keys()))
+	if fix:
+		rec = translate_dtype_keys(rec, {"RADeg": "ra", "decDeg": "dec",
+			"deltaT_c": "I", "err_deltaT_c": "dI"}).view(np.recarray)
+	return rec
+
+def format_sauron(cat):
+	"""Format a sauron catalog as text (reference pointsrcs.format_sauron)."""
+	cat = cat.view(np.recarray)
+	nfield, ncomp = cat.flux.shape[-2:]
+	names = "TQU"
+	header = "#%8s %8s %9s" % ("ra", "dec", "snr_T")
+	for i in range(1, ncomp): header += " %8s" % ("snr_" + names[i])
+	for i in range(ncomp): header += " %8s %7s" % ("ftot_" + names[i], "dftot_" + names[i])
+	for i in range(nfield):
+		for j in range(ncomp):
+			header += " %8s %7s" % ("flux_%s%d" % (names[j], i+1), "dflux_%s%d" % (names[j], i+1))
+	header += " %2s" % "ca"
+	for i in range(nfield): header += " %7s" % ("cont_%d" % (i+1))
+	header += "\n"
+	res = header
+	for i in range(len(cat)):
+		line = "%9.4f %8.4f" % (cat.ra[i]/utils.degree, cat.dec[i]/utils.degree)
+		snr = np.atleast_1d(cat.snr[i]).reshape(-1)
+		line += " %9.2f" % snr[0]
+		for s in snr[1:]: line += " %7.2f" % s
+		ftot = np.atleast_1d(cat.flux_tot[i]).reshape(-1)
+		dftot = np.atleast_1d(cat.dflux_tot[i]).reshape(-1)
+		for f, df in zip(ftot, dftot): line += " %8.2f %7.2f" % (f, df)
+		fl = np.atleast_2d(cat.flux[i]); dfl = np.atleast_2d(cat.dflux[i])
+		for fi in range(nfield):
+			for ci in range(ncomp):
+				line += " %8.2f %7.2f" % (fl[fi, ci], dfl[fi, ci])
+		line += " %2d" % cat.case[i]
+		cont = np.atleast_1d(cat.contam[i]) if "contam" in cat.dtype.names else np.zeros(nfield)
+		for c in cont.reshape(-1)[:nfield]: line += " %7.4f" % c
+		res += line + "\n"
+	return res
+
+def write_sauron_txt(ofile, cat):
+	with open(ofile, "w") as f:
+		f.write(format_sauron(cat))
+
+def read_sauron_txt(ifile, ncomp=3):
+	raw = np.loadtxt(ifile, ndmin=2)
+	nrow, ncol = raw.shape
+	nfreq = (ncol - 2 - ncomp - 1 - 2*ncomp)//(2*ncomp + 1)
+	cat_dtype = [("ra", "d"), ("dec", "d"), ("snr", "d", (ncomp,)),
+		("flux_tot", "d", (ncomp,)), ("dflux_tot", "d", (ncomp,)),
+		("flux", "d", (nfreq, ncomp)), ("dflux", "d", (nfreq, ncomp)),
+		("case", "i"), ("contam", "d", (nfreq,))]
+	ocat = np.zeros(nrow, cat_dtype).view(np.recarray)
+	ocat.ra, ocat.dec, raw = raw[:, 0]*utils.degree, raw[:, 1]*utils.degree, raw[:, 2:]
+	ocat.snr, raw = raw[:, :ncomp], raw[:, ncomp:]
+	ocat.flux_tot, ocat.dflux_tot, raw = raw[:, 0:2*ncomp:2], raw[:, 1:2*ncomp:2], raw[:, 2*ncomp:]
+	nf = 2*ncomp*nfreq
+	ocat.flux = raw[:, 0:nf:2].reshape(-1, nfreq, ncomp)
+	ocat.dflux = raw[:, 1:nf:2].reshape(-1, nfreq, ncomp)
+	raw = raw[:, nf:]
+	ocat.case = raw[:, 0].astype(int)
+	ocat.contam = raw[:, 1:1+nfreq]
+	return ocat
+
+def write_sauron_fits(ofile, cat):
+	from . import fits_io
+	ocat = np.array(cat).view(np.recarray)
+	ocat.ra = ocat.ra/utils.degree
+	ocat.dec = ocat.dec/utils.degree
+	cols = [np.ascontiguousarray(ocat[n]) for n in ocat.dtype.names]
+	fits_io.write_table_fits(ofile, dict(zip(ocat.dtype.names, cols)))
+
+def read_sauron_fits(fname):
+	from . import fits_io
+	tab = fits_io.read_table(fname, hdu=1)
+	names = [k for k in tab if not k.startswith("_")]
+	dtypes = [(n, tab[n].dtype.str, tab[n].shape[1:]) if np.ndim(tab[n]) > 1
+		else (n, tab[n].dtype.str) for n in names]
+	cat = np.zeros(len(tab[names[0]]), dtype=dtypes).view(np.recarray)
+	for n in names: cat[n] = tab[n]
+	cat.ra = cat.ra*utils.degree
+	cat.dec = cat.dec*utils.degree
+	return cat
+
+def write_sauron(ofile, cat):
+	if ofile.endswith(".fits"): write_sauron_fits(ofile, cat)
+	else: write_sauron_txt(ofile, cat)
+
+def read_sauron(ifile):
+	if ifile.endswith(".fits"): return read_sauron_fits(ifile)
+	return read_sauron_txt(ifile)

@@ -198,3 +198,89 @@ def centered_map(imap, res, box=None, pixbox=None, proj="tan", rpix=None, width=
 def rotate_map(imap, shape=None, wcs=None, pix_target=None, **kwargs):
 	if shape is None: shape, wcs = imap.shape, imap.wcs
 	return imap.project(shape, wcs, **kwargs)
+
+
+def thumbnails_ivar(imap, coords, r=5*utils.arcmin, res=None, proj=None,
+		oshape=None, owcs=None, order=1, extensive=True, verbose=False):
+	"""Thumbnails for positive, local quantities like hitcounts/ivars
+	(reference reproject.thumbnails_ivar)."""
+	return thumbnails(imap, coords, r=r, res=res, proj=proj or "tan", oshape=oshape,
+		owcs=owcs, order=order, oversample=1, pol=False,
+		extensive=extensive, verbose=verbose, pixwin=False)
+
+def inv_euler(euler):
+	"""(reference reproject.inv_euler)."""
+	return [-euler[2], -euler[1], -euler[0]]
+
+def distribute(N, nmax):
+	"""Split N into cells no larger than nmax, as evenly as possible
+	(reference reproject.distribute)."""
+	actual_max = int(2.0*(nmax + 1)/3.0)
+	numcells = max(int(round(N*1.0/actual_max)), 1)
+	each_cell = [actual_max]*(numcells - 1)
+	rem = N - sum(each_cell)
+	if rem > 0: each_cell.append(rem)
+	assert sum(each_cell) == N
+	return each_cell
+
+def populate(shape, wcs, ofunc, maxpixy=400, maxpixx=400):
+	"""Fill a map tile by tile with ofunc(oshape, owcs) (reference
+	reproject.populate)."""
+	out = np.zeros(shape)
+	Ny, Nx = shape[-2:]
+	tNys = distribute(Ny, maxpixy)
+	tNxs = distribute(Nx, maxpixx)
+	sny = 0
+	for ny in tNys:
+		eny = sny + ny
+		snx = 0
+		for nx in tNxs:
+			enx = snx + nx
+			sel = np.s_[..., sny:eny, snx:enx]
+			oshape, owcs = enmap.slice_geometry(shape, wcs,
+				(slice(sny, eny), slice(snx, enx)))
+			out[sel] = np.asarray(ofunc(oshape, owcs))
+			snx = enx
+		sny = eny
+	return enmap.ndmap(jnp.asarray(out), wcs)
+
+# Removed in the reference too; kept as the same redirects
+# (reference reproject.py:500-560)
+def healpix_from_enmap(imap, lmax, nside):
+	raise RuntimeError("This function has been removed. Use reproject.map2healpix(...method='harm').")
+
+def healpix_from_enmap_interp(imap, **kwargs):
+	raise RuntimeError("This function has been removed. Use reproject.map2healpix(...method='spline').")
+
+def enmap_from_healpix(hp_map, shape, wcs, ncomp=1, unit=1, lmax=0,
+		rot="gal,equ", first=0, is_alm=False, return_alm=False, f_ell=None):
+	raise RuntimeError("This function has been removed. Use reproject.healpix2map(...method='harm').")
+
+def enmap_from_healpix_interp(hp_map, shape, wcs, rot="gal,equ", interpolate=False):
+	raise RuntimeError("This function has been removed. Use reproject.healpix2map(...method='spline').")
+
+def ivar_hp_to_cyl(hmap, shape, wcs, rot=False, do_mask=True, extensive=True):
+	raise NotImplementedError("This function has been removed.")
+
+def gnomonic_pole_wcs(shape, res):
+	raise NotImplementedError("This function has been removed.")
+
+def gnomonic_pole_geometry(width, res, height=None):
+	raise NotImplementedError("This function has been removed.")
+
+def get_rotated_pixels(shape_source, wcs_source, shape_target, wcs_target,
+		inverse=False, pos_target=None, center_target=None, center_source=None):
+	raise NotImplementedError("This function has been removed.")
+
+def cutout(imap, width=None, ra=None, dec=None, pad=1, corner=False, res=None,
+		npix=None, return_slice=False, sindex=None):
+	raise NotImplementedError("This function has been removed.")
+
+def rect_box(width, center=(0.0, 0.0), height=None):
+	raise NotImplementedError("This function has been removed.")
+
+def get_pixsize_rect(shape, wcs):
+	raise NotImplementedError("This function has been removed.")
+
+def rect_geometry(width, res, height=None, center=(0.0, 0.0), proj="car"):
+	raise NotImplementedError("This function has been removed.")
