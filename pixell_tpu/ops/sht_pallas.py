@@ -138,30 +138,35 @@ def synthesis_scan_pallas(A, theta, lmax, mmax, mode="scalar", interpret=False):
 			curr[:] = jnp.zeros((MB, TB), jnp.float32)
 			lev[:] = jnp.zeros((MB, TB), jnp.float32)
 			out_ref[:] = jnp.zeros_like(out_ref)
-		# coefficients depend only on m: compute them on [MB,1] columns and let
-		# broadcasting expand over theta (cuts the per-step sqrt work by TB)
-		marr = (im*MB + jax.lax.broadcasted_iota(jnp.int32, (MB, 1), 0)).astype(jnp.float32)
-		m2 = marr*marr
-		thv = [th_ref[i, :][None, :] for i in range(5)]
-		ct = thv[0]
-		p, c, lv = prev[:], curr[:], lev[:]
-		accs = [[jnp.zeros((MB, TB), jnp.float32) for _ in range(C)]
-			for _ in range(nfun)]
-		for k in range(LB):
-			l = (il*LB + k).astype(jnp.float32)
-			p, c, lv, lam, lam1 = _step_block(l, marr, m2, ct, sv_ref[:], sl_ref[:],
-				p, c, lv, fac_m1)
-			us = funcs(l, marr, m2, thv, lam, lam1)
-			for f in range(nfun):
-				for ci in range(C):
-					accs[f][ci] = accs[f][ci] + us[f]*a_ref[ci, k, :][:, None]
-			if k % 8 == 7:
-				# near the seed the recurrence grows ~sqrt(2m/k) per step;
-				# 16 unrescaled f32 steps overflow for m >~ 1000
-				p, c, lv = _rescale(p, c, lv, band, invband)
-		p, c, lv = _rescale(p, c, lv, band, invband)
-		prev[:] = p; curr[:] = c; lev[:] = lv
-		out_ref[:] += jnp.stack([jnp.stack(fc) for fc in accs])
+		# blocks entirely below the diagonal (every l < every m) contribute
+		# nothing: the recurrence state is still zero there. Skipping them
+		# nearly halves the work for square transforms.
+		@pl.when((il + 1)*LB > im*MB)
+		def _():
+			# coefficients depend only on m: compute them on [MB,1] columns and
+			# let broadcasting expand over theta (cuts the sqrt work by TB)
+			marr = (im*MB + jax.lax.broadcasted_iota(jnp.int32, (MB, 1), 0)).astype(jnp.float32)
+			m2 = marr*marr
+			thv = [th_ref[i, :][None, :] for i in range(5)]
+			ct = thv[0]
+			p, c, lv = prev[:], curr[:], lev[:]
+			accs = [[jnp.zeros((MB, TB), jnp.float32) for _ in range(C)]
+				for _ in range(nfun)]
+			for k in range(LB):
+				l = (il*LB + k).astype(jnp.float32)
+				p, c, lv, lam, lam1 = _step_block(l, marr, m2, ct, sv_ref[:], sl_ref[:],
+					p, c, lv, fac_m1)
+				us = funcs(l, marr, m2, thv, lam, lam1)
+				for f in range(nfun):
+					for ci in range(C):
+						accs[f][ci] = accs[f][ci] + us[f]*a_ref[ci, k, :][:, None]
+				if k % 8 == 7:
+					# near the seed the recurrence grows ~sqrt(2m/k) per step;
+					# 16 unrescaled f32 steps overflow for m >~ 1000
+					p, c, lv = _rescale(p, c, lv, band, invband)
+			p, c, lv = _rescale(p, c, lv, band, invband)
+			prev[:] = p; curr[:] = c; lev[:] = lv
+			out_ref[:] += jnp.stack([jnp.stack(fc) for fc in accs])
 
 	out = pl.pallas_call(
 		kern,
@@ -216,31 +221,38 @@ def analysis_scan_pallas(F, theta, lmax, mmax, mode="scalar", interpret=False):
 			prev[:] = jnp.zeros((MB, TB), jnp.float32)
 			curr[:] = jnp.zeros((MB, TB), jnp.float32)
 			lev[:] = jnp.zeros((MB, TB), jnp.float32)
-		# coefficients depend only on m: compute them on [MB,1] columns and let
-		# broadcasting expand over theta (cuts the per-step sqrt work by TB)
-		marr = (im*MB + jax.lax.broadcasted_iota(jnp.int32, (MB, 1), 0)).astype(jnp.float32)
-		m2 = marr*marr
-		thv = [th_ref[i, :][None, :] for i in range(5)]
-		ct = thv[0]
-		p, c, lv = prev[:], curr[:], lev[:]
-		rows = []
-		for k in range(LB):
-			l = (il*LB + k).astype(jnp.float32)
-			p, c, lv, lam, lam1 = _step_block(l, marr, m2, ct, sv_ref[:], sl_ref[:],
-				p, c, lv, fac_m1)
-			us = funcs(l, marr, m2, thv, lam, lam1)
-			cols = []
-			for ci in range(C):
-				tot = us[0]*f_ref[0, ci]
-				for f in range(1, nfun):
-					tot = tot + us[f]*f_ref[f, ci]
-				cols.append(jnp.sum(tot, axis=-1))
-			rows.append(jnp.stack(cols))          # [C, MB]
-			if k % 8 == 7:
-				p, c, lv = _rescale(p, c, lv, band, invband)
-		pr, cr, lr = _rescale(p, c, lv, band, invband)
-		prev[:] = pr; curr[:] = cr; lev[:] = lr
-		out_ref[:] = jnp.moveaxis(jnp.stack(rows), 0, 1)[None]  # [1, C, LB, MB]
+		# below-diagonal blocks produce exactly zero, but each output slab is
+		# written only once, so dead blocks still write zeros (cheap)
+		@pl.when((il + 1)*LB <= im*MB)
+		def _():
+			out_ref[:] = jnp.zeros_like(out_ref)
+		@pl.when((il + 1)*LB > im*MB)
+		def _():
+			# coefficients depend only on m: compute them on [MB,1] columns and
+			# let broadcasting expand over theta (cuts the sqrt work by TB)
+			marr = (im*MB + jax.lax.broadcasted_iota(jnp.int32, (MB, 1), 0)).astype(jnp.float32)
+			m2 = marr*marr
+			thv = [th_ref[i, :][None, :] for i in range(5)]
+			ct = thv[0]
+			p, c, lv = prev[:], curr[:], lev[:]
+			rows = []
+			for k in range(LB):
+				l = (il*LB + k).astype(jnp.float32)
+				p, c, lv, lam, lam1 = _step_block(l, marr, m2, ct, sv_ref[:], sl_ref[:],
+					p, c, lv, fac_m1)
+				us = funcs(l, marr, m2, thv, lam, lam1)
+				cols = []
+				for ci in range(C):
+					tot = us[0]*f_ref[0, ci]
+					for f in range(1, nfun):
+						tot = tot + us[f]*f_ref[f, ci]
+					cols.append(jnp.sum(tot, axis=-1))
+				rows.append(jnp.stack(cols))          # [C, MB]
+				if k % 8 == 7:
+					p, c, lv = _rescale(p, c, lv, band, invband)
+			pr, cr, lr = _rescale(p, c, lv, band, invband)
+			prev[:] = pr; curr[:] = cr; lev[:] = lr
+			out_ref[:] = jnp.moveaxis(jnp.stack(rows), 0, 1)[None]  # [1, C, LB, MB]
 
 	out = pl.pallas_call(
 		kern,
