@@ -21,9 +21,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from . import sht_core
 
-MB = 256    # m-block
-TB = 256    # theta-block
+MB = 128    # m-block (lane dim of the A block: must be a multiple of 128)
+TB = 1024   # theta-block (lane dim of the state tiles)
 LB = 16     # l-steps per grid step
+# Tile sweep on v5e at lmax=5000 (synthesis): (256,256) 1.12 s,
+# (128,512) 0.79 s, (128,1024) 0.72 s; wider theta tiles win (lane-dim
+# efficiency), larger still fails to compile (VMEM).
 
 S32 = 60    # scale chunk for f32 (must match sht_core._scale_log2(float32))
 

@@ -81,7 +81,7 @@ def test_memory_module():
 	assert memory.resident() > 0
 
 def test_sqlite_module():
-	from pixell_tpu import sqlite
+	from pixell_tpu import sqlite_util as sqlite
 	with sqlite.open() as db:
 		db.write_array("t", np.arange(12.0).reshape(4, 3))
 		back = db.read_array("t")
@@ -108,3 +108,17 @@ def test_finder_multi():
 	res = finder(total)
 	assert len(res.cat) >= 1
 	assert abs(res.cat["flux"][np.argmax(res.cat["snr"])] - 40) < 8
+
+
+def test_sqlite_reference_api():
+	"""The reference-style sqlite.SQL wrapper (reference sqlite.py)."""
+	from pixell_tpu import sqlite
+	db = sqlite.SQL(":memory:", mode=None)
+	db.execute("create table t (a int, b text)")
+	db.executemany("insert into t values (?, ?)", [(1, "x"), (2, "y")])
+	assert db.tables() == ["t"]
+	assert db.columns("t") == ["a", "b"]
+	assert sqlite.rows(db.conn, "t") == 2
+	out = sqlite.format_result(list(db.execute("select * from t")))
+	assert "x" in out and "y" in out
+	db.close()
