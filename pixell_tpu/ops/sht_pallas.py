@@ -22,11 +22,19 @@ from jax.experimental.pallas import tpu as pltpu
 from . import sht_core
 
 MB = 128    # m-block (lane dim of the A block: must be a multiple of 128)
-TB = 1024   # theta-block (lane dim of the state tiles)
+TB = 1024   # theta-block (lane dim of the state tiles) for nfun*C <= 2
 LB = 16     # l-steps per grid step
 # Tile sweep on v5e at lmax=5000 (synthesis): (256,256) 1.12 s,
 # (128,512) 0.79 s, (128,1024) 0.72 s; wider theta tiles win (lane-dim
-# efficiency), larger still fails to compile (VMEM).
+# efficiency), larger still fails to compile (VMEM). The VMEM footprint
+# scales with nfun*C (output block + accumulators), so wide spin
+# transforms shrink the theta tile to stay under the 16MB scoped limit.
+
+def _pick_tb(nfun, C):
+	n = nfun*C
+	if n <= 2: return TB
+	if n <= 4: return 512
+	return 256
 
 S32 = 60    # scale chunk for f32 (must match sht_core._scale_log2(float32))
 
@@ -98,13 +106,14 @@ def _make_funcs(mode):
 	return sht_core.NFUN[mode], funcs
 
 
-def _prep_inputs(theta, lmax, mmax, mode):
+def _prep_inputs(theta, lmax, mmax, mode, tb=None):
 	"""Host-side padding and seed/theta-function tables (f32)."""
+	if tb is None: tb = TB
 	g = sht_core._prepare_geom(theta, mmax, np.float32)
 	nt = int(np.shape(theta)[0])
 	nm = mmax + 1
 	nl = lmax + 1
-	ntp = _ceil(nt, TB)*TB
+	ntp = _ceil(nt, tb)*tb
 	nmp = _ceil(nm, MB)*MB
 	nlp = _ceil(nl, LB)*LB
 	def padt(x, fill=0.0):
@@ -122,12 +131,13 @@ def synthesis_scan_pallas(A, theta, lmax, mmax, mode="scalar", interpret=False):
 	"""Pallas version of sht_core.synthesis_scan (float32)."""
 	A = jnp.asarray(A, jnp.float32)
 	nfun, funcs = _make_funcs(mode)
-	th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp) = _prep_inputs(theta, lmax, mmax, mode)
 	C = A.shape[-1]
+	tb = _pick_tb(nfun, C)
+	th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp) = _prep_inputs(theta, lmax, mmax, mode, tb=tb)
 	# layout: big axes minor so TPU (8,128) tiling doesn't pad the C axis
 	Ap = jnp.zeros((C, nlp, nmp), jnp.float32).at[:, :nl, :nm].set(
 		jnp.moveaxis(A, -1, 0))
-	grid = (nmp//MB, ntp//TB, nlp//LB)
+	grid = (nmp//MB, ntp//tb, nlp//LB)
 	band = np.float32(2.0**S32)
 	invband = np.float32(2.0**-S32)
 	fac_m1 = np.float32(2.0**-S32)
@@ -137,9 +147,9 @@ def synthesis_scan_pallas(A, theta, lmax, mmax, mode="scalar", interpret=False):
 		im = pl.program_id(0)
 		@pl.when(il == 0)
 		def _():
-			prev[:] = jnp.zeros((MB, TB), jnp.float32)
-			curr[:] = jnp.zeros((MB, TB), jnp.float32)
-			lev[:] = jnp.zeros((MB, TB), jnp.float32)
+			prev[:] = jnp.zeros((MB, tb), jnp.float32)
+			curr[:] = jnp.zeros((MB, tb), jnp.float32)
+			lev[:] = jnp.zeros((MB, tb), jnp.float32)
 			out_ref[:] = jnp.zeros_like(out_ref)
 		# blocks entirely below the diagonal (every l < every m) contribute
 		# nothing: the recurrence state is still zero there. Skipping them
@@ -147,13 +157,13 @@ def synthesis_scan_pallas(A, theta, lmax, mmax, mode="scalar", interpret=False):
 		@pl.when((il + 1)*LB > im*MB)
 		def _():
 			# coefficients depend only on m: compute them on [MB,1] columns and
-			# let broadcasting expand over theta (cuts the sqrt work by TB)
+			# let broadcasting expand over theta (cuts the sqrt work by tb)
 			marr = (im*MB + jax.lax.broadcasted_iota(jnp.int32, (MB, 1), 0)).astype(jnp.float32)
 			m2 = marr*marr
 			thv = [th_ref[i, :][None, :] for i in range(5)]
 			ct = thv[0]
 			p, c, lv = prev[:], curr[:], lev[:]
-			accs = [[jnp.zeros((MB, TB), jnp.float32) for _ in range(C)]
+			accs = [[jnp.zeros((MB, tb), jnp.float32) for _ in range(C)]
 				for _ in range(nfun)]
 			for k in range(LB):
 				l = (il*LB + k).astype(jnp.float32)
@@ -177,17 +187,17 @@ def synthesis_scan_pallas(A, theta, lmax, mmax, mode="scalar", interpret=False):
 		in_specs=[
 			pl.BlockSpec((C, LB, MB), lambda im, it, il: (0, il, im),
 				memory_space=pltpu.VMEM),
-			pl.BlockSpec((5, TB), lambda im, it, il: (0, it), memory_space=pltpu.VMEM),
-			pl.BlockSpec((MB, TB), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
-			pl.BlockSpec((MB, TB), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
+			pl.BlockSpec((5, tb), lambda im, it, il: (0, it), memory_space=pltpu.VMEM),
+			pl.BlockSpec((MB, tb), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
+			pl.BlockSpec((MB, tb), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
 		],
-		out_specs=pl.BlockSpec((nfun, C, MB, TB), lambda im, it, il: (0, 0, im, it),
+		out_specs=pl.BlockSpec((nfun, C, MB, tb), lambda im, it, il: (0, 0, im, it),
 			memory_space=pltpu.VMEM),
 		out_shape=jax.ShapeDtypeStruct((nfun, C, nmp, ntp), jnp.float32),
 		scratch_shapes=[
-			pltpu.VMEM((MB, TB), jnp.float32),
-			pltpu.VMEM((MB, TB), jnp.float32),
-			pltpu.VMEM((MB, TB), jnp.float32),
+			pltpu.VMEM((MB, tb), jnp.float32),
+			pltpu.VMEM((MB, tb), jnp.float32),
+			pltpu.VMEM((MB, tb), jnp.float32),
 		],
 		compiler_params=pltpu.CompilerParams(
 			dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
@@ -207,10 +217,11 @@ def analysis_scan_pallas(F, theta, lmax, mmax, mode="scalar", interpret=False):
 	outside the kernel."""
 	F = jnp.asarray(F, jnp.float32)
 	nfun, funcs = _make_funcs(mode)
-	th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp) = _prep_inputs(theta, lmax, mmax, mode)
 	C = F.shape[1]
+	tb = _pick_tb(nfun, C)
+	th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp) = _prep_inputs(theta, lmax, mmax, mode, tb=tb)
 	Fp = jnp.zeros((nfun, C, nmp, ntp), jnp.float32).at[:, :, :nm, :nt].set(F)
-	ntb = ntp//TB
+	ntb = ntp//tb
 	grid = (nmp//MB, ntb, nlp//LB)
 	band = np.float32(2.0**S32)
 	invband = np.float32(2.0**-S32)
@@ -221,9 +232,9 @@ def analysis_scan_pallas(F, theta, lmax, mmax, mode="scalar", interpret=False):
 		il = pl.program_id(2)
 		@pl.when(il == 0)
 		def _():
-			prev[:] = jnp.zeros((MB, TB), jnp.float32)
-			curr[:] = jnp.zeros((MB, TB), jnp.float32)
-			lev[:] = jnp.zeros((MB, TB), jnp.float32)
+			prev[:] = jnp.zeros((MB, tb), jnp.float32)
+			curr[:] = jnp.zeros((MB, tb), jnp.float32)
+			lev[:] = jnp.zeros((MB, tb), jnp.float32)
 		# below-diagonal blocks produce exactly zero, but each output slab is
 		# written only once, so dead blocks still write zeros (cheap)
 		@pl.when((il + 1)*LB <= im*MB)
@@ -232,7 +243,7 @@ def analysis_scan_pallas(F, theta, lmax, mmax, mode="scalar", interpret=False):
 		@pl.when((il + 1)*LB > im*MB)
 		def _():
 			# coefficients depend only on m: compute them on [MB,1] columns and
-			# let broadcasting expand over theta (cuts the sqrt work by TB)
+			# let broadcasting expand over theta (cuts the sqrt work by tb)
 			marr = (im*MB + jax.lax.broadcasted_iota(jnp.int32, (MB, 1), 0)).astype(jnp.float32)
 			m2 = marr*marr
 			thv = [th_ref[i, :][None, :] for i in range(5)]
@@ -261,19 +272,19 @@ def analysis_scan_pallas(F, theta, lmax, mmax, mode="scalar", interpret=False):
 		kern,
 		grid=grid,
 		in_specs=[
-			pl.BlockSpec((nfun, C, MB, TB), lambda im, it, il: (0, 0, im, it),
+			pl.BlockSpec((nfun, C, MB, tb), lambda im, it, il: (0, 0, im, it),
 				memory_space=pltpu.VMEM),
-			pl.BlockSpec((5, TB), lambda im, it, il: (0, it), memory_space=pltpu.VMEM),
-			pl.BlockSpec((MB, TB), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
-			pl.BlockSpec((MB, TB), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
+			pl.BlockSpec((5, tb), lambda im, it, il: (0, it), memory_space=pltpu.VMEM),
+			pl.BlockSpec((MB, tb), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
+			pl.BlockSpec((MB, tb), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
 		],
 		out_specs=pl.BlockSpec((1, C, LB, MB), lambda im, it, il: (it, 0, il, im),
 			memory_space=pltpu.VMEM),
 		out_shape=jax.ShapeDtypeStruct((ntb, C, nlp, nmp), jnp.float32),
 		scratch_shapes=[
-			pltpu.VMEM((MB, TB), jnp.float32),
-			pltpu.VMEM((MB, TB), jnp.float32),
-			pltpu.VMEM((MB, TB), jnp.float32),
+			pltpu.VMEM((MB, tb), jnp.float32),
+			pltpu.VMEM((MB, tb), jnp.float32),
+			pltpu.VMEM((MB, tb), jnp.float32),
 		],
 		compiler_params=pltpu.CompilerParams(
 			dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
