@@ -114,8 +114,8 @@ def deflect(dec, ra, dir, beta, return_rot=False):
 	[{ra,dec}] by angle set by cos t' = (cos t - beta)/(1 - beta cos t).
 	Passing -beta inverts the transformation."""
 	dir_ra, dir_dec = dir[0], dir[1]
-	# rotate so the apex is at the north pole
-	work = coordinates.recenter(np.array([ra, dec]), np.array([dir_ra, dir_dec - np.pi/2]))
+	# rotate so the apex is at the north pole (recenter's convention)
+	work = coordinates.recenter(np.array([ra, dec]), np.array([dir_ra, dir_dec]))
 	wra, wdec = work[0], work[1]
 	t = np.pi/2 - wdec  # angle from apex
 	cost = np.cos(t)
@@ -123,7 +123,7 @@ def deflect(dec, ra, dir, beta, return_rot=False):
 	t2 = np.arccos(np.clip(cost2, -1, 1))
 	wdec2 = np.pi/2 - t2
 	# rotate back
-	out = coordinates.decenter(np.array([wra, wdec2]), np.array([dir_ra, dir_dec - np.pi/2]))
+	out = coordinates.decenter(np.array([wra, wdec2]), np.array([dir_ra, dir_dec]))
 	odec, ora = out[1], out[0]
 	if not return_rot:
 		return odec, ora

@@ -242,13 +242,23 @@ def get_central_radius(fbeam, lknee=2000, alpha=-3):
 class Nmat:
 	"""Base class for noise models used by the finders."""
 	def matched_filter(self, map): raise NotImplementedError
-	def sim(self, seed=None): raise NotImplementedError
+	def simulate(self): raise NotImplementedError
+	def sim(self, seed=None): return self.simulate(seed=seed)
 
 class NmatConstcov(Nmat):
 	def __init__(self, iN, B, uht):
 		self.iN, self.B, self.uht = np.asarray(iN), np.asarray(B), uht
 	def matched_filter(self, map):
 		return matched_filter_constcov(map, self.B, self.iN, uht=self.uht)
+	def simulate(self, seed=None):
+		"""Draw a noise realization with covariance N = iN^-1
+		(reference analysis.NmatConstcov.simulate:426)."""
+		hN = np.asarray(safe_pow(self.iN, -1))
+		r = self.uht.hrand(hN, seed=seed)
+		if self.uht.mode == "flat":
+			return enmap.ifft(r).real
+		omap = enmap.zeros(np.shape(r)[:-1] + tuple(self.uht.shape), self.uht.wcs)
+		return curvedsky.alm2map(r, omap)
 
 class NmatWhite(Nmat):
 	def __init__(self, ivar, B, uht):
@@ -256,6 +266,12 @@ class NmatWhite(Nmat):
 		self.B2 = uht.hprof_rpow(self.B, 2)
 	def matched_filter(self, map):
 		return matched_filter_white(map, self.B, self.ivar, uht=self.uht, B2=self.B2)
+	def simulate(self, seed=None):
+		"""White noise with variance 1/ivar where ivar>0."""
+		rng = np.random.default_rng(seed)
+		iv = np.asarray(self.ivar)
+		sig = np.where(iv > 0, np.abs(iv)**-0.5, 0.0)
+		return enmap.samewcs(rng.standard_normal(iv.shape)*sig, self.ivar)
 
 class NmatConstcorr(Nmat):
 	def __init__(self, iC, ivar, B, uht):
@@ -263,6 +279,19 @@ class NmatConstcorr(Nmat):
 	def matched_filter(self, map):
 		return matched_filter_constcorr_lowcorr(map, self.B, self.ivar, self.iC,
 			uht=self.uht)
+	def simulate(self, seed=None):
+		"""Correlated noise modulated by the inverse-variance map
+		(reference analysis.NmatConstcorr.simulate:474)."""
+		hN = np.asarray(safe_pow(self.iC, -1))
+		r = self.uht.hrand(hN, seed=seed)
+		if self.uht.mode == "flat":
+			sim = enmap.ifft(r).real
+		else:
+			omap = enmap.zeros(np.shape(r)[:-1] + tuple(self.uht.shape), self.uht.wcs)
+			sim = curvedsky.alm2map(r, omap)
+		iv = np.asarray(self.ivar)
+		mod = np.where(iv > 0, np.abs(iv)**-0.5, 0.0)
+		return enmap.samewcs(np.asarray(sim)*mod, sim)
 
 
 # ---------------------------------------------------------------------------

@@ -6,6 +6,50 @@ import jax.numpy as jnp
 from . import utils
 
 
+class _Core:
+	"""Numpy/jnp stand-in for the reference's f2py core objects
+	(reference array_ops.get_core:7 returning _array_ops_32/64.array_ops).
+	Exposes the same callables, operating out-of-place on the given arrays."""
+	def __init__(self, dtype):
+		self.dtype = np.dtype(dtype)
+	def matmul_multi(self, AT, BT, XT):
+		# f2py cores take transposed views; emulate the same contract
+		X = np.einsum("...ij,...kj->...ki", AT.T, BT.T)
+		XT.T[...] = X
+	def matmul_multi_sym(self, AT, BT):
+		BT.T[...] = np.einsum("...ij,...kj->...ki", AT.T, BT.T)
+	def ang2rect(self, aT, resT):
+		resT.T[...] = np.moveaxis(np.asarray(utils.ang2rect(
+			np.moveaxis(aT.T, -1, 0))), 0, -1)
+	def find_contours(self, imapT, vals, omapT):
+		omapT.T[...] = np.searchsorted(np.asarray(vals), imapT.T).astype(np.int32)
+	def roll_rows(self, imapT, offsets, omapT):
+		omapT.T[...] = np.asarray(roll_rows(imapT.T, np.asarray(offsets)))
+
+def get_core(dtype):
+	"""Return the compute core for dtype (reference array_ops.get_core:7)."""
+	dtype = np.dtype(dtype)
+	if dtype in (np.float32, np.float64): return _Core(dtype)
+	raise ValueError("Unsupported data type: %s" % str(dtype))
+
+def wrap_mm_m(name, vec2mat=False):
+	"""Wrap a core matrix-matrix/matrix-vector routine so the matrix axes can
+	sit anywhere (reference array_ops.wrap_mm_m:58). Supported names:
+	matmul_multi, matmul_multi_sym."""
+	def f(A, B, axes=[-2, -1]):
+		A = np.asarray(A); B = np.asarray(B)
+		ax1, ax2 = [i if i >= 0 else A.ndim + i for i in axes]
+		A2 = np.moveaxis(A, (ax1, ax2), (-2, -1))
+		vec = B.ndim < A.ndim
+		if vec:
+			b2 = np.moveaxis(B, ax1 % B.ndim, -1)
+			res = np.einsum("...ij,...j->...i", A2, b2)
+			return np.moveaxis(res, -1, ax1 % B.ndim).astype(B.dtype, copy=False)
+		b2 = np.moveaxis(B, (ax1, ax2), (-2, -1))
+		res = np.einsum("...ij,...jk->...ik", A2, b2)
+		return np.moveaxis(res, (-2, -1), (ax1, ax2)).astype(B.dtype, copy=False)
+	return f
+
 def matmul(A, b, axes=[-2, -1]):
 	"""Batched tiny-matrix multiply A[...,n,m] b[...,m] with the matrix axes
 	anywhere (reference array_ops.matmul over matmul_multi, array_ops.F90:12)."""

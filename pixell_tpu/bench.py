@@ -1,12 +1,18 @@
 """Lightweight wall/device timing (reference pixell/bench.py).
 
-Adds device synchronization around the timed region so jax's async dispatch
-doesn't make everything look free: `with bench.mark("sht"): ...` blocks on
-all outstanding work before reading the clock (reference Bench:55 measures
-wall time only; the reference's Device.time does the sync dance for cupy)."""
+Same API as the reference Bench (reference bench.py:55-104: mark/show/add/
+print/set_verbose/set_tfun and the module-level default instance), with one
+TPU-specific addition: by default the timer synchronizes the device before
+reading the clock, so jax's async dispatch doesn't make everything look
+free (the reference's Device.time does the equivalent sync dance for cupy,
+device.py:17-19).
+"""
 from __future__ import annotations
 import time
-import numpy as np
+from contextlib import contextmanager
+from . import bunch
+
+_print = print
 
 
 def _sync():
@@ -18,50 +24,66 @@ def _sync():
 		pass
 
 
-class Entry:
-	def __init__(self):
-		self.n = 0
-		self.time = 0.0
-		self.last = 0.0
-	@property
-	def mean(self): return self.time/max(self.n, 1)
-
 class Bench:
-	"""Accumulate named wall times (reference bench.Bench:55)."""
-	def __init__(self, sync=True):
-		self.entries = {}
-		self.sync = sync
-	def mark(self, name):
-		return _Mark(self, name)
+	"""Accumulate named wall times (reference bench.Bench:55).
+
+	with bench.mark("name"): ...   accumulates
+	with bench.show("name"): ...   accumulates and prints
+	"""
+	def __init__(self, verbose=False, tfun=time.time, sync=True):
+		self.t      = bunch.Bunch()
+		self.t_tot  = bunch.Bunch()
+		self.n      = bunch.Bunch()
+		self.verbose = verbose
+		self.tfun   = tfun
+		self.sync   = sync
+	@contextmanager
+	def mark(self, name, tfun=None):
+		if tfun is None: tfun = self.tfun
+		if self.sync: _sync()
+		t1 = tfun()
+		try:
+			yield
+		finally:
+			if self.sync: _sync()
+			t2 = tfun()
+			self.add(name, t2 - t1)
+			if self.verbose:
+				self.print(name)
+	@contextmanager
+	def show(self, name, tfun=None):
+		try:
+			with self.mark(name, tfun=tfun):
+				yield
+		finally:
+			self.print(name)
 	def add(self, name, t):
-		e = self.entries.setdefault(name, Entry())
-		e.n += 1; e.time += t; e.last = t
-	def show(self, file=None):
-		import sys
-		f = file or sys.stderr
-		for name in self.entries:
-			e = self.entries[name]
-			f.write("%8.4f s (%4d x %8.5f s) %s\n" % (e.time, e.n, e.mean, name))
+		if name not in self.n:
+			self.t_tot[name] = 0
+			self.n[name] = 0
+		self.n[name] += 1
+		self.t[name] = t
+		self.t_tot[name] += t
+	def print(self, name):
+		_print("%7.4f s (last) %7.4f s (mean) %4d (n) %s" % (
+			self.t[name], self.t_tot[name]/self.n[name], self.n[name], name))
+	def set_verbose(self, verbose):
+		self.verbose = verbose
+	def set_tfun(self, tfun):
+		self.tfun = tfun
 	def stats(self, name):
-		return self.entries[name]
-	def __getitem__(self, name): return self.entries[name]
-	def t(self, name): return self.entries[name].last
+		"""Convenience summary (not in the reference)."""
+		return bunch.Bunch(last=self.t[name], tot=self.t_tot[name], n=self.n[name])
 
-class _Mark:
-	def __init__(self, bench, name):
-		self.bench, self.name = bench, name
-	def __enter__(self):
-		if self.bench.sync: _sync()
-		self.t1 = time.perf_counter()
-		return self
-	def __exit__(self, *args):
-		if self.bench.sync: _sync()
-		self.bench.add(self.name, time.perf_counter() - self.t1)
 
-# global instance, like the reference's module-level bench (bench.py:96)
-_global = Bench()
-mark = _global.mark
-show = _global.show
-add  = _global.add
-stats = _global.entries
-def t(name): return _global.t(name)
+# Global interface (reference bench.py:96-104)
+_default = Bench()
+mark  = _default.mark
+show  = _default.show
+add   = _default.add
+print = _default.print
+t_tot = _default.t_tot
+t     = _default.t
+n     = _default.n
+set_verbose = _default.set_verbose
+set_tfun = _default.set_tfun

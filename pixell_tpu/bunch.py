@@ -28,6 +28,7 @@ class Bunch:
 	def keys(self): return self._dict.keys()
 	def values(self): return self._dict.values()
 	def items(self): return self._dict.items()
+	def iteritems(self): return iter(self._dict.items())
 	def update(self, other):
 		self._dict.update(other._dict if isinstance(other, Bunch) else other)
 		return self

@@ -82,3 +82,29 @@ class ArgumentParser(argparse.ArgumentParser):
 
 def to_str():
 	return "\n".join("%s = %s" % (k, repr(get(k))) for k in sorted(_params))
+
+def from_str(string):
+	"""Update the configuration from a key = value string
+	(reference config.from_str:137)."""
+	for line in string.split("\n"):
+		line = line.split("#")[0].strip()
+		if not line: continue
+		toks = line.split("=")
+		if len(toks) != 2:
+			raise ValueError("Invalid format in config: %s" % line)
+		key, val = toks[0].strip(), toks[1].strip()
+		_file_vals[key] = val
+
+def init(name=None, fname=None, must_exist=False):
+	"""Load settings from a config file (reference config.init:150). If fname
+	is not given, it is inferred from $<NAME>RC or defaults to ~/.<name>rc."""
+	if fname is None:
+		if name is None: return
+		envname = name.upper() + "RC"
+		fname = os.environ.get(envname,
+			os.path.expandvars("$HOME/.%src" % name))
+	if not os.path.exists(fname):
+		if must_exist:
+			raise IOError("Config file %s does not exist" % fname)
+		return
+	load(fname)

@@ -62,9 +62,8 @@ def euler_rot(euler_angles, coords, kind="zyz"):
 	rect = xp.tensordot(R, rect.reshape(3, -1), 1).reshape(shape)
 	return utils.rect2ang(rect, axis=0)
 
-def transform(from_sys, to_sys, coords, unwind=False, time=None, site=None, pol=None, mag=None):
-	"""Transform coords[{ra,dec},...] (radians) between coordinate systems
-	(reference coordinates.transform:25). Supported: equ/cel, gal, ecl."""
+def transform_simple(from_sys, to_sys, coords, unwind=False):
+	"""Fixed-matrix transform between equ/gal/ecl: jit-compatible fast path."""
 	xp = utils._xp(coords)
 	coords = xp.asarray(coords)
 	R = xp.asarray(_get_mat(getsys(from_sys), getsys(to_sys)))
@@ -75,34 +74,144 @@ def transform(from_sys, to_sys, coords, unwind=False, time=None, site=None, pol=
 	if unwind: res = xp.concatenate([utils.unwind(res[:1]), res[1:]], 0)
 	return res
 
-def transform_meta(transfun, coords, offset=5*utils.arcsec):
-	"""Compute transformed coords plus the local rotation angle (for
-	polarization) via finite offsets (reference coordinates.transform_meta:67)."""
+def transform(from_sys, to_sys, coords, time=55500, site=None, pol=None,
+		mag=None, bore=None, unwind=False):
+	"""Transform coords[{ra,dec},...] (radians) between coordinate systems
+	(reference coordinates.transform:25). Systems: equ/cel, gal, ecl, hor,
+	tele, bore, plus recentered specs [base, [center, restore]] or the
+	string syntax "base:ref[:refsys]". With pol (or a 3rd input row), a
+	polarization-rotation row is appended; with mag (or a 4th row), a
+	magnification row."""
+	if site is None: site = default_site
+	coords = np.asarray(coords, float)
+	from_info = getsys_full(from_sys, time, site, bore=bore)
+	to_info   = getsys_full(to_sys, time, site, bore=bore)
+	simple = (from_info[1] is None and to_info[1] is None
+		and from_info[0] in _MAT_SYS and to_info[0] in _MAT_SYS)
+	ihand = get_handedness(from_info[0])
+	ohand = get_handedness(to_info[0])
+	def transfunc(c):
+		return transform_raw(from_info, to_info, c, time=time, site=site, bore=bore)
+	fields = []
+	if pol: fields.append("ang")
+	if mag: fields.append("mag")
+	if pol is None and mag is None:
+		if len(coords) > 2: fields.append("ang")
+		if len(coords) > 3: fields.append("mag")
+	if not fields and simple:
+		res = transform_simple(from_info[0], to_info[0], coords)
+		if unwind:
+			xp = utils._xp(res)
+			res = xp.concatenate([utils.unwind(res[:1]), res[1:]], 0)
+		return res
+	meta = transform_meta(transfunc, coords[:2], fields=fields)
+	if "ang" in fields:
+		# healpix polarization convention (reference transform:47-49)
+		if ihand != ohand: meta.ang = meta.ang - np.pi
+		if ohand != "L":   meta.ang = -meta.ang
+	res = np.zeros((2 + len(fields),) + np.shape(meta.ocoord)[1:])
+	res[:2] = meta.ocoord
+	for i, f in enumerate(fields):
+		if f == "ang":
+			res[2+i] = (coords[2] + meta.ang) if len(coords) > 2 else meta.ang
+		elif f == "mag":
+			res[2+i] = (coords[3]*meta.mag) if len(coords) > 3 else meta.mag
+	if unwind:
+		res[0] = utils.unwind(res[0])
+	return res
+
+def transform_meta(transfun, coords, fields=["ang", "mag"], offset=5e-7):
+	"""Metadata of a coordinate transform: output coords plus the induced
+	local rotation (ang) and magnification (mag), via finite offsets
+	(reference coordinates.transform_meta:67)."""
 	from .bunch import Bunch
+	if "mag_brute" in fields: ntrans = 3
+	elif "ang" in fields: ntrans = 2
+	else: ntrans = 1
 	coords = np.asarray(coords)
-	c0 = np.asarray(transfun(coords))
-	# offset towards north
-	cn = coords.copy()
-	cn[1] = cn[1] + offset
-	c1 = np.asarray(transfun(cn))
-	dra = (c1[0] - c0[0])*np.cos(c0[1])
-	ddec = c1[1] - c0[1]
-	ang = np.arctan2(dra, ddec)
-	return Bunch(ocoord=c0, ang=ang)
+	offsets = np.array([[0, 0], [1, 0], [0, 1]])*offset
+	ocoords = None
+	for i in range(ntrans):
+		a = np.asarray(transfun((coords.T + offsets[i].T).T))
+		if ocoords is None:
+			ocoords = np.zeros((ntrans,) + a.shape, a.dtype)
+		ocoords[i] = a
+	res = Bunch()
+	res.icoord = coords
+	res.ocoord = ocoords[0]
+	diff = utils.rewind(ocoords[1:] - ocoords[0, None]) if ntrans > 1 else None
+	if "ang" in fields:
+		# IAU tangent-plane angle of the transformed ra-offset direction
+		phiscale = np.cos(ocoords[0, 1])
+		res.ang = np.arctan2(diff[0, 1], diff[0, 0]*phiscale)
+	if "mag" in fields:
+		res.mag = np.cos(res.icoord[1])/np.cos(res.ocoord[1])
+	if "mag_brute" in fields:
+		def tri_area(d):
+			return 0.5*np.abs(d[0, 0]*d[1, 1] - d[0, 1]*d[1, 0])
+		res.mag = (tri_area(diff).T/tri_area(offsets[1:] - offsets[0]).T).T
+	return res
+
+_MAT_SYS = ["equ", "gal", "ecl"]
 
 def getsys(sys):
 	if not isinstance(sys, str): return sys
 	s = sys.lower().split(":")[0]
 	aliases = {"c": "equ", "cel": "equ", "icrs": "equ", "equ": "equ", "fk5": "equ",
+		"j2000": "equ",
 		"g": "gal", "gal": "gal", "galactic": "gal",
-		"e": "ecl", "ecl": "ecl", "ecliptic": "ecl"}
+		"e": "ecl", "ecl": "ecl", "ecliptic": "ecl",
+		"hor": "altaz", "altaz": "altaz", "tele": "tele", "bore": "bore"}
 	if s in aliases: return aliases[s]
 	raise ValueError("Unknown coordinate system '%s'" % sys)
 
-def getsys_full(sys, time=None, site=None):
-	if isinstance(sys, str) and sys.lower() in ["hor", "altaz", "tele", "bore"]:
-		return sys.lower()
-	return getsys(sys)
+def getsys_full(sys, time=None, site=None, bore=None):
+	"""Expanded coordinate-system syntax base[:ref[:refsys]] (reference
+	coordinates.getsys_full:322): a system optionally recentered on a
+	position ("10_20" in degrees) or ephemeris object ("Jupiter"), where the
+	reference point may itself be given in another system. Returns
+	[base, ref] with ref None or [ref_coords, restore_flag]; ref_coords has
+	2 rows (recenter on zenith) or 4 (move point A to point B)."""
+	if site is None: site = default_site
+	if isinstance(sys, str):
+		sys = sys.split(":", 1)
+	else:
+		try: sys = list(sys)
+		except TypeError: sys = [sys]
+	if len(sys) < 2: sys += [None]*(2 - len(sys))
+	base, ref = sys
+	sidelobe = False
+	if base == "sidelobe":
+		base = "bore"
+		sidelobe = True
+	base = getsys(base)
+	if ref is None: return [base, None]
+	if isinstance(ref, str):
+		prevsys = base
+		ref_expanded = []
+		for ref_refsys in ref.split("/"):
+			toks = ref_refsys.split(":")
+			r = toks[0]
+			refsys = getsys(toks[1]) if len(toks) > 1 else prevsys
+			try:
+				r = np.asarray([float(w) for w in r.split("_")])*utils.degree
+				assert r.ndim == 1 and len(r) == 2
+				r = transform_raw([refsys, None], [base, None], r[:, None],
+					time=time, site=site, bore=bore)
+			except ValueError:
+				r = ephem_pos(r, time if time is not None else 55500)
+				r = transform_raw(["equ", None], [base, None],
+					np.asarray(r).reshape(2, -1), time=time, site=site, bore=bore)
+			ref_expanded += list(np.asarray(r).reshape(2, -1)[:, 0])
+			prevsys = refsys
+		ref = [np.array(ref_expanded), sidelobe]
+	elif not (isinstance(ref, (list, tuple)) and len(ref) == 2
+			and np.ndim(ref[1]) == 0 and isinstance(ref[1], (bool, np.bool_))):
+		# bare coordinates: wrap with the sidelobe flag
+		ref = [np.asarray(ref, float), sidelobe]
+	else:
+		ref = [np.asarray(ref[0], float), bool(ref[1])]
+	return [base, ref]
 
 def recenter(angs, center, restore=False):
 	"""Rotate coordinates so that center[{ra,dec}] is at the origin
@@ -113,7 +222,8 @@ def recenter(angs, center, restore=False):
 		ra0, dec0, ra1, dec1 = center
 	else:
 		ra0, dec0 = center[0], center[1]
-		ra1, dec1 = 0.0, 0.0
+		ra1, dec1 = ra0*0, dec0*0 + np.pi/2
+	if restore: ra1 = ra1 + ra0
 	return euler_rot([ra1, dec0 - dec1, -ra0], angs, kind="zyz")
 
 def decenter(angs, center, restore=False):
@@ -123,7 +233,8 @@ def decenter(angs, center, restore=False):
 		ra0, dec0, ra1, dec1 = center
 	else:
 		ra0, dec0 = center[0], center[1]
-		ra1, dec1 = 0.0, 0.0
+		ra1, dec1 = ra0*0, dec0*0 + np.pi/2
+	if restore: ra1 = ra1 + ra0
 	return euler_rot([ra0, dec1 - dec0, -ra1], angs, kind="zyz")
 
 
@@ -264,30 +375,48 @@ def interpol_pos(from_sys, to_sys, name_or_pos, mjd, site=default_site, dt=10):
 	return np.array([np.interp(mjd, sub_mjd, ra) % (2*np.pi),
 		np.interp(mjd, sub_mjd, sub_to[1])])
 
-def transform_raw(from_sys, to_sys, coords, time=None, site=default_site, bore=None):
-	"""Transform between hor/cel/gal (+tele/bore) systems, handling the
-	time-dependent hor chain (reference coordinates.transform_raw)."""
-	coords = np.array(coords)[:2]
-	fs, ts = getsys_full(from_sys), getsys_full(to_sys)
+def transform_raw(from_sys, to_sys, coords, time=None, site=None, bore=None):
+	"""Transform between equ/gal/ecl/hor(altaz)/tele/bore systems, including
+	recentered system specs, handling the time-dependent hor chain
+	(reference coordinates.transform_raw:124). from_sys/to_sys may be raw
+	specs or pre-parsed [base, ref] pairs from getsys_full."""
+	if site is None: site = default_site
+	coords = np.array(np.asarray(coords, float))[:2]
+	def parse(sys):
+		if isinstance(sys, (list, tuple)) and len(sys) == 2 and (
+				sys[1] is None or isinstance(sys[1], (list, tuple))
+				and len(sys[1]) == 2 and np.ndim(sys[1][1]) == 0):
+			# may already be a parsed [base, ref]
+			try: return [getsys(sys[0]), sys[1]]
+			except (ValueError, TypeError): pass
+		return getsys_full(sys, time, site, bore=bore)
+	(fs, from_ref) = parse(from_sys)
+	(ts, to_ref) = parse(to_sys)
 	cur = coords
-	# to celestial first
-	if fs in ["hor", "altaz"]:
-		cur = hor2cel(cur, time, site)
-	elif fs == "tele":
-		cur = hor2cel(tele2hor(cur, site), time, site)
-	elif fs == "bore":
-		cur = hor2cel(tele2hor(bore2tele(cur, bore), site), time, site)
-	elif fs != "equ":
-		cur = transform(fs, "equ", cur)
-	# celestial to target
-	if ts in ["hor", "altaz"]:
-		cur = cel2hor(cur, time, site)
-	elif ts == "tele":
-		cur = hor2tele(cel2hor(cur, time, site), site)
-	elif ts == "bore":
-		cur = tele2bore(hor2tele(cel2hor(cur, time, site), site), bore)
-	elif ts != "equ":
-		cur = transform("equ", ts, cur)
+	if from_ref is not None:
+		cur = decenter(cur, from_ref[0], restore=from_ref[1])
+	# walk to the target system through the hor chain
+	if fs != ts:
+		# up to celestial
+		if fs == "bore":
+			cur = bore2tele(cur, bore); fs = "tele"
+		if fs == "tele" and ts not in ["bore"]:
+			cur = tele2hor(cur, site); fs = "altaz"
+		if fs == "altaz" and ts not in ["tele", "bore"]:
+			cur = hor2cel(cur, time, site); fs = "equ"
+		if fs in _MAT_SYS and ts in _MAT_SYS:
+			cur = np.asarray(transform_simple(fs, ts, cur)); fs = ts
+		elif fs in _MAT_SYS and ts not in _MAT_SYS:
+			cur = np.asarray(transform_simple(fs, "equ", cur)); fs = "equ"
+		# down from celestial
+		if fs == "equ" and ts in ["altaz", "tele", "bore"]:
+			cur = cel2hor(cur, time, site); fs = "altaz"
+		if fs == "altaz" and ts in ["tele", "bore"]:
+			cur = hor2tele(cur, site); fs = "tele"
+		if fs == "tele" and ts == "bore":
+			cur = tele2bore(cur, bore); fs = "bore"
+	if to_ref is not None:
+		cur = recenter(cur, to_ref[0], restore=to_ref[1])
 	return cur
 
 def transform_euler(euler, coords, pol=None, mag=None):

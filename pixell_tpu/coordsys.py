@@ -231,6 +231,20 @@ class Coords:
 		if self._iq is None:
 			self._iq = np.swapaxes(self.q, -1, -2)
 		return self._iq
+	@property
+	def has_coords(self): return self._lon is not None
+	@property
+	def has_q(self): return self._q is not None
+	@property
+	def has_iq(self): return self._iq is not None
+	@property
+	def shape(self):
+		if self.has_iq: return self._iq.shape[:-2]
+		if self.has_q:  return self._q.shape[:-2]
+		return np.shape(self._lon)
+	def copy(self):
+		import copy as _copy
+		return _copy.deepcopy(self)
 	def _from_q(self):
 		lon, lat, psi = decompose_lonlat(self._q)
 		self._lon, self._lat, self._psi = lon, lat, psi

@@ -170,6 +170,39 @@ class ndmap:
 	def wrap(self): return self
 	def write(self, fname, fmt=None):
 		write_map(fname, self, fmt=fmt)
+	def argmax(self, unit="coord"): return argmax(self, unit=unit)
+	def argmin(self, unit="coord"): return argmin(self, unit=unit)
+	def pixbox_of(self, oshape, owcs): return pixbox_of(self.wcs, oshape, owcs)
+	def padslice(self, box, default=np.nan): return padslice(self, box, default=default)
+	def plain(self):
+		"""Drop sky information: same data on a plain coordinate system
+		(reference enmap.ndmap.plain:116)."""
+		return ndmap(self.data, wcsutils.explicit(crpix=[1, 1], crval=[0, 0],
+			cdelt=[1, 1]))
+	def lbin(self, bsize=None, brel=1.0, return_nhit=False, lop=None):
+		return lbin(self, bsize=bsize, brel=brel, return_nhit=return_nhit, lop=lop)
+	def rbin(self, center=[0, 0], bsize=None, brel=1.0, return_nhit=False):
+		return rbin(self, center=center, bsize=bsize, brel=brel, return_nhit=return_nhit)
+	def lpixsize(self, signed=False, method="auto"):
+		return lpixsize(self.shape, self.wcs, signed=signed, method=method)
+	def lpixshape(self, signed=False, method="auto"):
+		return lpixshape(self.shape, self.wcs, signed=signed, method=method)
+	def resample(self, oshape, off=(0, 0), method="fft", border="wrap",
+			corner=True, order=3):
+		return resample(self, oshape, method=method, mode=border,
+			corner=corner, order=order)
+	def to_flipper(self, omap=None, unpack=True):
+		return to_flipper(self, omap=omap, unpack=unpack)
+	def distance_from(self, points, omap=None, odomains=None, domains=False,
+			method="auto", rmax=None, step=1024):
+		return distance_from(self.shape, self.wcs, points, omap=omap,
+			odomains=odomains, domains=domains, method=method, rmax=rmax, step=step)
+	def distance_transform(self, omap=None, rmax=None, method="auto"):
+		return distance_transform(self, omap=omap, rmax=rmax, method=method)
+	def labeled_distance_transform(self, omap=None, odomains=None, rmax=None,
+			method="auto"):
+		return labeled_distance_transform(self, omap=omap, odomains=odomains,
+			rmax=rmax, method=method)
 
 	# ----- fourier/harmonic methods -----
 	def fft(self, omap=None, nthread=0, normalize=True, adjoint_ifft=False, dct=False):
@@ -353,6 +386,12 @@ class Geometry:
 	def copy(self): return Geometry(self.shape, self.wcs.deepcopy())
 	def sky2pix(self, coords, safe=True, corner=False): return sky2pix(self.shape, self.wcs, coords, safe, corner)
 	def pix2sky(self, pix, safe=True, corner=False): return pix2sky(self.shape, self.wcs, pix, safe, corner)
+	def l2pix(self, ls):  return l2pix(self.shape, self.wcs, ls)
+	def pix2l(self, pix): return pix2l(self.shape, self.wcs, pix)
+	def with_pre(self, pre):
+		"""Same pixel geometry with the given pre-dimensions
+		(reference enmap.Geometry.with_pre:321)."""
+		return Geometry(tuple(pre) + self.shape[-2:], self.wcs)
 	def __getitem__(self, sel):
 		sel1, sel2 = utils.split_slice(sel, [len(self.shape)-2, 2])
 		shape, wcs = slice_geometry(self.shape, self.wcs, sel2)
@@ -1792,8 +1831,35 @@ class ndmap_proxy_fits:
 		return data
 	def read(self):
 		return self[:]
+	@property
+	def preflat(self):
+		"""View with the pre-dimensions flattened into one
+		(reference enmap.ndmap_proxy_fits.preflat:3210)."""
+		return _preflat_proxy(self)
 
 ndmap_proxy = ndmap_proxy_fits
+
+
+class _preflat_proxy:
+	"""Flattened-pre view over a delayed-read proxy (reference
+	ndmap_proxy.preflat semantics, enmap.py:3139-3233)."""
+	def __init__(self, proxy):
+		self.proxy = proxy
+		npre = int(np.prod(proxy.shape[:-2]))
+		self.shape = (npre,) + tuple(proxy.shape[-2:])
+		self.wcs = proxy.wcs
+	@property
+	def ndim(self): return 3
+	@property
+	def dtype(self): return self.proxy.dtype
+	@property
+	def geometry(self): return self.shape, self.wcs
+	def __getitem__(self, sel):
+		full = self.proxy[:]
+		arr = full.data if isinstance(full, ndmap) else full
+		flat = ndmap(jnp.asarray(arr).reshape(self.shape), self.wcs)
+		return flat[sel]
+	def read(self): return self[:]
 
 
 # ---------------------------------------------------------------------------
@@ -2282,6 +2348,10 @@ class ndmap_proxy_hdf:
 			tuple(spat) + (slice(None),)*(2-len(spat)))
 		return ndmap(jnp.asarray(data), wcs)
 	def read(self): return self[:]
+	@property
+	def preflat(self):
+		"""Flattened-pre view (reference enmap.ndmap_proxy_hdf.preflat:3230)."""
+		return _preflat_proxy(self)
 
 
 def read_helper(data, sel=None, box=None, pixbox=None, geometry=None,

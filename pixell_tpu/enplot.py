@@ -194,19 +194,57 @@ def plot_iterator(*maps, comm=None, **kwargs):
 			yield p
 
 class Writer:
-	def __init__(self, fname):
+	"""Plot output sink (reference enplot.Writer:1117): process() consumes
+	plots one by one, close() finalizes; usable as a context manager."""
+	def __init__(self, fname=None, **kwargs):
 		self.fname = fname
+	def process(self, plot, prefix=""):
+		raise NotImplementedError
 	def write(self, plots): return write(self.fname, plots)
+	def close(self): pass
+	def __enter__(self): return self
+	def __exit__(self, type, value, traceback): self.close()
 
-class PlotWriter(Writer): pass
+class PlotWriter(Writer):
+	"""Writes image plots to files, delegating video plots to a VideoWriter
+	(reference enplot.PlotWriter:1124)."""
+	def __init__(self, fname=None, **kwargs):
+		super().__init__(fname)
+		self.vid_writer = VideoWriter(**kwargs)
+	def process(self, plot, prefix=""):
+		ptype = getattr(plot, "type", "pil")
+		if ptype == "vid":
+			self.vid_writer.process(plot, prefix=prefix)
+		elif ptype == "pil":
+			plot.img.save(prefix + plot.name)
+		elif ptype == "mpl":
+			plot.img.savefig(prefix + plot.name, bbox_inches="tight",
+				dpi=getattr(plot, "dpi", 100))
+		else:
+			raise ValueError("Unknown plot type '%s'" % str(ptype))
+	def close(self):
+		self.vid_writer.close()
 
 class VideoWriter(Writer):
-	"""Accumulate frames and save as animated gif (the reference shells out
-	to ffmpeg, enplot.VideoWriter:1139)."""
-	def __init__(self, fname, fps=10):
+	"""Accumulates frames into an animated file (reference
+	enplot.VideoWriter:1139 encodes via PyAV/ffmpeg; here PIL writes an
+	animated gif/webp, which needs no external binaries)."""
+	def __init__(self, fname=None, fps=10, **kwargs):
 		super().__init__(fname)
 		self.frames = []
 		self.fps = fps
+	def new(self, fname, img=None):
+		"""Finalize any current animation and start a new one
+		(reference VideoWriter.new:1156)."""
+		self.close()
+		self.fname = fname
+	def process(self, plot, prefix=""):
+		fname = prefix + getattr(plot, "name", self.fname or "video.gif")
+		if self.fname is not None and fname != self.fname:
+			self.new(fname)
+		elif self.fname is None:
+			self.fname = fname
+		self.add(plot)
 	def add(self, plots):
 		p = plots[0] if isinstance(plots, (list, tuple)) else plots
 		self.frames.append(p.img.convert("RGB"))
@@ -214,6 +252,10 @@ class VideoWriter(Writer):
 		if not self.frames: return
 		self.frames[0].save(self.fname, save_all=True,
 			append_images=self.frames[1:], duration=int(1000/self.fps), loop=0)
+		self.frames = []
+	def close(self):
+		if self.frames and self.fname:
+			self.finish()
 
 
 def _contour_levels(spec, arr):
@@ -380,7 +422,7 @@ def map_to_color(map, crange, args):
 	if arr.ndim > 2: arr = arr.reshape((-1,) + arr.shape[-2:])[0]
 	x = (arr - crange[0])/max(crange[1] - crange[0], 1e-300)
 	cmap = getattr(args, "color", "planck") if not isinstance(args, str) else args
-	rgba = colorize.colorize(x, cmap=cmap if isinstance(cmap, str) else "planck")
+	rgba = colorize.colorize(x, cmap if isinstance(cmap, str) else "planck")
 	return np.moveaxis(rgba, -1, 0)
 
 def calc_contours(crange, args):

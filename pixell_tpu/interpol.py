@@ -4,7 +4,7 @@ TPU-native replacement for the reference's Fortran interpolation core
 (fortran/interpol.F90 + pixell/interpol.py): scipy-ndimage-compatible
 ``map_coordinates`` over the last two (or one) axes, with
 
-- orders 0 (nearest), 1 (bilinear), 3 (cubic B-spline with prefilter)
+- orders 0 (nearest), 1 (bilinear), 2-5 (B-spline with prefilter)
 - borders: cyclic (default, matching the reference), zero/constant,
   nearest, mirror
 - mode "conv" (no prefilter: direct kernel weighting), "spline"
@@ -63,6 +63,34 @@ def _lanczos3_weights(t):
 	w = sinc(x)*sinc(x/3)
 	return w/jnp.sum(w, -1, keepdims=True)
 
+def _bspline_val(n, t):
+	"""Centered B-spline of degree n via the Cox-de Boor recursion
+	(general-order replacement for the reference's hardcoded weight tables,
+	interpol.F90 calc_weights:279)."""
+	if n == 0:
+		return jnp.where((t > -0.5) & (t <= 0.5), 1.0, 0.0)
+	return ((t + (n + 1)/2)*_bspline_val(n - 1, t + 0.5)
+		+ ((n + 1)/2 - t)*_bspline_val(n - 1, t - 0.5))/n
+
+def _bspline_dval(n, t):
+	"""Derivative: B_n'(t) = B_{n-1}(t+1/2) - B_{n-1}(t-1/2)."""
+	return _bspline_val(n - 1, t + 0.5) - _bspline_val(n - 1, t - 0.5)
+
+def _make_bspline_weights(order):
+	"""(wfun, dwfun, ntap, off) for a degree-`order` B-spline. Odd orders
+	anchor at floor(x) (t in [0,1)); even orders at round(x) (t in
+	[-0.5,0.5)) -- the _interp2d anchor handles the distinction."""
+	taps = np.arange(order + 1) - (order - 1)//2 if order % 2 else \
+		np.arange(order + 1) - order//2
+	off = -int(taps[0])
+	def wfun(t):
+		t = jnp.asarray(t)
+		return jnp.stack([_bspline_val(order, t - j) for j in taps], -1)
+	def dwfun(t):
+		t = jnp.asarray(t)
+		return jnp.stack([_bspline_dval(order, t - j) for j in taps], -1)
+	return wfun, dwfun, order + 1, off
+
 _KERNELS = {
 	("spline", 3): (_bspline3_weights, _bspline3_dweights, 4, 1),
 	("conv", 3):   (_bspline3_weights, _bspline3_dweights, 4, 1),
@@ -70,12 +98,25 @@ _KERNELS = {
 	("conv", 1):   (_linear_weights, _linear_dweights, 2, 0),
 	("lanczos", 3): (_lanczos3_weights, None, 6, 2),
 }
+for _o in (2, 4, 5):
+	_k = _make_bspline_weights(_o)
+	_KERNELS[("spline", _o)] = _k
+	_KERNELS[("conv", _o)] = _k
 
+
+def _bspline_response(n, dtype, order=3):
+	"""Frequency response of the degree-`order` B-spline kernel sampled at
+	the integers (cubic: [1/6,4/6,1/6] -> (4+2cos w)/6)."""
+	w = 2*np.pi*np.fft.fftfreq(n)
+	resp = np.zeros(n)
+	half = (order + 1)//2
+	for m in range(-half, half + 1):
+		bm = float(np.asarray(_bspline_val(order, jnp.asarray(float(m)))))
+		if bm != 0: resp = resp + bm*np.cos(m*w)
+	return resp.astype(dtype)
 
 def _bspline3_response(n, dtype):
-	"""Frequency response of the cubic B-spline sampled kernel [1/6,4/6,1/6]."""
-	w = 2*np.pi*np.fft.fftfreq(n)
-	return ((4 + 2*np.cos(w))/6).astype(dtype)
+	return _bspline_response(n, dtype, order=3)
 
 def spline_filter(data, order=3, axes=None, border="cyclic", trans=False):
 	"""B-spline prefilter: find coefficients c such that spline interpolation
@@ -94,7 +135,7 @@ def _spline_filter_fwd(data, order, axes, border):
 		data = jnp.moveaxis(data, ax, -1)
 		n = data.shape[-1]
 		if border in ["cyclic", "wrap"]:
-			resp = jnp.asarray(_bspline3_response(n, np.float64))
+			resp = jnp.asarray(_bspline_response(n, np.float64, order=order))
 			data = jnp.fft.ifft(jnp.fft.fft(data, axis=-1)/resp, axis=-1).real.astype(data.dtype)
 		else:
 			pad = min(PAD, n)
@@ -104,7 +145,7 @@ def _spline_filter_fwd(data, order, axes, border):
 				ext = jnp.pad(data, [(0, 0)]*(data.ndim-1) + [(pad, pad)], mode="reflect")
 			else:  # zero/constant
 				ext = jnp.pad(data, [(0, 0)]*(data.ndim-1) + [(pad, pad)])
-			resp = jnp.asarray(_bspline3_response(ext.shape[-1], np.float64))
+			resp = jnp.asarray(_bspline_response(ext.shape[-1], np.float64, order=order))
 			ext = jnp.fft.ifft(jnp.fft.fft(ext, axis=-1)/resp, axis=-1).real.astype(data.dtype)
 			data = ext[..., pad:pad+n]
 		data = jnp.moveaxis(data, -1, ax)
@@ -144,7 +185,7 @@ def map_coordinates(idata, points, odata=None, mode="spline", order=3,
 
 	mode: "spline" (prefiltered B-spline, interpolating), "conv" (B-spline
 	 weighting without prefilter, smoothing), "lanczos".
-	order: 0, 1 or 3.
+	order: 0-5 (B-splines; 3 = cubic default).
 	deriv: return the gradient [..., 2, ...] instead of values.
 	trans: apply the transpose operation: scatter odata at the points back
 	 into a map of idata's shape (adjoint of the interpolation)."""
@@ -195,15 +236,28 @@ def _interp2d(data, pts, mode, order, border, deriv, prefilter, cval):
 		if (mode, order) in _KERNELS else _KERNELS[("spline", order)]
 	if mode == "lanczos":
 		wfun, dwfun, ntap, off = _KERNELS[("lanczos", 3)]
+	padded = 0
 	if mode == "spline" and prefilter and order >= 2:
+		if border in ["zero", "constant"]:
+			# The zero border applies to the DATA, not the spline coefficients:
+			# coefficients just outside the map are nonzero even for zero data.
+			# Prefilter a zero-padded copy and keep the pad through the gather
+			# so edge nodes reproduce exactly (truncation ~0.43^24 for order 5).
+			padded = 24
+			data = jnp.pad(data, [(0, 0)]*(data.ndim-2) + [(padded, padded)]*2)
 		data = spline_filter(data, order=order, axes=(-2, -1), border=border)
-	i0y = jnp.floor(pts[0]).astype(jnp.int32)
-	i0x = jnp.floor(pts[1]).astype(jnp.int32)
+	if order % 2 == 0 and mode != "lanczos":
+		# even-order splines anchor at the nearest integer: t in [-0.5, 0.5)
+		i0y = jnp.floor(pts[0] + 0.5).astype(jnp.int32)
+		i0x = jnp.floor(pts[1] + 0.5).astype(jnp.int32)
+	else:
+		i0y = jnp.floor(pts[0]).astype(jnp.int32)
+		i0x = jnp.floor(pts[1]).astype(jnp.int32)
 	ty = pts[0] - i0y
 	tx = pts[1] - i0x
 	taps = jnp.arange(-off, ntap-off)
-	iy = i0y[:, None] + taps[None, :]
-	ix = i0x[:, None] + taps[None, :]
+	iy = i0y[:, None] + taps[None, :] + padded
+	ix = i0x[:, None] + taps[None, :] + padded
 	vals = _gather2d(data, iy, ix, border, cval)  # [..., npt, ky, kx]
 	wy = wfun(ty); wx = wfun(tx)
 	if not deriv:

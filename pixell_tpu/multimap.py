@@ -33,10 +33,30 @@ class ndmaps:
 	def ndim(self): return len(self.pre) + 1
 	@property
 	def shape(self): return self.pre + (sum(self.npixs),)
+	@property
+	def ntot(self):
+		"""Total number of stored elements (reference multimap.ndmaps.ntot:30)."""
+		return int(np.prod(self.pre, dtype=int))*sum(self.npixs)
+	def contig(self):
+		"""Contiguous copy (reference multimap.ndmaps.contig:23); jax buffers
+		are contiguous already."""
+		return self.copy()
 	def flat(self):
 		"""Flattened single-buffer view [*pre, totpix]."""
 		parts = [jnp.asarray(m.data).reshape(self.pre + (-1,)) for m in self.maps]
 		return jnp.concatenate(parts, -1)
+	# geometry queries mapped over the member maps (reference ndmaps:40-45)
+	def posmap(self, safe=True, corner=False, separable="auto", dtype=np.float64):
+		return posmap(self.geometries, safe=safe, corner=corner,
+			separable=separable, dtype=dtype)
+	def pixmap(self, dtype=np.float64): return pixmap(self.geometries, dtype=dtype)
+	def pixsize(self, dtype=np.float64): return pixsize(self.geometries, dtype=dtype)
+	def lmap(self, oversample=1, dtype=np.float64):
+		return lmap(self.geometries, dtype=dtype)
+	def modlmap(self, oversample=1, dtype=np.float64):
+		return modlmap(self.geometries, dtype=dtype)
+	def modrmap(self, ref="center", safe=True, corner=False, dtype=np.float64):
+		return modrmap(self.geometries, ref=ref, safe=safe, corner=corner, dtype=dtype)
 	def copy(self): return ndmaps([m.copy() for m in self.maps], self.pre)
 	def astype(self, dtype): return ndmaps([m.astype(dtype) for m in self.maps], self.pre)
 	def __len__(self): return self.nmap

@@ -161,19 +161,17 @@ def thumbnails(imap, coords, r=5*utils.arcmin, res=None, proj="tan", apod=2*util
 	pol = (imap.ndim >= 3 and imap.shape[-3] == 3) if pol is None else pol
 	for ci in range(len(coords)):
 		dec0, ra0 = coords[ci, 0], coords[ci, 1]
-		# rotate thumbnail positions to be centered on the object:
-		# point (0,0) maps to (ra0, dec0)
-		ipos = coordinates.decenter(np.array([opos[1].reshape(-1), opos[0].reshape(-1)]),
-			np.array([ra0, dec0]))
+		# rotate thumbnail positions to be centered on the object: a cel
+		# system recentered so (0,0) maps to (ra0, dec0)
+		# (reference reproject.thumbnails:84 transform spec)
+		ipos = coordinates.transform("cel",
+			["cel", [np.array([0, 0, ra0, dec0]), False]],
+			np.array([opos[1].reshape(-1), opos[0].reshape(-1)]), pol=pol)
 		pos = np.stack([ipos[1], ipos[0]])
 		vals = np.asarray(imap.at(pos, order=order))
 		vals = vals.reshape(imap.shape[:-2] + oshape[-2:])
 		if pol:
-			# polarization angle of the recentring rotation
-			meta = coordinates.transform_meta(
-				lambda c: np.asarray(coordinates.decenter(c, np.array([ra0, dec0]))),
-				np.array([opos[1].reshape(-1), opos[0].reshape(-1)]))
-			ang = meta.ang.reshape(oshape[-2:])
+			ang = np.asarray(ipos[2]).reshape(oshape[-2:])
 			vals = np.asarray(enmap.rotate_pol(enmap.ndmap(jnp.asarray(vals), owcs), -ang))
 		res_maps.append(vals)
 	res = enmap.ndmap(np.array(res_maps), owcs)

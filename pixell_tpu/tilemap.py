@@ -26,13 +26,43 @@ class TileGeometry:
 			(nx + self.tile_shape[1] - 1)//self.tile_shape[1])
 		self.ntile = int(np.prod(self.grid_shape))
 		if active is None: active = np.arange(self.ntile)
-		self.active = np.asarray(active, int)
+		self.active = _parse_active(active, self.ntile)
 		self.lookup = np.full(self.ntile, -1, int)
 		self.lookup[self.active] = np.arange(len(self.active))
 	@property
 	def nactive(self): return len(self.active)
 	@property
 	def pre(self): return self.shape[:-2]
+	def grid2ind(self, ty, tx):
+		"""Index in the full tiling of the tile at grid coords ty,tx
+		(reference tilemap.TileGeometry.grid2ind:353)."""
+		return ty*self.grid_shape[1] + tx
+	def ind2grid(self, i):
+		"""Grid coords ty,tx of tile #i (reference ind2grid:356)."""
+		nx = self.grid_shape[-1]
+		return i//nx, i % nx
+	@property
+	def size(self):
+		"""Total number of stored elements (reference TileGeometry.size:381)."""
+		tot = 0
+		for ti in self.active:
+			pb = self.tile_pixbox(int(ti))
+			tot += int(np.prod(pb[1] - pb[0]))
+		return int(np.prod(self.pre, dtype=int))*tot
+	@property
+	def tiles(self):
+		"""tile_geom.tiles[i] = enmap geometry of tile #i
+		(reference TileGeometry.tiles:383)."""
+		return _TileGeomHelper(self)
+	def compatible(self, other):
+		"""2 = strictly compatible (same tiling and active set), 1 = same
+		tiling but different active sets, 0 = incompatible
+		(reference TileGeometry.compatible:388)."""
+		if tuple(self.shape[-2:]) != tuple(other.shape[-2:]): return 0
+		if tuple(self.tile_shape) != tuple(other.tile_shape): return 0
+		if self.nactive == other.nactive and np.all(self.active == other.active):
+			return 2
+		return 1
 	def tile_pixbox(self, ti):
 		"""Pixel box [{from,to},{y,x}] of global tile index ti."""
 		gy, gx = np.unravel_index(ti, self.grid_shape)
@@ -45,12 +75,31 @@ class TileGeometry:
 		tshape, twcs = enmap.slice_geometry(self.shape[-2:], self.wcs,
 			(slice(pb[0, 0], pb[1, 0]), slice(pb[0, 1], pb[1, 1])))
 		return self.pre + tuple(tshape[-2:]), twcs
-	def copy(self, active=None):
-		return TileGeometry(self.shape, self.wcs, self.tile_shape,
-			self.active if active is None else active)
+	def copy(self, pre=None, active=None, add_active=None):
+		shape = tuple(pre) + self.shape[-2:] if pre is not None else self.shape
+		act = self.active if active is None else _parse_active(active, self.ntile)
+		if add_active is not None:
+			add = _parse_active(add_active, self.ntile)
+			lookup = np.full(self.ntile, -1, int)
+			lookup[act] = np.arange(len(act))
+			act = np.concatenate([act, add[lookup[add] < 0]])
+		return TileGeometry(shape, self.wcs, self.tile_shape, act)
 	def __repr__(self):
 		return "TileGeometry(%s, grid=%s, nactive=%d)" % (
 			str(self.shape), str(self.grid_shape), self.nactive)
+
+class _TileGeomHelper:
+	"""tile_geom.tiles[i] → enmap geometry of tile #i in the full tiling
+	(reference tilemap._TileGeomHelper:401)."""
+	def __init__(self, tile_geom):
+		self.tile_geom = tile_geom
+	def __getitem__(self, i):
+		return self.tile_geom.tile_geometry(int(i))
+
+def _parse_active(active, ntile):
+	if isinstance(active, str) and active == "all":
+		return np.arange(ntile, dtype=int)
+	return np.asarray(active, int)
 
 def geometry(shape, wcs, tile_shape=(500, 500), active=None):
 	"""Build a TileGeometry (reference tilemap.geometry:314)."""
@@ -71,26 +120,56 @@ class TileMap:
 	def pre(self): return self.geometry.pre
 	@property
 	def nactive(self): return self.geometry.nactive
+	@property
+	def active(self): return self.geometry.active
+	@property
+	def lookup(self): return self.geometry.lookup
+	@property
+	def ntile(self): return self.geometry.ntile
+	@property
+	def tile_shape(self): return self.geometry.tile_shape
 	def copy(self):
 		xp = utils._xp(self.data)
 		return TileMap(xp.array(self.data), self.geometry)
-	def tiles(self, i=None):
-		"""The i-th active tile as an ndmap (cropped to its true size)."""
-		if i is None:
-			return [self.tiles(j) for j in range(self.nactive)]
+	def contig(self):
+		"""Contiguous copy (reference TileMap.contig:93). jax arrays are
+		already contiguous; numpy buffers are made so."""
+		if isinstance(self.data, np.ndarray):
+			return TileMap(np.ascontiguousarray(self.data), self.geometry)
+		return TileMap(self.data, self.geometry)
+	def tile(self, i):
+		"""The i-th ACTIVE tile as an ndmap (cropped to its true size)."""
 		ti = self.geometry.active[i]
 		pb = self.geometry.tile_pixbox(ti)
 		tshape, twcs = self.geometry.tile_geometry(ti)
 		h, w = pb[1] - pb[0]
 		return enmap.ndmap(self.data[..., i, :h, :w], twcs)
-	def with_tiles(self, other_active):
-		"""Re-tile onto a different active set (union/regrow), zero-filling."""
-		newgeo = self.geometry.copy(active=other_active)
+	@property
+	def tiles(self):
+		"""View over ALL tiles by global index (reference TileMap.tiles:103)."""
+		return TileView(self, active=False)
+	@property
+	def active_tiles(self):
+		"""View over the active tiles (reference TileMap.active_tiles:106)."""
+		return TileView(self, active=True)
+	def with_tiles(self, other, strict=False):
+		"""Re-tile onto another active set (reference TileMap.with_tiles:108).
+		other may be a TileMap/TileGeometry or an active list. By default the
+		result has the UNION of active sets (data zero-filled for new tiles);
+		strict=True takes exactly other's active set in its order."""
+		try: active = other.geometry.active
+		except AttributeError:
+			try: active = other.active
+			except AttributeError: active = _parse_active(other, self.ntile)
+		if not strict and (len(active) == len(self.geometry.active)
+				and np.all(np.asarray(active) == self.geometry.active)):
+			return self.copy()
+		if strict: newgeo = self.geometry.copy(active=active)
+		else:      newgeo = self.geometry.copy(add_active=active)
 		xp = utils._xp(self.data)
-		out = xp.zeros(self.pre + (newgeo.nactive,) + self.geometry.tile_shape,
+		out = xp.zeros(self.pre + (newgeo.nactive,) + tuple(self.geometry.tile_shape),
 			self.data.dtype)
-		# copy overlapping tiles
-		for j, ti in enumerate(other_active):
+		for j, ti in enumerate(newgeo.active):
 			i = self.geometry.lookup[ti]
 			if i >= 0:
 				if hasattr(out, "at"):
@@ -98,6 +177,9 @@ class TileMap:
 				else:
 					out[..., j, :, :] = self.data[..., i, :, :]
 		return TileMap(out, newgeo)
+	def insert(self, imap, op=lambda a, b: b):
+		"""Insert imap's tiles into a copy of self (reference TileMap.insert:143)."""
+		return insert(self, imap, op=op)
 	def to_enmap(self):
 		"""Assemble the full map (missing tiles zero)."""
 		full = np.zeros(self.geometry.shape)
@@ -245,7 +327,7 @@ def make_binop(op, is_inplace=False):
 			if tuple(other.geometry.active) == tuple(self.geometry.active):
 				return TileMap(op(self.data, other.data), self.geometry.copy())
 			# expand other onto self's active set
-			o2 = other.with_tiles(self.geometry.active)
+			o2 = other.with_tiles(self.geometry.active, strict=True)
 			return TileMap(op(self.data, o2.data), self.geometry.copy())
 		return TileMap(op(self.data, other), self.geometry.copy())
 	return binop
@@ -253,7 +335,7 @@ def make_binop(op, is_inplace=False):
 def insert(omap, imap, op=lambda a, b: b):
 	"""Insert imap into omap (same geometry, possibly different active
 	tiles); omap is not modified (reference tilemap.insert:298)."""
-	i2 = imap.with_tiles(omap.geometry.active)
+	i2 = imap.with_tiles(omap.geometry.active, strict=True)
 	xp = utils._xp(omap.data)
 	# only overwrite where imap actually had tiles
 	mask = np.isin(np.asarray(omap.geometry.active),
@@ -281,21 +363,51 @@ def get_active_distributed(tile_map, comm):
 
 
 class TileView:
-	"""Sequence view of a TileMap's tiles by global index; None-like zero
-	maps for inactive tiles (reference tilemap.TileView:200)."""
+	"""Sequence view of a TileMap's tiles (reference tilemap.TileView:145).
+	active=True indexes the active list; active=False indexes the full tiling
+	(inactive tiles read as zero maps)."""
 	def __init__(self, tmap, active=True):
 		self.tmap = tmap
 		self.active = active
+	@property
+	def ndim(self): return self.tmap.data.ndim + 1
+	@property
+	def shape(self): return self.tmap.geometry.shape
 	def __len__(self):
 		return self.tmap.nactive if self.active else self.tmap.geometry.ntile
 	def __getitem__(self, i):
 		if self.active:
-			return self.tmap.tiles(i)
+			return self.tmap.tile(i)
 		li = self.tmap.geometry.lookup[i]
 		if li < 0:
 			shape, wcs = self.tmap.geometry.tile_geometry(i)
 			return enmap.zeros(tuple(self.tmap.pre) + tuple(shape[-2:]), wcs,
 				self.tmap.dtype)
-		return self.tmap.tiles(int(li))
+		return self.tmap.tile(int(li))
+	def __setitem__(self, i, val):
+		"""Write a tile in place (reference TileView.__setitem__:188). For jax
+		buffers this rebinds tmap.data (functional update)."""
+		if self.active: ai = i
+		else:
+			ai = int(self.tmap.geometry.lookup[i])
+			if ai < 0: raise IndexError("tile %d is not active" % i)
+		ti = self.tmap.geometry.active[ai]
+		pb = self.tmap.geometry.tile_pixbox(int(ti))
+		h, w = pb[1] - pb[0]
+		v = np.asarray(val) if isinstance(self.tmap.data, np.ndarray) else jnp.asarray(val)
+		if hasattr(self.tmap.data, "at"):
+			self.tmap.data = self.tmap.data.at[..., ai, :h, :w].set(v)
+		else:
+			self.tmap.data[..., ai, :h, :w] = v
 	def __iter__(self):
 		for i in range(len(self)): yield self[i]
+
+
+def full(tile_geom, val, dtype=np.float64, jax_array=True):
+	"""TileMap filled with val (reference tilemap.full:14)."""
+	out = zeros(tile_geom, dtype, jax_array=jax_array)
+	return TileMap(out.data + val, out.geometry)
+
+def to_enmap(tile_map):
+	"""Assemble the full map from a TileMap (reference tilemap.to_enmap:418)."""
+	return tile_map.to_enmap()

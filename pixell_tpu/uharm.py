@@ -17,15 +17,22 @@ class UHT:
 			dist = estimate_distortion(shape, wcs)
 			mode = "flat" if dist <= max_distortion else "curved"
 		self.mode = mode
+		self.area = float(enmap.area(self.shape, wcs))
+		self.fsky = self.area/(4*np.pi)
 		if mode == "flat":
 			self.l = np.asarray(enmap.modlmap(shape, wcs))
 			self.lmax = int(np.max(self.l)) if lmax is None else lmax
+			# modes per unit power for sums (reference uharm.py:78-79)
+			self.nper = 1/self.fsky
+			self.ntot = self.nper*self.shape[-2]*self.shape[-1]
 		else:
 			if lmax is None:
 				lmax = min(curvedsky.get_lmax_from_map(Dummy(shape, wcs)), 2*10**4)
 			self.lmax = lmax
 			self.l = np.arange(lmax+1, dtype=float)
 			self.ainfo = curvedsky.alm_info(lmax=lmax)
+			self.nper = 2*np.arange(lmax+1) + 1
+			self.ntot = int(np.sum(self.nper))
 	@property
 	def npix(self): return int(np.prod(self.shape[-2:]))
 	@property
@@ -63,6 +70,26 @@ class UHT:
 		if self.mode == "flat":
 			return profile2harm_flat_2d(br, r, self.shape, self.wcs)
 		return curvedsky.profile2harm(br, r, lmax=self.lmax)
+	def hprof2rprof(self, harm, r):
+		"""Harmonic profile -> radial profile at radii r (reference
+		uharm.UHT.hprof2rprof:133)."""
+		if self.mode == "flat":
+			return harm2profile_flat_2d(np.asarray(harm) + 0j, r)
+		return curvedsky.harm2profile(np.asarray(harm), r)
+	def hprof2harm(self, hprof):
+		"""Expand an l-profile onto the full harmonic layout (per-(l,m) for
+		curved, identity for flat; reference uharm.UHT.hprof2harm:147)."""
+		hprof = np.asarray(hprof)
+		if self.mode == "flat":
+			return hprof.copy()
+		ls = self.ainfo.get_map()[:, 0]
+		return hprof[..., ls]
+	def mean_hprof(self, hprof):
+		"""Mean of an l-profile over all modes (reference uharm.UHT.mean_hprof:190)."""
+		hprof = np.asarray(hprof)
+		if self.mode == "flat":
+			return np.sum(hprof*self.nper, (-2, -1))/self.ntot
+		return np.sum(hprof*self.nper, -1)/self.ntot
 	def lprof2hprof(self, lprof):
 		"""1D l-profile -> the internal harmonic representation."""
 		lprof = np.asarray(lprof)

@@ -27,6 +27,37 @@ day2sec = 86400.
 yr2days = 365.2422
 minute  = 60.
 hour    = 3600.
+day     = 24*hour
+yr      = yr2days*day
+ly      = c*yr
+AU      = 149597870700.0
+pc      = AU/arcsec
+Jy      = 1e-26
+hbar    = h/(2*np.pi)
+sigma_T  = 6.6524587158e-29
+sigma_sb = sb
+m_e     = 9.1093837015e-31
+m_p     = 1.6726219237e-27
+m_n     = 1.6749274980e-27
+# Solar-system radii/masses/orbit radii (reference utils.py:36-55)
+R_sun     = 695700e3  ; M_sun     = 1.9885e30   ; r_sun     =  29e3*ly; L_sun = 3.827e26
+R_mercury = 2439.5e3  ; M_mercury = 0.330e24    ; r_mercury =  57.9e9
+R_venus   = 6052e3    ; M_venus   = 4.87e24     ; r_venus   = 108.2e9
+R_earth   = 6378.1e3  ; M_earth   = 5.9722e24   ; r_earth   = 149.6e9
+R_moon    = 1737.5e3  ; M_moon    = 0.073e24    ; r_moon    =   0.384e9
+R_mars    = 3396e3    ; M_mars    = 0.642e24    ; r_mars    = 227.9e9
+R_jupiter = 71492e3   ; M_jupiter = 1898e24     ; r_jupiter = 778.6e9
+R_saturn  = 60268e3   ; M_saturn  = 568e24      ; r_saturn  = 1433.5e9
+R_uranus  = 25559e3   ; M_uranus  = 86.8e24     ; r_uranus  = 2872.5e9
+R_neptune = 24764e3   ; M_neptune = 102e24      ; r_neptune = 4495.1e9
+R_pluto   = 1185e3    ; M_pluto   = 0.0146e24   ; r_pluto   = 5906.4e9
+r_l1 = R_earth - 1.4916e9
+r_L2 = R_earth + 1.5016e9
+# array-coercing unit variants (reference utils.py:57-60)
+a    = np.array(1.0)
+adeg = np.array(degree)
+amin = np.array(arcmin)
+asec = np.array(arcsec)
 
 
 def _xp(*args):
@@ -685,7 +716,13 @@ class RadialFourierTransform:
 		res = tuple(a[..., self.pad:self.pad+self.n] for a in arrs)
 		return res[0] if len(res) == 1 else res
 	def lind(self, l):
-		return np.searchsorted(self.l, l)
+		"""Fractional index of multipole l on the internal log grid
+		(reference utils.RadialFourierTransform.lind:3289)."""
+		return (np.log(l) - np.log(self.l[0]))/self.dlog
+	def rind(self, r):
+		"""Fractional index of radius r on the internal log grid
+		(reference utils.RadialFourierTransform.rind:3290)."""
+		return (np.log(r) - np.log(self.r[0]))/self.dlog
 
 def profile_to_tform_hankel(profile_fun, lmin=0.1, lmax=1e7, n=512, pad=256):
 	"""Convenience: return (l, F(l)) for a radial profile function."""
@@ -695,20 +732,50 @@ def profile_to_tform_hankel(profile_fun, lmin=0.1, lmax=1e7, n=512, pad=256):
 	return l, F
 
 class FFTLog:
-	"""Thin wrapper around scipy's fht with pixell-like interface
-	(reference utils.FFTLog:3305)."""
-	def __init__(self, r, mu=0, q=0):
-		self.r = np.asarray(r)
-		self.dlog = np.log(self.r[1]/self.r[0])
-		self.mu, self.q = mu, q
+	"""Fast Fourier Transform for log-spaced data, built from a pair of Fast
+	Hankel Transforms at mu=±1/2 (reference utils.FFTLog:3305). Define the
+	domain with xrange=[xmin,xmax] XOR krange=[kmin,kmax]; pad expands the
+	domain by pad points on both sides (strip with unpad); bias sets the
+	power-law boundary conditions."""
+	def __init__(self, xrange=None, krange=None, n=512, pad=0, bias=0):
+		if (xrange is None) == (krange is None):
+			raise ValueError("Either xrange xor krange must be given")
+		if xrange is None: xrange = krange[::-1]
+		self.step = (np.log(xrange[1]) - np.log(xrange[0]))/(n - 1)
+		self.pad  = pad
+		self.n    = n
+		self.x  = np.exp(np.linspace(np.log(xrange[0]) - self.step*pad,
+			np.log(xrange[1]) + self.step*pad, n + 2*pad))
+		self.k  = 1/self.x[::-1]
+		self.xh = self.x**(0.5 - bias)
+		self.kh = self.k**(0.5 + bias)
+		# fold the normalization into kh; the inverse keeps a factor 2
+		self.kh /= (np.pi/2)**0.5
+		self.bias = bias
+	def fft(self, a):
+		"""Forward fft along the last axis of a, sampled at self.x. a may be
+		a callable evaluated at self.x."""
 		import scipy.fft
-		self.k = np.exp(scipy.fft.fhtoffset(self.dlog, mu=mu, q=q))/self.r[::-1]
-	def fht(self, f):
+		try: a = a(self.x)
+		except TypeError: pass
+		xa  = a*self.xh
+		cos = scipy.fft.fht(xa, self.step, -0.5, bias=self.bias)/self.kh
+		sin = scipy.fft.fht(xa, self.step, +0.5, bias=self.bias)/self.kh
+		return cos - 1j*sin
+	def ifft(self, fa):
+		"""Inverse fft along the last axis of fa, sampled at self.k."""
 		import scipy.fft
-		return scipy.fft.fht(np.asarray(f), self.dlog, mu=self.mu, q=self.q)
-	def ifht(self, F):
-		import scipy.fft
-		return scipy.fft.ifht(np.asarray(F), self.dlog, mu=self.mu, q=self.q)
+		try: fa = fa(self.k)
+		except TypeError: pass
+		kfa = fa*(self.kh/2)
+		a  = scipy.fft.ifht(kfa.real, self.step, -0.5, bias=self.bias)/self.xh
+		a += scipy.fft.ifht(-kfa.imag, self.step, +0.5, bias=self.bias)/self.xh
+		return a
+	def unpad(self, *arrs):
+		"""Strip the padding from arrays on this object's grids."""
+		if self.pad == 0: res = arrs
+		else: res = tuple(arr[..., self.pad:arr.shape[-1]-self.pad] for arr in arrs)
+		return res[0] if len(arrs) == 1 else res
 
 
 # ---------------------------------------------------------------------------

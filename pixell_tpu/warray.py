@@ -25,6 +25,9 @@ class WatchArray(np.ndarray):
 	def fill(self, val):
 		self._announce("fill %s" % str(val))
 		return np.ndarray.fill(self, val)
+	def copy(self, order="C"):
+		"""Copy back to a plain ndarray (reference warray.WatchArray.copy)."""
+		return np.asarray(self).copy(order)
 
 def watch(arr, name="warray"):
 	return WatchArray(arr, name=name)

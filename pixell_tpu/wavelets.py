@@ -40,6 +40,22 @@ class Butterworth:
 			prof2 = 1 - butter(l, self._knee(i-1))
 		return np.sqrt(np.maximum(prof2, 0))
 	def __call__(self, i, l): return self.kernel(i, l)
+	@property
+	def lmaxs(self):
+		"""Effective bandlimit of each scale (reference Butterworth._finalize:45:
+		the l where the kernel falls to tol)."""
+		n = self.n
+		shp = getattr(self, "shape", 7)
+		lm = np.round(self.lmin*(1/max(self.tol, 1e-12) - 1)
+			**(np.log(self.step)/shp)*self.step**(np.arange(n) + 0.5)).astype(int)
+		lm = np.minimum(lm, self.lmax)
+		lm[-1] = self.lmax
+		return lm
+	def get_variance_basis(self):
+		"""Basis describing how white noise variance transforms under this
+		wavelet basis (reference Butterworth.get_variance_basis:37)."""
+		return VarButter(step=self.step, shape=self.shape, tol=self.tol,
+			lmin=self.lmin, lmax=self.lmax)
 
 class ButterTrim(Butterworth):
 	"""Butterworth basis trimmed to compact support (the reference default,
@@ -57,7 +73,34 @@ class ButterTrim(Butterworth):
 		return int(nz[0]), int(nz[-1])
 
 class DigitalButterTrim(ButterTrim):
-	pass
+	"""ButterTrim with the smooth kernels approximated by a comb of top-hats,
+	making the scales exactly orthogonal (reference wavelets.DigitalButterTrim:77).
+	Profiles are 0/1 indicator functions whose cumulative sums track the smooth
+	kernels."""
+	def _lowpass(self, i, l):
+		"""Trimmed Butterworth LOWPASS kernel (reference DigitalButterTrim.kernel:95;
+		note the reference's .kernel is the lowpass, its __call__ the bandpass)."""
+		l = np.asarray(l, float)
+		with np.errstate(divide="ignore"):
+			k = 1/(1 + (l/np.maximum(self._knee(i), 0.5))**self.shape)
+		return trim_kernel(k, self.tol)
+	def _profiles(self):
+		if getattr(self, "_prof_cache", None) is None:
+			l = np.arange(self.lmax)
+			ks = [np.zeros(l.size)]
+			for i in range(self.n - 1):
+				ks.append(digitize(self._lowpass(i, l)))
+			ks.append(np.full(l.size, 1.0))
+			ks = np.sort(np.array(ks), 0)
+			self._prof_cache = ks[1:] - ks[:-1]  # 0/1: no sqrt needed
+		return self._prof_cache
+	def kernel(self, i, l):
+		prof = self._profiles()[i]
+		li = np.clip(np.asarray(l).astype(int), 0, prof.size - 1)
+		return prof[li]
+	def __call__(self, i, l): return self.kernel(i, l)
+	def get_variance_basis(self):
+		raise NotImplementedError
 
 class CosineNeedlet:
 	"""Cosine-profile needlets (reference wavelets.CosineNeedlet:131):
@@ -127,6 +170,23 @@ class WaveletTransform:
 				lmax=min(hi if hi > 0 else lmax, lmax)))
 	@property
 	def nlevel(self): return self.basis.n
+	@property
+	def shape(self): return self.uht.shape
+	@property
+	def wcs(self): return self.uht.wcs
+	@property
+	def geometry(self): return self.shape, self.wcs
+	def get_ls(self, i):
+		"""Multipoles for wavelet scale i: an enmap of |l| for flat mode, a 1d
+		array for curved (reference WaveletTransform.get_ls:384)."""
+		if self.uht.mode == "flat":
+			u = self.uhts[i]
+			return enmap.modlmap(u.shape, u.wcs)
+		return self.uhts[i].l
+	def get_variance_transform(self):
+		"""WaveletTransform that maps white-noise VARIANCE maps the way this
+		transform maps data (reference WaveletTransform.get_variance_transform:391)."""
+		return WaveletTransform(self.uht, basis=self.basis.get_variance_basis())
 	def map2wave(self, map, owave=None):
 		"""Decompose map into wavelet maps (an ndmaps)."""
 		harm = self.uht.map2harm(map, spin=0)
@@ -236,24 +296,59 @@ class AdriSD:
 		return res
 	@property
 	def n(self): return self._cn.n
+	@property
+	def lmaxs(self):
+		return np.array([self.lbounds(i)[1] for i in range(self.n)])
 	def kernel(self, i, l): return self._cn.kernel(i, l)
 	def lbounds(self, i): return self._cn.lbounds(i)
 	def __call__(self, i, l): return self.kernel(i, l)
+	def get_variance_basis(self):
+		raise NotImplementedError
 
 
-class VarButter(ButterTrim):
-	"""Butterworth basis with per-scale variable sharpness
-	(reference wavelets.VarButter:163)."""
-	def __init__(self, step=2, shapes=None, tol=1e-3, lmin=None, lmax=None):
-		super().__init__(step=step, shape=7, tol=tol, lmin=lmin, lmax=lmax)
-		self.shapes = shapes
+class VarButter:
+	"""Variance basis for Butterworth wavelets (reference wavelets.VarButter:163):
+	describes how white-noise VARIANCE maps through each wavelet scale. The
+	kernel is |F|^2 convolved with itself in real space, computed with a radial
+	Hankel transform: F2(l) = H[ H^-1[F](r)^2 ](l)."""
+	def __init__(self, step=2, shape=7, tol=1e-3, lmin=None, lmax=None):
+		self.step = step; self.shape = shape; self.tol = tol
+		self.lmin = lmin; self.lmax = lmax
+		self.basis = None
+		if self.lmin is not None and self.lmax is not None:
+			self._finalize()
+	@property
+	def n(self): return self.basis.n
+	@property
+	def lmaxs(self): return self.basis.lmaxs
 	def with_bounds(self, lmin, lmax):
-		return VarButter(step=self.step, shapes=self.shapes, tol=self.tol,
+		return VarButter(step=self.step, shape=self.shape, tol=self.tol,
 			lmin=lmin, lmax=lmax)
-	def kernel(self, i, l):
-		if self.shapes is not None:
-			self.shape = self.shapes[min(i, len(self.shapes)-1)]
-		return ButterTrim.kernel(self, i, l)
+	def __call__(self, i, l):
+		return np.interp(np.asarray(l, float), self.l, self.kernels[i])
+	def kernel(self, i, l): return self(i, l)
+	def lbounds(self, i):
+		return self.basis.lbounds(i) if hasattr(self.basis, "lbounds") \
+			else (0, int(self.basis.lmaxs[i]))
+	def _kernel_helper(self, i, rft):
+		if i < self.basis.n - 1:
+			F = self.basis(i, rft.l)
+		else:
+			# bound the final scale at lmax to avoid summing absent power
+			kernel = 1/(1 + (rft.l/self.basis.lmax)
+				**(self.basis.shape/np.log(self.basis.step)))
+			prev = 1/(1 + (rft.l/(self.basis.lmin*self.basis.step**(i - 0.5)))
+				**(self.basis.shape/np.log(self.basis.step)))
+			F = np.sqrt(np.maximum(kernel - prev, 0))
+		F2 = rft.real2harm(rft.harm2real(F)**2)
+		F2 = rft.unpad(F2)
+		return F2
+	def _finalize(self):
+		self.basis = Butterworth(step=self.step, shape=self.shape, tol=self.tol,
+			lmin=self.lmin, lmax=self.lmax)
+		rft = utils.RadialFourierTransform()
+		self.kernels = [self._kernel_helper(i, rft) for i in range(self.n)]
+		self.l = rft.unpad(rft.l)
 
 
 def trim_kernel(a, tol):

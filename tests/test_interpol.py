@@ -108,3 +108,21 @@ def test_project_map():
 	pos2 = np.asarray(enmap.posmap(shape2, wcs2))
 	want = f(pos2[0], pos2[1])
 	assert np.abs(np.asarray(p) - want).max() < 1e-3
+
+
+def test_spline_orders_vs_scipy():
+	# orders 2,4,5 (new) against scipy.ndimage as oracle
+	from scipy import ndimage
+	rng = np.random.default_rng(3)
+	data = rng.standard_normal((24, 25))
+	pts = np.stack([rng.uniform(3, 20, 40), rng.uniform(3, 21, 40)])
+	for order in [2, 4, 5]:
+		mine = np.asarray(interpol.map_coordinates(jnp.asarray(data),
+			jnp.asarray(pts), order=order, border="mirror"))
+		ref = ndimage.map_coordinates(data, pts, order=order, mode="mirror")
+		assert np.max(np.abs(mine - ref)) < 1e-10, order
+	# node exactness and adjointness at order 5
+	ipts = np.stack([np.arange(10.0), np.arange(10.0)])
+	mine = np.asarray(interpol.map_coordinates(jnp.asarray(data),
+		jnp.asarray(ipts), order=5, border="cyclic"))
+	assert np.max(np.abs(mine - data[np.arange(10), np.arange(10)])) < 1e-10

@@ -74,12 +74,32 @@ def test_tilemap_active_subset():
 	active = np.array([0, 3, 5])
 	tm = tilemap.from_enmap(imap, tile_shape=(16, 16), active=active)
 	assert tm.nactive == 3
-	t0 = tm.tiles(0)
+	t0 = tm.active_tiles[0]
 	assert np.allclose(np.asarray(t0), np.asarray(imap)[:16, :16])
 	# expanding to more tiles keeps data
 	tm2 = tm.with_tiles(np.array([0, 1, 3, 5]))
 	assert tm2.nactive == 4
-	assert np.allclose(np.asarray(tm2.tiles(0)), np.asarray(t0))
+	assert np.allclose(np.asarray(tm2.tiles[0]), np.asarray(t0))
+	# global-index view: inactive tiles read as zeros
+	assert np.allclose(np.asarray(tm.tiles[1]), 0)
+	# geometry helpers
+	ty, tx = geo.ind2grid(5)
+	assert geo.grid2ind(ty, tx) == 5
+	assert geo.compatible(geo) == 2
+	assert geo.compatible(tm2.geometry) == 1
+	gsh, gwcs = geo.tiles[0]
+	assert tuple(gsh[-2:]) == (16, 16)
+	# strict re-tiling takes exactly the other active set
+	tm3 = tm.with_tiles([3, 0], strict=True)
+	assert list(tm3.active) == [3, 0]
+	assert np.allclose(np.asarray(tm3.active_tiles[1]), np.asarray(t0))
+	# full constructor + to_enmap round trip on full active set
+	tf = tilemap.full(tilemap.geometry(imap.shape, imap.wcs, tile_shape=(16, 16)), 2.5)
+	assert np.allclose(np.asarray(tilemap.to_enmap(tf)), 2.5)
+	# TileView setitem
+	tv = tm.copy()
+	tv.active_tiles[0] = np.asarray(t0)*0 + 7
+	assert np.allclose(np.asarray(tv.active_tiles[0]), 7)
 
 def test_fake_communicator():
 	comm = dist.FakeCommunicator()

@@ -33,10 +33,23 @@ def test_coordinates_gal_pole():
 	assert np.allclose(equ[1, 0], 27.12825*utils.degree, atol=1e-6)
 
 def test_recenter():
-	# recentering the center itself gives the origin
+	# recentering the center itself puts it at the north pole (the reference
+	# convention, coordinates.recenter:289)
 	c = np.array([0.7, 0.2])
 	out = np.asarray(coordinates.recenter(c[:, None], c))
-	assert np.allclose(out, 0, atol=1e-12)
+	assert np.allclose(out[1], np.pi/2, atol=1e-12)
+	# 4-component form moves (ra0,dec0) to (ra1,dec1)
+	out4 = np.asarray(coordinates.recenter(np.array([[0.0], [0.0]]),
+		np.array([0.0, 0.0, 0.3, -0.4])))
+	assert np.allclose(out4[:, 0], [0.3, -0.4], atol=1e-12)
+	# decenter inverts recenter
+	back = np.asarray(coordinates.decenter(out, c))
+	assert np.allclose(back[:, 0], c, atol=1e-12)
+	# recentered transform spec: thumbnail-style mapping of the origin
+	res = np.asarray(coordinates.transform("cel",
+		["cel", [np.array([0.0, 0.0, 0.3, -0.4]), False]],
+		np.array([[0.0], [0.0]])))
+	assert np.allclose(res[:, 0], [0.3, -0.4], atol=1e-10)
 
 def test_flat_lens_delens():
 	shape, wcs = enmap.geometry(pos=np.array([[-5, 5], [5, -5]])*utils.degree,

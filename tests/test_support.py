@@ -73,7 +73,12 @@ def test_bench_module():
 	b = bench.Bench(sync=False)
 	with b.mark("x"):
 		sum(range(1000))
-	assert b["x"].n == 1 and b["x"].time >= 0
+	assert b.n["x"] == 1 and b.t_tot["x"] >= 0 and b.t["x"] >= 0
+	b.set_verbose(False)
+	b.set_tfun(__import__("time").perf_counter)
+	with b.mark("x"):
+		pass
+	assert b.n["x"] == 2
 
 def test_memory_module():
 	from pixell_tpu import memory
@@ -122,3 +127,61 @@ def test_sqlite_reference_api():
 	out = sqlite.format_result(list(db.execute("select * from t")))
 	assert "x" in out and "y" in out
 	db.close()
+
+
+def test_colorize_modes_and_reverse():
+	from pixell_tpu import colorize
+	x = np.linspace(0, 1, 7)
+	cs = colorize.Colorscheme("planck")
+	rev = cs.reverse()
+	a = colorize.colorize(x, cs)
+	b = colorize.colorize(1 - x, rev)
+	assert np.allclose(a[:, :3], b[:, :3], atol=1)
+	# direct mode carries channels through
+	rgb = np.clip(np.stack([x, x[::-1], x*0 + 0.5]), 0, 1)
+	out = colorize.colorize(rgb, mode="direct")
+	assert out.shape == (7, 4) and out[:, 3].min() == 255
+	cmap = colorize.to_mpl_colormap("planck")
+	assert cmap(0.5) is not None
+
+
+def test_ephem_kepler():
+	from pixell_tpu import ephem
+	ct = 1760000000 + np.arange(4)*3600.0
+	pos, r = ephem.eval("Jupiter", ct)
+	assert pos.shape == (4, 2) and np.all(r > 3.5) and np.all(r < 7)
+	pos, r = ephem.eval("Sun", ct)
+	assert abs(r[0] - 1.0) < 0.05
+	rect = ephem.eval("Mars", ct, cartesian=True)
+	assert rect.shape == (4, 3)
+	# InterpEphem agrees with the direct backend on dense sampling
+	dense = 1760000000 + np.arange(100)*10.0
+	kep = ephem.KeplerEphem()
+	p1, r1 = ephem.InterpEphem(kep).eval("Jupiter", dense)
+	p2, r2 = kep.eval("Jupiter", dense)
+	assert np.max(np.abs(p1 - p2)) < 1e-8
+
+
+def test_fftlog():
+	from pixell_tpu import utils
+	fl = utils.FFTLog(xrange=[1e-3, 1e3], n=256, pad=32)
+	# gaussian transforms to gaussian-like smooth spectrum; roundtrip test
+	f = np.exp(-0.5*fl.x**2)
+	F = fl.fft(f)
+	back = fl.ifft(F)
+	x, f_in, f_out = fl.unpad(fl.x, f, back)
+	sel = (x > 1e-2) & (x < 10)
+	assert np.max(np.abs(f_out[sel] - f_in[sel])) < 1e-6
+
+
+def test_old_aberration_helpers():
+	from pixell_tpu import old_aberration as oab
+	theta = np.linspace(0.1, np.pi - 0.1, 11)
+	beta = 0.001235
+	th2 = oab.aber_angle(theta, beta)
+	assert np.all(np.isfinite(th2)) and np.max(np.abs(th2 - theta)) < 2*beta
+	amp = oab.mod_amplitude(theta, beta)
+	assert np.allclose(amp[len(amp)//2], 1, atol=2*beta)
+	pos = np.array([np.linspace(0, 1, 5), np.linspace(-0.5, 0.5, 5)])
+	res = oab.remap(pos, oab.dir_equ, beta)
+	assert res.shape[0] == 4  # ra, dec, pol rotation, modulation
