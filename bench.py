@@ -39,6 +39,15 @@ def main():
 		return jnp.asarray(omap)
 
 	step = jax.jit(roundtrip)
+	nrep = 40
+
+	@jax.jit
+	def run_all(a):
+		# all 40 sequential roundtrips inside one jit: one device dispatch
+		# instead of 40 host->device ping-pongs (the transforms still run
+		# back to back, like the reference's sequential loop)
+		return jax.lax.fori_loop(0, nrep, lambda i, x: roundtrip(x), a)
+
 	rng = np.random.default_rng(0)
 	arr = jnp.asarray(rng.standard_normal(shape).astype(dtype))
 	# compile + warmup (excluded, like the reference which times hot ducc calls)
@@ -49,11 +58,16 @@ def main():
 	d1 = step(arr)
 	rel = float(jnp.max(jnp.abs(d1 - arr))/jnp.max(jnp.abs(arr)))
 	assert rel < 1e-3, "SHT roundtrip inaccurate: rel=%g" % rel
-	nrep = 40
+	out = run_all(arr)  # compile (excluded)
+	out.block_until_ready()
+	# the axon remote runtime caches identical executions, so time a FRESH
+	# input, and close the timing with a real value fetch (block_until_ready
+	# alone does not sync remote executions)
+	arr2 = arr + jnp.float32(1.2345e-5)
+	arr2.block_until_ready()
 	t0 = time.perf_counter()
-	for i in range(nrep):
-		arr = step(arr)
-	arr.block_until_ready()
+	out = run_all(arr2)
+	assert bool(jnp.isfinite(jnp.sum(out))), "non-finite benchmark output"
 	t1 = time.perf_counter()
 	elapsed = t1 - t0
 	print(json.dumps({

@@ -89,28 +89,75 @@ def _tri_lm(lmax, mmax):
 	return l, m
 
 @functools.partial(jax.jit, static_argnames=("lmax", "mmax"))
+def _tri_starts(lmax, mmax):
+	"""Packed index of a(l=m, m) for each m (start of m's contiguous run)."""
+	m = np.arange(mmax+1)
+	return (m*(2*lmax+1-m)//2 + m).astype(np.int32)
+
 def alm2rect(alm, lmax, mmax=None):
-	"""Triangular alm [..., nalm] -> rectangular [..., nl, nm] (l-major)."""
+	"""Triangular alm [..., nalm] -> rectangular [..., nl, nm] (l-major).
+
+	TPU-native fast path: elementwise gathers are very slow on TPU (~100M
+	elem/s), but the m-major triangular layout is a concatenation of
+	CONTIGUOUS l-runs, so we (1) window-gather nl-wide slices at each run
+	start (one efficient gather of whole slices), giving the sheared matrix
+	S[m, i] = a(l=m+i, m), then (2) unshear with a pure pad+reshape: padding
+	rows to width nl+1 and re-viewing at width nl shifts row m right by
+	exactly m. Junk lands only in the masked l<m region."""
 	if mmax is None: mmax = lmax
 	nl, nm = lmax+1, mmax+1
+	alm = _utils.to_device(alm)
+	starts = jnp.asarray(_tri_starts(lmax, mmax))
+	pad = jnp.pad(alm, [(0, 0)]*(alm.ndim-1) + [(0, nl)])
+	S = jax.vmap(lambda o: jax.lax.dynamic_slice_in_dim(pad, o, nl, axis=-1),
+		in_axes=0, out_axes=-2)(starts)              # [..., nm, nl]
+	P = jnp.pad(S, [(0, 0)]*(S.ndim-1) + [(0, 1)])   # rows of width nl+1
+	U = P.reshape(P.shape[:-2] + (-1,))[..., :nm*nl] \
+		.reshape(P.shape[:-2] + (nm, nl))            # U[m, l] = a(l, m)
+	rect = jnp.moveaxis(U, -2, -1)
 	l = jax.lax.broadcasted_iota(jnp.int32, (nl, nm), 0)
 	m = jax.lax.broadcasted_iota(jnp.int32, (nl, nm), 1)
-	valid = l >= m
-	idx = jnp.where(valid, m*(2*lmax+1-m)//2 + l, 0)
-	rect = _utils.to_device(alm)[..., idx]
-	return jnp.where(valid, rect, 0)
+	return jnp.where(l >= m, rect, 0)
 
 @functools.partial(jax.jit, static_argnames=("lmax", "mmax"))
 def rect2alm(rect, lmax, mmax=None):
-	"""Rectangular [..., nl, nm] -> triangular [..., nalm]: a pure gather
-	from the transposed rect (TPU scatters are slow), with indices computed
-	on device."""
+	"""Rectangular [..., nl, nm] -> triangular [..., nalm].
+
+	Inverse of alm2rect's shear trick: transpose to m-major, zero the l<m
+	region, re-view rows at width nl+1 (shearing row m left by m, so valid
+	data starts at column 0 and the tail reads the ZEROED invalid region of
+	the next row), then scatter-ADD the nl-wide rows at each run start.
+	Overlapping window tails only add zeros, so the scatter is exact and
+	order-independent."""
 	if mmax is None: mmax = lmax
-	nl = lmax + 1
-	lv, mv = _tri_lm(lmax, mmax)
-	gidx = mv*nl + lv
-	rt = jnp.moveaxis(rect, -1, -2).reshape(rect.shape[:-2] + (-1,))
-	return rt[..., gidx]
+	nl, nm = lmax+1, mmax+1
+	n = nalm(lmax, mmax)
+	rect = jnp.asarray(rect)
+	if jnp.iscomplexobj(rect):
+		# scatter-add on complex is not supported on all TPU runtimes
+		return jax.lax.complex(rect2alm(rect.real, lmax, mmax),
+			rect2alm(rect.imag, lmax, mmax))
+	U = jnp.moveaxis(rect, -1, -2)                   # [..., nm, nl]
+	l = jax.lax.broadcasted_iota(jnp.int32, (nm, nl), 1)
+	m = jax.lax.broadcasted_iota(jnp.int32, (nm, nl), 0)
+	U = jnp.where(l >= m, U, 0)
+	Uf = U.reshape(U.shape[:-2] + (-1,))
+	P = jnp.pad(Uf, [(0, 0)]*(Uf.ndim-1) + [(0, nm)]) \
+		.reshape(U.shape[:-2] + (nm, nl+1))
+	S = P[..., :nl]                                  # S[m, i] = rect[m+i, m]
+	starts = jnp.asarray(_tri_starts(lmax, mmax))[:, None]
+	dn = jax.lax.ScatterDimensionNumbers(
+		update_window_dims=(1,), inserted_window_dims=(),
+		scatter_dims_to_operand_dims=(0,))
+	def pack1(S1):
+		out = jnp.zeros((n + nl,), S1.dtype)
+		out = jax.lax.scatter_add(out, starts, S1, dn,
+			indices_are_sorted=True, unique_indices=False)
+		return out[:n]
+	bshape = S.shape[:-2]
+	flatS = S.reshape((-1, nm, nl))
+	res = jax.vmap(pack1)(flatS)
+	return res.reshape(bshape + (n,))
 
 # ---------------------------------------------------------------------------
 # Quadrature weights (host-side, cached)
@@ -244,24 +291,12 @@ def _coef2c(r, K):
 # ---------------------------------------------------------------------------
 def alm2coef(alm, lmax, mmax=None):
 	"""Triangular complex alm [..., K, nalm] -> real coef rect
-	[..., nl, nm, 2K] in ONE gather (fuses alm2rect + _c2coef), with the
-	index tensor built on device (no huge baked constants at high lmax)."""
+	[..., nl, nm, 2K] via the window-gather alm2rect (TPU-fast) plus the
+	elementwise complex split."""
 	if mmax is None: mmax = lmax
 	alm = _utils.to_device(alm)
-	K = alm.shape[-2]
-	nl, nm = lmax+1, mmax+1
-	ri = jnp.stack([alm.real, alm.imag], -1)
-	flat = ri.reshape(alm.shape[:-2] + (-1,))
-	n = alm.shape[-1]
-	l = jax.lax.broadcasted_iota(jnp.int32, (nl, nm, 1, 1), 0)
-	m = jax.lax.broadcasted_iota(jnp.int32, (nl, nm, 1, 1), 1)
-	valid = (l >= m)[..., 0, 0]
-	tri = jnp.where(l >= m, m*(2*lmax+1-m)//2 + l, 0)
-	k = jax.lax.broadcasted_iota(jnp.int32, (nl, nm, K, 2), 2)
-	reim = jax.lax.broadcasted_iota(jnp.int32, (nl, nm, K, 2), 3)
-	gidx = ((k*n + tri)*2 + reim).reshape(nl, nm, 2*K)
-	res = flat[..., gidx]
-	return jnp.where(valid[..., None], res, 0)
+	rect = alm2rect(alm, lmax, mmax)    # [..., K, nl, nm]
+	return _c2coef(rect)
 
 
 def _spin_blocks(spin, ncomp):

@@ -1,4 +1,9 @@
-"""Pallas SHT kernel vs the reference jnp scan (interpret mode on CPU)."""
+"""Pallas SHT kernel vs the reference jnp scan (interpret mode on CPU).
+
+The Pallas kernels and the jnp scan use different f32 summation orders (the
+hemisphere-symmetric kernels in particular accumulate north/south pairs
+separately), so each is compared against the float64 scan rather than
+bitwise against the f32 scan."""
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -7,21 +12,49 @@ from pixell_tpu import sht
 
 LMAX = 40
 
-@pytest.mark.parametrize("mode,nfun,C", [("scalar", 1, 2), ("deriv", 2, 2), ("spin2", 2, 4)])
-def test_pallas_matches_scan(mode, nfun, C):
+
+def _check(mode, C, theta, tol_syn=None, tol_ana=None):
+	# spin-2 has inherent f32 pole noise (inv_st2 cancellations): the f32
+	# scan itself is ~2e-4 relative off f64 there
+	if tol_syn is None: tol_syn = 4e-4 if mode == "spin2" else 1e-4
+	if tol_ana is None: tol_ana = 4e-4 if mode == "spin2" else 3e-4
 	lmax = mmax = LMAX
-	nt = 2*lmax+2
-	theta = sht.ring_theta("F1", nt).astype(np.float32)
+	nfun = sht_core.NFUN[mode]
+	nt = len(theta)
 	rng = np.random.default_rng(0)
 	A = rng.standard_normal((lmax+1, mmax+1, C)).astype(np.float32)
-	G1 = np.asarray(sht_core.synthesis_scan(jnp.asarray(A), jnp.asarray(theta),
-		lmax, mmax, mode=mode, dtype=np.float32))
+	G64 = np.asarray(sht_core.synthesis_scan(jnp.asarray(A, jnp.float64),
+		jnp.asarray(theta, jnp.float64), lmax, mmax, mode=mode, dtype=np.float64))
 	G2 = np.asarray(sht_pallas.synthesis_scan_pallas(jnp.asarray(A),
 		jnp.asarray(theta), lmax, mmax, mode=mode, interpret=True))
-	assert np.abs(G1 - G2).max() < 1e-5*max(np.abs(G1).max(), 1)
+	scale = max(np.abs(G64).max(), 1)
+	assert np.abs(G64 - G2).max() < tol_syn*scale, (mode, nt)
 	F = rng.standard_normal((nfun, C, mmax+1, nt)).astype(np.float32)
-	a1 = np.asarray(sht_core.analysis_scan(jnp.asarray(F), jnp.asarray(theta),
-		lmax, mmax, mode=mode, dtype=np.float32))
+	a64 = np.asarray(sht_core.analysis_scan(jnp.asarray(F, jnp.float64),
+		jnp.asarray(theta, jnp.float64), lmax, mmax, mode=mode, dtype=np.float64))
 	a2 = np.asarray(sht_pallas.analysis_scan_pallas(jnp.asarray(F),
 		jnp.asarray(theta), lmax, mmax, mode=mode, interpret=True))
-	assert np.abs(a1 - a2).max() < 1e-4*max(np.abs(a1).max(), 1)
+	scale = max(np.abs(a64).max(), 1)
+	assert np.abs(a64 - a2).max() < tol_ana*scale, (mode, nt)
+
+
+@pytest.mark.parametrize("mode,C", [("scalar", 2), ("deriv", 2), ("spin2", 4)])
+def test_pallas_matches_scan(mode, C):
+	theta = sht.ring_theta("F1", 2*LMAX+2)
+	assert sht_pallas._detect_sym(theta) is not None
+	_check(mode, C, theta)
+
+
+@pytest.mark.parametrize("mode,C", [("scalar", 1), ("deriv", 1),
+	("spin1", 2), ("spin2", 3)])
+def test_pallas_sym_paths(mode, C):
+	"""Half-sky kernels on even and odd symmetric ring counts, plus the full
+	kernels on an asymmetric grid."""
+	for nt in [2*LMAX+2, 2*LMAX+3]:
+		theta = (np.arange(nt)+0.5)*np.pi/nt
+		assert sht_pallas._detect_sym(theta) == (nt+1)//2
+		_check(mode, C, theta)
+	rng = np.random.default_rng(2)
+	theta = np.sort(rng.uniform(0.1, np.pi*0.8, 2*LMAX+2))
+	assert sht_pallas._detect_sym(theta) is None
+	_check(mode, C, theta)
