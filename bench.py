@@ -59,10 +59,11 @@ def main():
 	rel = float(jnp.max(jnp.abs(d1 - arr))/jnp.max(jnp.abs(arr)))
 	assert rel < 1e-3, "SHT roundtrip inaccurate: rel=%g" % rel
 	out = run_all(arr)  # compile (excluded)
-	out.block_until_ready()
+	# a real fetch: block_until_ready does NOT sync axon remote executions,
+	# so without it the warmup would still be in flight during the timing
+	assert bool(jnp.isfinite(jnp.sum(out))), "non-finite warmup output"
 	# the axon remote runtime caches identical executions, so time a FRESH
-	# input, and close the timing with a real value fetch (block_until_ready
-	# alone does not sync remote executions)
+	# input, and close the timing with a real value fetch
 	arr2 = arr + jnp.float32(1.2345e-5)
 	arr2.block_until_ready()
 	t0 = time.perf_counter()

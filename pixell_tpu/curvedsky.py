@@ -470,20 +470,31 @@ def _analysis_linear(arr, ainfo, minfo, spin, deriv, weighted, weights):
 	if minfo.case == "2d":
 		d2 = alm2_pre(d, deriv)
 		ny = d2.shape[-2]
+		nphi = d2.shape[-1]
 		ntfull = ny + minfo.ypad[0] + minfo.ypad[1]
 		need = 2*ainfo.lmax + 1
+		# go to per-ring phase coefficients FIRST: theta-domain work
+		# (padding, exact upsampling, quadrature) then runs on the narrow
+		# m-spectrum [nm] instead of full-width rings [nphi], and the ring
+		# FFT happens exactly once
+		F = sht.ring_analysis(d2, _ring_phi0(minfo), ainfo.mmax+1)
 		if minfo.ypad[0] or minfo.ypad[1]:
-			pad = [(0, 0)]*(d2.ndim-2) + [(int(minfo.ypad[0]), int(minfo.ypad[1])), (0, 0)]
-			d2 = jnp.pad(d2, pad)
+			pad = [(0, 0)]*(F.ndim-1) + [(int(minfo.ypad[0]), int(minfo.ypad[1]))]
+			F = jnp.pad(F, pad)
 		if need > ntfull:
-			ntu = need + 2
+			# round the upsampled ring count to a 2-3-5-7-smooth size: the
+			# torus FFT length is 2*ntu, and an unlucky ntu (e.g. 2 lmax + 3
+			# containing a large prime) forces a Bluestein FFT that is ~10x
+			# slower at lmax 5000
+			from . import fft as enfft
+			ntu = enfft.fft_len(need + 2, direction="above")
 			spins = [1, 0] if deriv else _comp_spins(spin, d2.shape[-3])
-			d2 = sht.resample_theta(d2, minfo.variant, ntu, spins)
+			F = sht.resample_theta_phase(F, minfo.variant, ntu, spins)
 			ntfull = ntu
 		theta_f = sht.ring_theta(minfo.variant, ntfull)
 		w = jnp.asarray(sht.ring_weights(minfo.variant, ntfull))
-		a = sht.analysis(d2, theta_f, ainfo.lmax, w, mmax=ainfo.mmax,
-			phi0=_ring_phi0(minfo), spin=spin, deriv=deriv)
+		a = sht.analysis_phase(F, theta_f, ainfo.lmax, w, nphi,
+			mmax=ainfo.mmax, spin=spin, deriv=deriv)
 	else:
 		th = np.asarray(minfo.theta)
 		if len(th) > 1:
@@ -515,9 +526,12 @@ def _adjoint_map2alm(alm, map, ainfo, minfo, spin, deriv):
 	# inputs are real maps, transpose of [re, im] outputs works directly)
 	example = jnp.zeros(arr.shape, arr.dtype)
 	fun_ri = lambda x: (lambda a: (a.real, a.imag))(fun(x))
-	trans = jax.linear_transpose(fun_ri, example)
+	# vjp instead of linear_transpose: the analysis contains lax.scans that
+	# jax.linear_transpose's partial-eval cannot structurally transpose
+	# (ValAccum leak); vjp of a linear map gives the identical transpose
+	_, vjp_fun = jax.vjp(fun_ri, example)
 	a = utils.to_device(alm)
-	d = trans((a.real.astype(arr.dtype), a.imag.astype(arr.dtype)))[0]
+	d = vjp_fun((a.real.astype(arr.dtype), a.imag.astype(arr.dtype)))[0]
 	map.data = d if enmap._is_jax(map.data) else np.asarray(d)
 	return map
 

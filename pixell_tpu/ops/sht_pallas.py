@@ -54,6 +54,12 @@ PSIGN = {"scalar": (1,), "deriv": (1, -1), "spin1": (-1, 1), "spin2": (1, -1)}
 def _ceil(a, b): return -(-a//b)
 
 
+SYM_MAX_NH = 1536  # only use the half-sky kernels below this ring count:
+# per-(tile, l-step) work is a fixed [MB, tb] regardless of nt, so halving
+# the rings only halves the TILE count while the doubled accumulators add
+# ~1.3x per-step cost -- measured a net LOSS at lmax 5000 (353 vs 287 ms)
+# and a win at lmax 750 (450 rings fit one tile).
+
 def _detect_sym(theta):
 	"""If theta is a concrete, south-symmetric ring set (theta[::-1] ==
 	pi - theta), return the number of northern rings nh (pair i <-> nt-1-i;
@@ -63,6 +69,7 @@ def _detect_sym(theta):
 	if isinstance(theta, jax.core.Tracer): return None
 	th = np.asarray(theta, np.float64)
 	if th.ndim != 1 or th.shape[0] < 16: return None
+	if th.shape[0] > 2*SYM_MAX_NH: return None
 	# tolerance absorbs f32 ring positions; real ring spacings are >> 1e-6
 	if not np.allclose(th[::-1], np.pi - th, atol=1e-6): return None
 	return (th.shape[0] + 1)//2

@@ -373,14 +373,26 @@ def adjoint_synthesis(maps, theta, lmax, mmax=None, phi0=0.0, spin=(0, 2),
 	"""Exact transpose of synthesis: map [..., ncomp, nt, nphi] -> alm.
 	Note: sum over pixels, no quadrature weights."""
 	maps = jnp.asarray(maps)
+	if mmax is None: mmax = lmax
+	F = ring_analysis(maps, phi0, mmax+1)
+	return adjoint_synthesis_phase(F, theta, lmax, mmax=mmax, spin=spin,
+		deriv=deriv, alm_dtype=alm_dtype)
+
+
+def adjoint_synthesis_phase(F, theta, lmax, mmax=None, spin=(0, 2),
+		deriv=False, alm_dtype=None):
+	"""Like adjoint_synthesis, but takes the per-ring phase coefficients
+	F[..., ncomp, nm, nt] (ring_analysis output) instead of maps. Lets
+	callers do theta-domain work (padding, exact upsampling, quadrature
+	weighting) on the narrow m-spectrum instead of the full-width map."""
+	F_in = jnp.asarray(F)
 	theta = _keep_theta(theta)
 	if mmax is None: mmax = lmax
-	rdt = maps.dtype
+	rdt = np.float32 if F_in.dtype == jnp.complex64 else np.float64
 	ldt = _leg_dtype(rdt)
 	cdt = _cdtype(rdt) if alm_dtype is None else alm_dtype
-	nphi = maps.shape[-1]
 	if deriv:
-		F2 = ring_analysis(maps, phi0, mmax+1)               # [..., 2, nm, nt]
+		F2 = F_in                                            # [..., 2, nm, nt]
 		Fdt, Fdp = F2[..., 0, :, :], F2[..., 1, :, :]
 		m = jnp.arange(mmax+1, dtype=ldt)[:, None]
 		# transpose of (G_dp = i m G_s): F_s += conj(i m)* ... = -i m F_dp
@@ -392,11 +404,10 @@ def adjoint_synthesis(maps, theta, lmax, mmax=None, phi0=0.0, spin=(0, 2),
 		# conjugate-symmetry factor: m>0 modes appear twice in a real map
 		rect = _m_degeneracy(rect, mmax)
 		return rect2alm(rect, lmax, mmax).astype(cdt)
-	ncomp = maps.shape[-3]
+	ncomp = F_in.shape[-3]
 	outs = []
 	for s, i1, i2 in _spin_blocks(spin, ncomp):
-		sub = maps[..., i1:i2, :, :]
-		Fm = ring_analysis(sub, phi0, mmax+1)                # [..., k, nm, nt]
+		Fm = F_in[..., i1:i2, :, :]                          # [..., k, nm, nt]
 		if s == 0:
 			k = i2-i1
 			Fr = jnp.stack([Fm.real, Fm.imag], -3)           # [..., k, 2, nm, nt]
@@ -457,6 +468,69 @@ def _undo_m_degeneracy(alm, lmax, mmax):
 	lv, mv = _tri_lm(lmax, mmax)
 	fac = jnp.where(mv == 0, 1.0, 0.5).astype(alm.real.dtype)
 	return alm*fac
+
+
+def analysis_phase(F, theta, lmax, weights, nphi, mmax=None, spin=(0, 2),
+		deriv=False, alm_dtype=None):
+	"""Quadrature analysis from phase coefficients F[..., ncomp, nm, nt]
+	(ring_analysis output): apply ring weights along theta and run the
+	Legendre transpose. nphi is the ring length the phases came from."""
+	F = jnp.asarray(F)
+	if mmax is None: mmax = lmax
+	w = jnp.asarray(weights, F.real.dtype)*(2*np.pi/nphi)
+	alm = adjoint_synthesis_phase(F*w, theta, lmax, mmax=mmax, spin=spin,
+		deriv=deriv, alm_dtype=alm_dtype)
+	return _undo_m_degeneracy(alm, lmax, mmax)
+
+
+MCHUNK_RESAMPLE = 1024  # m-columns per resample chunk (bounds the ~2x-nt
+# torus buffers to a few hundred MB at lmax 5000 instead of several GB)
+
+def resample_theta_phase(F, variant, nt_out, spins):
+	"""Exactly resample phase coefficients F[..., ncomp, nm, nt] on a
+	full-sky CC/F1 ring grid to nt_out rings of the same variant, via the
+	torus extension entirely in the m-domain: the phi -> phi + pi shift of
+	the southern extension is the elementwise factor (-1)^m, so no
+	full-width map FFTs are needed, and theta stays on the minor axis.
+	Processed in m-chunks: each m-column resamples independently, and the
+	2*nt-long torus buffers would otherwise reach GBs at high lmax."""
+	F = jnp.asarray(F)
+	nm = F.shape[-2]
+	variant = variant.upper()
+	spins = tuple(int(s) for s in spins)
+	if nm <= MCHUNK_RESAMPLE:
+		return _resample_theta_phase_jit(F, variant, int(nt_out), spins, 0)
+	parts = []
+	for i0 in range(0, nm, MCHUNK_RESAMPLE):
+		i1 = min(i0 + MCHUNK_RESAMPLE, nm)
+		parts.append(_resample_theta_phase_jit(F[..., i0:i1, :], variant,
+			int(nt_out), spins, i0))
+	return jnp.concatenate(parts, -2)
+
+@functools.partial(jax.jit, static_argnames=("variant", "nt_out", "spins", "m0"))
+def _resample_theta_phase_jit(F, variant, nt_out, spins, m0=0):
+	nm = F.shape[-2]
+	nt = F.shape[-1]
+	m = np.arange(m0, m0 + nm)
+	sgn_m = jnp.asarray(np.where(m % 2 == 0, 1.0, -1.0), F.real.dtype)[:, None]
+	sgn_s = jnp.asarray([(-1.0)**s for s in spins], F.real.dtype)[:, None, None]
+	if variant in ["F1", "FEJER1"]:
+		mirror = F[..., ::-1]*sgn_m*sgn_s
+		NT_in, NT_out = 2*nt, 2*nt_out
+	else:  # CC: pole rows are shared
+		mirror = F[..., -2:0:-1]*sgn_m*sgn_s
+		NT_in, NT_out = 2*(nt-1), 2*(nt_out-1)
+	torus = jnp.concatenate([F, mirror], -1)
+	ft = jnp.fft.fft(torus, axis=-1)
+	if variant in ["F1", "FEJER1"]:
+		ph_in = np.exp(-1j*np.pi*np.fft.fftfreq(NT_in))
+		ft = ft*_utils.to_device(ph_in, ft.dtype)
+	from . import fft as enfft
+	ft = enfft.resample(ft, NT_out, axes=(-1,))/NT_in*NT_out
+	if variant in ["F1", "FEJER1"]:
+		ph_out = np.exp(+1j*np.pi*np.fft.fftfreq(NT_out))
+		ft = ft*_utils.to_device(ph_out, ft.dtype)
+	return jnp.fft.ifft(ft, axis=-1)[..., :nt_out]
 
 
 def adjoint_analysis(alm, theta, nphi, weights, phi0=0.0, lmax=None, mmax=None,

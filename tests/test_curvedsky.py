@@ -220,3 +220,28 @@ def test_general_spin_curvedsky():
 	m = curvedsky.alm2map(alm, enmap.zeros((2,)+shape, wcs), spin=[3])
 	a2 = np.asarray(curvedsky.map2alm(m, lmax=lmax, spin=[3]))
 	assert np.linalg.norm(a2-alm)/np.linalg.norm(alm) < 1e-8
+
+
+def test_map2alm_adjoint_flag():
+	"""map2alm/alm2map adjoint=True are exact transposes over plain real
+	dofs (the reference's matrix-test convention, test_pixell.py:1051).
+	Regression: the 2d weighted-analysis transpose used to fail structurally
+	under jax.linear_transpose (now vjp-based)."""
+	from pixell_tpu import curvedsky
+	shape, wcs = enmap.fullsky_geometry(res=3.0*utils.degree, variant="fejer1")
+	lmax = 50
+	rng = np.random.default_rng(3)
+	mt = enmap.ndmap(rng.standard_normal(shape), wcs)
+	cl = np.concatenate([[0, 0], 1.0/np.arange(2, lmax+1)**2])
+	at = np.asarray(curvedsky.rand_alm(cl, lmax=lmax, seed=7))
+	Am = np.asarray(curvedsky.map2alm(mt, lmax=lmax))
+	ATa = np.asarray(curvedsky.map2alm(enmap.zeros(shape, wcs), alm=at, adjoint=True))
+	lhs = np.sum(Am.real*at.real + Am.imag*at.imag)
+	rhs = np.sum(np.asarray(ATa)*np.asarray(mt))
+	assert abs(lhs - rhs) < 1e-10*abs(lhs)
+	m2 = np.asarray(curvedsky.alm2map(at, enmap.zeros(shape, wcs)))
+	A2 = np.asarray(curvedsky.alm2map(np.zeros_like(at),
+		enmap.ndmap(np.asarray(mt), wcs), adjoint=True))
+	lhs2 = np.sum(m2*np.asarray(mt))
+	rhs2 = np.sum(np.asarray(A2).real*at.real + np.asarray(A2).imag*at.imag)
+	assert abs(lhs2 - rhs2) < 1e-10*abs(lhs2)
