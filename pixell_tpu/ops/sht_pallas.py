@@ -30,8 +30,9 @@ LB = 16     # l-steps per grid step
 # scales with nfun*C (output block + accumulators), so wide spin
 # transforms shrink the theta tile to stay under the 16MB scoped limit.
 
-def _pick_tb(nfun, C, nt=None):
+def _pick_tb(nfun, C, nt=None, ds=False):
 	n = nfun*C
+	if ds: n *= 2  # DS carries 5 state tiles + wider temporaries
 	if n <= 2: tb = TB
 	elif n <= 4: tb = 512
 	else: tb = 256
@@ -75,14 +76,81 @@ def _detect_sym(theta):
 	return (th.shape[0] + 1)//2
 
 
-def _step_block(l, marr, m2, ct, seedv, seedl, prev, curr, lev, fac_m1):
+def _recur_ab_tables(nlp, nmp):
+	"""Recurrence coefficients a[l,m], b[l,m] as [2, nlp, nmp] f32, computed
+	OUTSIDE the Pallas kernel with XLA's accurate sqrt/divide. Mosaic's
+	in-kernel sqrt/reciprocal are low-precision VPU approximations (~1e-4):
+	computed per step they made the recurrence error grow like l*1e-4
+	(measured 9e-3 at lmax 1000 on TPU vs 1e-4 for the same f32 algorithm
+	on CPU). Differences are computed in factored form ((l-m)(l+m), exact
+	in f32 up to l ~ 8M) to dodge the l^2 - m^2 cancellation above l=4096."""
+	l = jnp.arange(nlp, dtype=jnp.float32)[:, None]
+	m = jnp.arange(nmp, dtype=jnp.float32)[None, :]
+	num_a = jnp.maximum((2*l - 1)*(2*l + 1), 0.0)
+	den_a = jnp.maximum((l - m)*(l + m), 0.25)
+	a = jnp.sqrt(num_a/den_a)
+	l1 = l - 1
+	num_b = jnp.maximum((l1 - m)*(l1 + m), 0.0)
+	den_b = jnp.maximum((2*l1 - 1)*(2*l1 + 1), 1.0)
+	b = jnp.sqrt(num_b/den_b)
+	return jnp.stack([a, b])
+
+
+def _two_prod_xla(x, y):
+	"""Exact product as (hi, lo) in XLA f32 (correctly-rounded mul + Dekker)."""
+	p = x*y
+	xh, xl = _split(x); yh, yl = _split(y)
+	e = ((xh*yh - p) + xh*yl + xl*yh) + xl*yl
+	return p, e
+
+def _ds_sqrt_ratio(num_h, num_l, den_h, den_l):
+	"""(hi, lo) of sqrt((num_h+num_l)/(den_h+den_l)) in XLA f32, ~2^-45."""
+	r_h = num_h/den_h
+	ph, pe = _two_prod_xla(r_h, den_h)
+	r_l = ((num_h - ph) - pe + num_l - r_h*den_l)/den_h
+	s_h = jnp.sqrt(r_h)
+	qh, qe = _two_prod_xla(s_h, s_h)
+	s_l = ((r_h - qh) - qe + r_l)/jnp.maximum(2*s_h, 1e-30)
+	return s_h, s_l
+
+def _recur_ab_tables_ds(nlp, nmp):
+	"""DS-precision recurrence coefficients [4, nlp, nmp]: a_hi, b_hi, a_lo,
+	b_lo. Near the poles the recurrence amplifies COEFFICIENT rounding by
+	~l^2 as well, so the polar DS kernel needs ~2^-45 coefficients. The
+	integer factor products are exact via two_prod."""
+	l = jnp.arange(nlp, dtype=jnp.float32)[:, None]
+	m = jnp.arange(nmp, dtype=jnp.float32)[None, :]
+	ok_a = ((2*l - 1)*(2*l + 1) > 0) & ((l - m)*(l + m) > 0)
+	na_h, na_l = _two_prod_xla(2*l - 1, 2*l + 1)
+	da_h, da_l = _two_prod_xla(l - m, l + m)
+	na_h = jnp.where(ok_a, na_h, 0.0); na_l = jnp.where(ok_a, na_l, 0.0)
+	da_h = jnp.where(ok_a, da_h, 0.25); da_l = jnp.where(ok_a, da_l, 0.0)
+	a_h, a_l = _ds_sqrt_ratio(na_h, na_l, da_h, da_l)
+	l1 = l - 1
+	ok_b = ((l1 - m)*(l1 + m) > 0) & ((2*l1 - 1)*(2*l1 + 1) > 0)
+	nb_h, nb_l = _two_prod_xla(l1 - m, l1 + m)
+	db_h, db_l = _two_prod_xla(2*l1 - 1, 2*l1 + 1)
+	nb_h = jnp.where(ok_b, nb_h, 0.0); nb_l = jnp.where(ok_b, nb_l, 0.0)
+	db_h = jnp.where(ok_b, db_h, 1.0); db_l = jnp.where(ok_b, db_l, 0.0)
+	b_h, b_l = _ds_sqrt_ratio(nb_h, nb_l, db_h, db_l)
+	a_h = jnp.where(ok_a, a_h, 0.0); a_l = jnp.where(ok_a, a_l, 0.0)
+	b_h = jnp.where(ok_b, b_h, 0.0); b_l = jnp.where(ok_b, b_l, 0.0)
+	return jnp.stack([a_h, b_h, a_l, b_l])
+
+
+def _step_block(l, marr, m2, ct, seedv, seedl, prev, curr, lev, fac_m1,
+		a=None, b=None, ctl=None):
 	"""One recurrence step on a [MB, TB] tile. Returns updated state and the
-	true lambda_l / lambda_{l-1} (unscaled)."""
+	true lambda_l / lambda_{l-1} (unscaled). a/b are the [MB,1] coefficient
+	columns from _recur_ab_tables (fallback: in-kernel computation, only
+	safe where Mosaic sqrt precision does not matter)."""
 	lf = l.astype(jnp.float32)
-	a = jnp.sqrt(jnp.maximum(4*lf*lf - 1, 0.0)/jnp.maximum(lf*lf - m2, 0.25))
-	b = jnp.sqrt(jnp.maximum((lf-1)*(lf-1) - m2, 0.0)
-		/ jnp.maximum(4*(lf-1)*(lf-1) - 1, 1.0))
-	new = a*(ct*curr - b*prev)
+	if a is None:
+		a = jnp.sqrt(jnp.maximum(4*lf*lf - 1, 0.0)/jnp.maximum(lf*lf - m2, 0.25))
+		b = jnp.sqrt(jnp.maximum((lf-1)*(lf-1) - m2, 0.0)
+			/ jnp.maximum(4*(lf-1)*(lf-1) - 1, 1.0))
+	t = ct*curr if ctl is None else ct*curr + ctl*curr
+	new = a*(t - b*prev)
 	seedmask = (marr == lf)
 	new = jnp.where(seedmask, seedv, new)
 	lev = jnp.where(seedmask, seedl, lev)
@@ -97,11 +165,139 @@ def _rescale(prev, curr, lev, band, invband):
 		jnp.where(big, lev + 1, lev))
 
 
+# ---------------------------------------------------------------------------
+# Double-single (two-float) arithmetic for the high-accuracy recurrence.
+# The plain f32 three-term recurrence loses ~l*eps relative accuracy
+# (measured 5e-4 at l=5000); carrying the state as an unevaluated sum of two
+# f32s keeps ~2^-45 working precision, so the floor drops to the f32
+# rounding of the data itself. Dekker splitting (no FMA on the VPU path).
+# ---------------------------------------------------------------------------
+def _split(x):
+	c = x*jnp.float32(4097.0)  # 2^12 + 1 splits the 24-bit mantissa
+	hi = c - (c - x)
+	return hi, x - hi
+
+def _ds_renorm(h, l):
+	s = h + l
+	return s, l - (s - h)
+
+def _ds_mul(s, sh, sl, xh, xl):
+	"""f32 s (with precomputed split sh/sl) times ds(xh, xl) -> ds."""
+	p = s*xh
+	yh, yl = _split(xh)
+	e = ((sh*yh - p) + sh*yl + sl*yh) + sl*yl
+	e = e + s*xl
+	return _ds_renorm(p, e)
+
+def _ds_sub(ah, al, bh, bl):
+	s = ah - bh
+	t = s - ah
+	e = (ah - (s - t)) - (bh + t)
+	e = e + (al - bl)
+	return _ds_renorm(s, e)
+
+
+def _step_block_ds(l, marr, m2, ct, ct_h, ct_l, seedv, seedl,
+		ph, pl, ch, cl, lev, fac_m1, a, b, ctlo=None, alo=None, blo=None):
+	"""One DS-state recurrence step. Same contract as _step_block but the
+	prev/curr state is carried as (hi, lo) pairs; lam/lam1 collapse to f32.
+	a/b come from the coefficient tables; ctlo/alo/blo are true low parts
+	(polar rings amplify coefficient rounding by ~l^2 too)."""
+	lf = l.astype(jnp.float32)
+	a_h, a_l = _split(a)   # [MB,1]: negligible
+	b_h, b_l = _split(b)
+	th_, tl_ = _ds_mul(ct, ct_h, ct_l, ch, cl)
+	if ctlo is not None:
+		tl_ = tl_ + ctlo*ch
+	uh_, ul_ = _ds_mul(b, b_h, b_l, ph, pl)
+	if blo is not None:
+		ul_ = ul_ + blo*ph
+	dh_, dl_ = _ds_sub(th_, tl_, uh_, ul_)
+	nh_, nl_ = _ds_mul(a, a_h, a_l, dh_, dl_)
+	if alo is not None:
+		nl_ = nl_ + alo*dh_
+	seedmask = (marr == lf)
+	nh_ = jnp.where(seedmask, seedv, nh_)
+	nl_ = jnp.where(seedmask, 0.0, nl_)
+	lev = jnp.where(seedmask, seedl, lev)
+	czh = jnp.where(seedmask, 0.0, ch)
+	czl = jnp.where(seedmask, 0.0, cl)
+	fac = jnp.where(lev == 0, 1.0, jnp.where(lev == -1, fac_m1, 0.0))
+	lam = (nh_ + nl_)*fac
+	lam1 = (czh + czl)*fac
+	return czh, czl, nh_, nl_, lev, lam, lam1
+
+def _rescale_ds(ph, pl, ch, cl, lev, band, invband):
+	big = jnp.abs(ch) > band
+	sc = jnp.where(big, invband, 1.0)  # power of two: exact on both parts
+	return ph*sc, pl*sc, ch*sc, cl*sc, jnp.where(big, lev + 1, lev)
+
+# accuracy default for the f32 kernels. "high" (default) runs the handful
+# of NEAR-POLE rings through the double-single kernel -- the three-term
+# recurrence is degenerate at cos(theta) ~ +-1 and amplifies f32 rounding
+# (arithmetic AND coefficient) by ~min(l, 1/theta)^2, which produced O(1)
+# absolute errors in polar rings at low m. Bulk rings keep the fast f32
+# kernel, whose amplification is capped at (POLAR_AMP)^2*eps ~ 2e-5.
+# "fast" skips the polar pass. Explicit ds=True runs EVERYTHING in DS
+# (~2^-45 recurrence, ~10x the Legendre cost).
+ACCURACY = "high"
+POLAR_AMP = 60.0  # polar cutoff theta < POLAR_AMP/lmax (and mirrored);
+# measured fast-kernel per-ring error at lmax 1000 decays ~theta^-1.3:
+# 0.9 abs at theta=0.002 -> 5e-3 at 0.05 -> 1e-3 at 0.2 (G scale ~150)
+
+def _use_ds(ds):
+	return False if ds is None else bool(ds)
+
+def _polar_counts(theta, lmax):
+	"""(n_north, n_south): rings within POLAR_AMP/lmax of either pole.
+	theta must be concrete and ascending."""
+	th = np.asarray(theta, np.float64)
+	tcut = POLAR_AMP/max(lmax, 1)
+	nn = int(np.searchsorted(th, tcut))
+	ns = int(np.sum(th > np.pi - tcut))
+	return nn, ns
+
+def _want_polar(ds, theta, interpret=False):
+	import jax as _jax
+	# interpret mode (CPU tests) skips the split: the DS kernels are
+	# exercised by a dedicated tiny test, and the doubled kernel count is
+	# prohibitively slow in the interpreter
+	return (not ds) and (not interpret) and ACCURACY == "high" \
+		and not isinstance(theta, _jax.core.Tracer)
+
+
+def _make_stepper(ds):
+	"""(nstate, prep_ct, step, rescale) hiding the recurrence-state layout:
+	plain f32 -> (prev, curr, lev); DS -> (prev_hi, prev_lo, curr_hi,
+	curr_lo, lev). step returns (state, lam, lam1)."""
+	if not ds:
+		def prep_ct(ct, ctl): return (ct, ctl)
+		def step(l, marr, m2, th_ct, sv, sl, st, fac_m1, a, b, alo=None, blo=None):
+			p, c, lv, lam, lam1 = _step_block(l, marr, m2, th_ct[0], sv, sl,
+				st[0], st[1], st[2], fac_m1, a=a, b=b, ctl=th_ct[1])
+			return (p, c, lv), lam, lam1
+		def rescale(st, band, invband):
+			return _rescale(st[0], st[1], st[2], band, invband)
+		return 3, prep_ct, step, rescale
+	def prep_ct(ct, ctl):
+		h, lo = _split(ct)
+		return (ct, h, lo, ctl)
+	def step(l, marr, m2, th_ct, sv, sl, st, fac_m1, a, b, alo=None, blo=None):
+		czh, czl, nh, nl_, lv, lam, lam1 = _step_block_ds(l, marr, m2,
+			th_ct[0], th_ct[1], th_ct[2], sv, sl,
+			st[0], st[1], st[2], st[3], st[4], fac_m1, a, b,
+			ctlo=th_ct[3], alo=alo, blo=blo)
+		return (czh, czl, nh, nl_, lv), lam, lam1
+	def rescale(st, band, invband):
+		return _rescale_ds(st[0], st[1], st[2], st[3], st[4], band, invband)
+	return 5, prep_ct, step, rescale
+
+
 def _make_funcs(mode):
 	"""Returns nfun and a function (l, marr, m2, th, lam, lam1) -> [u_f]."""
 	midx = sht_core.MODES[mode]
 	def funcs(lf, marr, m2, th, lam, lam1):
-		ct, ct_st, inv_st, inv_st2, notpole = th
+		ct, ct_st, inv_st, inv_st2, notpole = th[:5]
 		if midx == 0:
 			return [lam]
 		e = jnp.sqrt(jnp.maximum((lf*lf - m2)*(2*lf + 1), 0.0)
@@ -139,8 +335,23 @@ def _make_funcs(mode):
 	return sht_core.NFUN[mode], funcs
 
 
-def _prep_inputs(theta, lmax, mmax, mode, tb=None):
-	"""Host-side padding and seed/theta-function tables (f32)."""
+def _ct_parts(theta):
+	"""Two-part cos(theta) from f64 host theta: (hi, lo) f32 pairs. A plain
+	f32 cos has ~3e-8 ABSOLUTE error near the poles where ct ~ 1; the
+	recurrence amplifies a ct perturbation by ~l^2/2, which produced O(1)
+	errors in near-pole rings at low m (measured 1.3 absolute at lmax
+	1000). Returns None for traced theta (fallback: lo = 0)."""
+	if isinstance(theta, jax.core.Tracer): return None
+	th = np.asarray(theta, np.float64)
+	ct64 = np.cos(th)
+	cth = ct64.astype(np.float32)
+	ctl = (ct64 - cth).astype(np.float32)
+	return jnp.asarray(cth), jnp.asarray(ctl)
+
+
+def _prep_inputs(theta, lmax, mmax, mode, tb=None, cth=None, ctl=None):
+	"""Host-side padding and seed/theta-function tables (f32). The th table
+	rows are [ct_hi, ct/st, 1/st, 1/st^2, notpole, ct_lo]."""
 	if tb is None: tb = TB
 	g = sht_core._prepare_geom(theta, mmax, np.float32)
 	nt = int(np.shape(theta)[0])
@@ -149,41 +360,70 @@ def _prep_inputs(theta, lmax, mmax, mode, tb=None):
 	ntp = _ceil(nt, tb)*tb
 	nmp = _ceil(nm, MB)*MB
 	nlp = _ceil(nl, LB)*LB
+	ct = g["ct"] if cth is None else jnp.asarray(cth, jnp.float32)
+	ctlo = jnp.zeros((nt,), jnp.float32) if ctl is None else jnp.asarray(ctl, jnp.float32)
 	def padt(x, fill=0.0):
 		return jnp.pad(x, (0, ntp - nt), constant_values=fill)
 	# dummy rings at theta=pi/2 (harmless; their output is discarded)
-	th = jnp.stack([padt(g["ct"]), padt(g["ct_st"]), padt(g["inv_st"]),
-		padt(g["inv_st2"]), padt(g["notpole"], 1.0)])
+	th = jnp.stack([padt(ct), padt(g["ct_st"]), padt(g["inv_st"]),
+		padt(g["inv_st2"]), padt(g["notpole"], 1.0), padt(ctlo)])
 	seedv = jnp.pad(g["seed_val"], ((0, nmp - nm), (0, ntp - nt)))
 	seedl = jnp.pad(g["seed_level"], ((0, nmp - nm), (0, ntp - nt)))
 	return th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp)
 
 
-def synthesis_scan_pallas(A, theta, lmax, mmax, mode="scalar", interpret=False):
+def synthesis_scan_pallas(A, theta, lmax, mmax, mode="scalar", interpret=False,
+		ds=None):
 	"""Pallas version of sht_core.synthesis_scan (float32). Dispatches to a
 	half-sky kernel when the rings are south-symmetric (the recurrence then
-	runs on nt/2 rings and the southern values follow from parity)."""
+	runs on nt/2 rings and the southern values follow from parity).
+	ds=None follows the module ACCURACY default ("high" = double-single
+	recurrence state, ~1e-6-level; "fast" = plain f32)."""
+	ds = _use_ds(ds)
+	if _want_polar(ds, theta, interpret):
+		nn, ns = _polar_counts(theta, lmax)
+		nt_all = int(np.shape(theta)[0])
+		if nn + ns >= nt_all:
+			# tiny ring set entirely polar: run everything in DS
+			cp = _ct_parts(theta)
+			return _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode=mode,
+				interpret=interpret, ds=True, cth=cp[0], ctl=cp[1])
+		if nn or ns:
+			th64 = np.asarray(theta, np.float64)
+			bulk = synthesis_scan_pallas(A, th64[nn:nt_all-ns], lmax, mmax,
+				mode=mode, interpret=interpret, ds=False)
+			pth = np.concatenate([th64[:nn], th64[nt_all-ns:]])
+			cthp, ctlp = _ct_parts(pth)
+			pol = _synthesis_scan_pallas_full(A, pth, lmax, mmax, mode=mode,
+				interpret=interpret, ds=True, cth=cthp, ctl=ctlp)
+			return jnp.concatenate([pol[..., :nn], bulk, pol[..., nn:]], -1)
 	nh = _detect_sym(theta)
 	if nh is None:
+		cp = _ct_parts(theta)
+		cth, ctl = cp if cp is not None else (None, None)
 		return _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode=mode,
-			interpret=interpret)
+			interpret=interpret, ds=ds, cth=cth, ctl=ctl)
 	nt = int(np.shape(theta)[0])
 	theta_h = np.asarray(theta, np.float64)[:nh]
+	cth, ctl = _ct_parts(theta_h)
 	pair = _synthesis_scan_pallas_sym(A, theta_h, lmax, mmax, mode=mode,
-		interpret=interpret)  # [nfun, C, 2, nm, nh]
+		interpret=interpret, ds=ds, cth=cth, ctl=ctl)  # [nfun, C, 2, nm, nh]
 	north = pair[:, :, 0]
 	south = pair[:, :, 1, :, :nt - nh][..., ::-1]
 	return jnp.concatenate([north, south], -1)
 
 
-@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "interpret"))
-def _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode="scalar", interpret=False):
+@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "interpret", "ds"))
+def _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode="scalar", interpret=False,
+		ds=False, cth=None, ctl=None):
 	"""Pallas version of sht_core.synthesis_scan (float32)."""
 	A = jnp.asarray(A, jnp.float32)
 	nfun, funcs = _make_funcs(mode)
 	C = A.shape[-1]
-	tb = _pick_tb(nfun, C, nt=int(np.shape(theta)[0]))
-	th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp) = _prep_inputs(theta, lmax, mmax, mode, tb=tb)
+	tb = _pick_tb(nfun, C, nt=int(np.shape(theta)[0]), ds=ds)
+	th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp) = _prep_inputs(theta, lmax, mmax, mode, tb=tb, cth=cth, ctl=ctl)
+	ab = _recur_ab_tables_ds(nlp, nmp) if ds else _recur_ab_tables(nlp, nmp)
+	abrows = 4 if ds else 2
 	# layout: big axes minor so TPU (8,128) tiling doesn't pad the C axis
 	Ap = jnp.zeros((C, nlp, nmp), jnp.float32).at[:, :nl, :nm].set(
 		jnp.moveaxis(A, -1, 0))
@@ -191,15 +431,15 @@ def _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode="scalar", interpret=F
 	band = np.float32(2.0**S32)
 	invband = np.float32(2.0**-S32)
 	fac_m1 = np.float32(2.0**-S32)
+	nstate, prep_ct, stepf, rescalef = _make_stepper(ds)
 
-	def kern(a_ref, th_ref, sv_ref, sl_ref, out_ref, prev, curr, lev):
+	def kern(a_ref, th_ref, sv_ref, sl_ref, ab_ref, out_ref, *scratch):
 		il = pl.program_id(2)
 		im = pl.program_id(0)
 		@pl.when(il == 0)
 		def _():
-			prev[:] = jnp.zeros((MB, tb), jnp.float32)
-			curr[:] = jnp.zeros((MB, tb), jnp.float32)
-			lev[:] = jnp.zeros((MB, tb), jnp.float32)
+			for r in scratch:
+				r[:] = jnp.zeros((MB, tb), jnp.float32)
 			out_ref[:] = jnp.zeros_like(out_ref)
 		# blocks entirely below the diagonal (every l < every m) contribute
 		# nothing: the recurrence state is still zero there. Skipping them
@@ -210,15 +450,18 @@ def _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode="scalar", interpret=F
 			# let broadcasting expand over theta (cuts the sqrt work by tb)
 			marr = (im*MB + jax.lax.broadcasted_iota(jnp.int32, (MB, 1), 0)).astype(jnp.float32)
 			m2 = marr*marr
-			thv = [th_ref[i, :][None, :] for i in range(5)]
-			ct = thv[0]
-			p, c, lv = prev[:], curr[:], lev[:]
+			thv = [th_ref[i, :][None, :] for i in range(6)]
+			th_ct = prep_ct(thv[0], thv[5])
+			st = tuple(r[:] for r in scratch)
 			accs = [[jnp.zeros((MB, tb), jnp.float32) for _ in range(C)]
 				for _ in range(nfun)]
 			for k in range(LB):
 				l = (il*LB + k).astype(jnp.float32)
-				p, c, lv, lam, lam1 = _step_block(l, marr, m2, ct, sv_ref[:], sl_ref[:],
-					p, c, lv, fac_m1)
+				ablo = (ab_ref[2, k, :][:, None], ab_ref[3, k, :][:, None]) \
+					if ds else (None, None)
+				st, lam, lam1 = stepf(l, marr, m2, th_ct, sv_ref[:], sl_ref[:],
+					st, fac_m1, ab_ref[0, k, :][:, None], ab_ref[1, k, :][:, None],
+					alo=ablo[0], blo=ablo[1])
 				us = funcs(l, marr, m2, thv, lam, lam1)
 				for f in range(nfun):
 					for ci in range(C):
@@ -226,9 +469,9 @@ def _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode="scalar", interpret=F
 				if k % 8 == 7:
 					# near the seed the recurrence grows ~sqrt(2m/k) per step;
 					# 16 unrescaled f32 steps overflow for m >~ 1000
-					p, c, lv = _rescale(p, c, lv, band, invband)
-			p, c, lv = _rescale(p, c, lv, band, invband)
-			prev[:] = p; curr[:] = c; lev[:] = lv
+					st = rescalef(st, band, invband)
+			st = rescalef(st, band, invband)
+			for r, v in zip(scratch, st): r[:] = v
 			out_ref[:] += jnp.stack([jnp.stack(fc) for fc in accs])
 
 	out = pl.pallas_call(
@@ -237,27 +480,26 @@ def _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode="scalar", interpret=F
 		in_specs=[
 			pl.BlockSpec((C, LB, MB), lambda im, it, il: (0, il, im),
 				memory_space=pltpu.VMEM),
-			pl.BlockSpec((5, tb), lambda im, it, il: (0, it), memory_space=pltpu.VMEM),
+			pl.BlockSpec((6, tb), lambda im, it, il: (0, it), memory_space=pltpu.VMEM),
 			pl.BlockSpec((MB, tb), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
 			pl.BlockSpec((MB, tb), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
+			pl.BlockSpec((abrows, LB, MB), lambda im, it, il: (0, il, im),
+				memory_space=pltpu.VMEM),
 		],
 		out_specs=pl.BlockSpec((nfun, C, MB, tb), lambda im, it, il: (0, 0, im, it),
 			memory_space=pltpu.VMEM),
 		out_shape=jax.ShapeDtypeStruct((nfun, C, nmp, ntp), jnp.float32),
-		scratch_shapes=[
-			pltpu.VMEM((MB, tb), jnp.float32),
-			pltpu.VMEM((MB, tb), jnp.float32),
-			pltpu.VMEM((MB, tb), jnp.float32),
-		],
+		scratch_shapes=[pltpu.VMEM((MB, tb), jnp.float32)]*nstate,
 		compiler_params=pltpu.CompilerParams(
 			dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
 		interpret=interpret,
-	)(Ap, th, seedv, seedl)
+	)(Ap, th, seedv, seedl, ab)
 	return out[:, :, :nm, :nt]
 
 
-@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "interpret"))
-def _synthesis_scan_pallas_sym(A, theta_h, lmax, mmax, mode="scalar", interpret=False):
+@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "interpret", "ds"))
+def _synthesis_scan_pallas_sym(A, theta_h, lmax, mmax, mode="scalar", interpret=False,
+		ds=False, cth=None, ctl=None):
 	"""Half-sky synthesis: theta_h holds the northern rings of a symmetric
 	grid. Returns [nfun, C, 2, nm, nh] with plane 0 = northern ring i, plane
 	1 = its mirror ring nt-1-i, obtained from the SAME recurrence pass via
@@ -268,23 +510,25 @@ def _synthesis_scan_pallas_sym(A, theta_h, lmax, mmax, mode="scalar", interpret=
 	nfun, funcs = _make_funcs(mode)
 	psign = PSIGN[mode]
 	C = A.shape[-1]
-	tb = _pick_tb(2*nfun, C, nt=int(np.shape(theta_h)[0]))
-	th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp) = _prep_inputs(theta_h, lmax, mmax, mode, tb=tb)
+	tb = _pick_tb(2*nfun, C, nt=int(np.shape(theta_h)[0]), ds=ds)
+	th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp) = _prep_inputs(theta_h, lmax, mmax, mode, tb=tb, cth=cth, ctl=ctl)
+	ab = _recur_ab_tables_ds(nlp, nmp) if ds else _recur_ab_tables(nlp, nmp)
+	abrows = 4 if ds else 2
 	Ap = jnp.zeros((C, nlp, nmp), jnp.float32).at[:, :nl, :nm].set(
 		jnp.moveaxis(A, -1, 0))
 	grid = (nmp//MB, ntp//tb, nlp//LB)
 	band = np.float32(2.0**S32)
 	invband = np.float32(2.0**-S32)
 	fac_m1 = np.float32(2.0**-S32)
+	nstate, prep_ct, stepf, rescalef = _make_stepper(ds)
 
-	def kern(a_ref, th_ref, sv_ref, sl_ref, out_ref, prev, curr, lev):
+	def kern(a_ref, th_ref, sv_ref, sl_ref, ab_ref, out_ref, *scratch):
 		il = pl.program_id(2)
 		im = pl.program_id(0)
 		@pl.when(il == 0)
 		def _():
-			prev[:] = jnp.zeros((MB, tb), jnp.float32)
-			curr[:] = jnp.zeros((MB, tb), jnp.float32)
-			lev[:] = jnp.zeros((MB, tb), jnp.float32)
+			for r in scratch:
+				r[:] = jnp.zeros((MB, tb), jnp.float32)
 			out_ref[:] = jnp.zeros_like(out_ref)
 		@pl.when((il + 1)*LB > im*MB)
 		def _():
@@ -292,15 +536,18 @@ def _synthesis_scan_pallas_sym(A, theta_h, lmax, mmax, mode="scalar", interpret=
 			m2 = marr*marr
 			# (-1)^m per m row, shared by every l step
 			sgn_m = 1.0 - 2.0*jnp.mod(marr, 2.0)
-			thv = [th_ref[i, :][None, :] for i in range(5)]
-			ct = thv[0]
-			p, c, lv = prev[:], curr[:], lev[:]
+			thv = [th_ref[i, :][None, :] for i in range(6)]
+			th_ct = prep_ct(thv[0], thv[5])
+			st = tuple(r[:] for r in scratch)
 			accs = [[[jnp.zeros((MB, tb), jnp.float32) for _ in range(C)]
 				for _ in range(2)] for _ in range(nfun)]
 			for k in range(LB):
 				l = (il*LB + k).astype(jnp.float32)
-				p, c, lv, lam, lam1 = _step_block(l, marr, m2, ct, sv_ref[:], sl_ref[:],
-					p, c, lv, fac_m1)
+				ablo = (ab_ref[2, k, :][:, None], ab_ref[3, k, :][:, None]) \
+					if ds else (None, None)
+				st, lam, lam1 = stepf(l, marr, m2, th_ct, sv_ref[:], sl_ref[:],
+					st, fac_m1, ab_ref[0, k, :][:, None], ab_ref[1, k, :][:, None],
+					alo=ablo[0], blo=ablo[1])
 				us = funcs(l, marr, m2, thv, lam, lam1)
 				# LB is even, so (-1)^l depends only on k: a static sign
 				sgn_l = 1.0 if k % 2 == 0 else -1.0
@@ -314,9 +561,9 @@ def _synthesis_scan_pallas_sym(A, theta_h, lmax, mmax, mode="scalar", interpret=
 						else:
 							accs[f][1][ci] = accs[f][1][ci] - us[f]*ams
 				if k % 8 == 7:
-					p, c, lv = _rescale(p, c, lv, band, invband)
-			p, c, lv = _rescale(p, c, lv, band, invband)
-			prev[:] = p; curr[:] = c; lev[:] = lv
+					st = rescalef(st, band, invband)
+			st = rescalef(st, band, invband)
+			for r, v in zip(scratch, st): r[:] = v
 			out_ref[:] += jnp.stack([jnp.stack([jnp.stack(cc) for cc in hc])
 				for hc in accs])
 
@@ -326,37 +573,66 @@ def _synthesis_scan_pallas_sym(A, theta_h, lmax, mmax, mode="scalar", interpret=
 		in_specs=[
 			pl.BlockSpec((C, LB, MB), lambda im, it, il: (0, il, im),
 				memory_space=pltpu.VMEM),
-			pl.BlockSpec((5, tb), lambda im, it, il: (0, it), memory_space=pltpu.VMEM),
+			pl.BlockSpec((6, tb), lambda im, it, il: (0, it), memory_space=pltpu.VMEM),
 			pl.BlockSpec((MB, tb), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
 			pl.BlockSpec((MB, tb), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
+			pl.BlockSpec((abrows, LB, MB), lambda im, it, il: (0, il, im),
+				memory_space=pltpu.VMEM),
 		],
 		out_specs=pl.BlockSpec((nfun, 2, C, MB, tb), lambda im, it, il: (0, 0, 0, im, it),
 			memory_space=pltpu.VMEM),
 		out_shape=jax.ShapeDtypeStruct((nfun, 2, C, nmp, ntp), jnp.float32),
-		scratch_shapes=[
-			pltpu.VMEM((MB, tb), jnp.float32),
-			pltpu.VMEM((MB, tb), jnp.float32),
-			pltpu.VMEM((MB, tb), jnp.float32),
-		],
+		scratch_shapes=[pltpu.VMEM((MB, tb), jnp.float32)]*nstate,
 		compiler_params=pltpu.CompilerParams(
 			dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
 		interpret=interpret,
-	)(Ap, th, seedv, seedl)
+	)(Ap, th, seedv, seedl, ab)
 	return jnp.moveaxis(out, 1, 2)[:, :, :, :nm, :nt]
 
 
-def analysis_scan_pallas(F, theta, lmax, mmax, mode="scalar", interpret=False):
+def analysis_scan_pallas(F, theta, lmax, mmax, mode="scalar", interpret=False,
+		ds=None):
 	"""Pallas version of sht_core.analysis_scan (float32). Dispatches to the
 	half-sky kernel for south-symmetric ring sets."""
+	ds = _use_ds(ds)
+	split = _maybe_polar_analysis(F, theta, lmax, mmax, mode, interpret, ds,
+		analysis_scan_pallas)
+	if split is not None: return split
 	nh = _detect_sym(theta)
 	if nh is None:
+		cp = _ct_parts(theta)
+		cth, ctl = cp if cp is not None else (None, None)
 		return _analysis_scan_pallas_full(F, theta, lmax, mmax, mode=mode,
-			interpret=interpret)
+			interpret=interpret, ds=ds, cth=cth, ctl=ctl)
 	return _analysis_sym_entry(F, np.asarray(theta, np.float64), nh, lmax, mmax,
-		mode=mode, interpret=interpret)
+		mode=mode, interpret=interpret, ds=ds)
 
 
-def _analysis_sym_entry(F, theta, nh, lmax, mmax, mode="scalar", interpret=False):
+def _maybe_polar_analysis(F, theta, lmax, mmax, mode, interpret, ds, bulk_fun):
+	"""Polar/bulk analysis split: polar-ring contributions (additive) go
+	through the DS kernel; returns None when no split applies."""
+	if not _want_polar(ds, theta, interpret): return None
+	nn, ns = _polar_counts(theta, lmax)
+	if not (nn or ns): return None
+	th64 = np.asarray(theta, np.float64)
+	nt_all = len(th64)
+	F = jnp.asarray(F, jnp.float32)
+	if nn + ns >= nt_all:
+		cp = _ct_parts(th64)
+		return _analysis_scan_pallas_full(F, th64, lmax, mmax, mode=mode,
+			interpret=interpret, ds=True, cth=cp[0], ctl=cp[1])
+	bulk = bulk_fun(F[..., nn:nt_all-ns], th64[nn:nt_all-ns], lmax, mmax,
+		mode=mode, interpret=interpret, ds=False)
+	pth = np.concatenate([th64[:nn], th64[nt_all-ns:]])
+	Fp = jnp.concatenate([F[..., :nn], F[..., nt_all-ns:]], -1)
+	cthp, ctlp = _ct_parts(pth)
+	pol = _analysis_scan_pallas_full(Fp, pth, lmax, mmax, mode=mode,
+		interpret=interpret, ds=True, cth=cthp, ctl=ctlp)
+	return bulk + pol
+
+
+def _analysis_sym_entry(F, theta, nh, lmax, mmax, mode="scalar", interpret=False,
+		ds=False):
 	"""Build the even/odd hemisphere combinations and run the half-sky
 	analysis kernel (possibly theta-chunked)."""
 	F = jnp.asarray(F, jnp.float32)
@@ -372,14 +648,16 @@ def _analysis_sym_entry(F, theta, nh, lmax, mmax, mode="scalar", interpret=False
 	out = None
 	for i0 in range(0, nh, TCHUNK):
 		i1 = min(i0 + TCHUNK, nh)
+		cth, ctl = _ct_parts(theta[:nh][i0:i1])
 		part = _analysis_scan_pallas_sym(EO[..., i0:i1], theta[:nh][i0:i1],
-			lmax, mmax, mode=mode, interpret=interpret)
+			lmax, mmax, mode=mode, interpret=interpret, ds=ds, cth=cth, ctl=ctl)
 		out = part if out is None else out + part
 	return out
 
 
-@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "interpret"))
-def _analysis_scan_pallas_sym(EO, theta_h, lmax, mmax, mode="scalar", interpret=False):
+@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "interpret", "ds"))
+def _analysis_scan_pallas_sym(EO, theta_h, lmax, mmax, mode="scalar", interpret=False,
+		ds=False, cth=None, ctl=None):
 	"""Half-sky analysis kernel. EO[nfun, C, 2, nm, nh] holds E = F_north +
 	F_south and O = F_north - F_south on the northern rings; the per-(l,m)
 	output picks E or O according to PSIGN[f]*(-1)^(l+m) (the hemisphere
@@ -388,8 +666,10 @@ def _analysis_scan_pallas_sym(EO, theta_h, lmax, mmax, mode="scalar", interpret=
 	nfun, funcs = _make_funcs(mode)
 	psign = PSIGN[mode]
 	C = EO.shape[1]
-	tb = _pick_tb(2*nfun, C, nt=int(np.shape(theta_h)[0]))
-	th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp) = _prep_inputs(theta_h, lmax, mmax, mode, tb=tb)
+	tb = _pick_tb(2*nfun, C, nt=int(np.shape(theta_h)[0]), ds=ds)
+	th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp) = _prep_inputs(theta_h, lmax, mmax, mode, tb=tb, cth=cth, ctl=ctl)
+	ab = _recur_ab_tables_ds(nlp, nmp) if ds else _recur_ab_tables(nlp, nmp)
+	abrows = 4 if ds else 2
 	EOp = jnp.zeros((nfun, 2, C, nmp, ntp), jnp.float32).at[:, :, :, :nm, :nt].set(
 		jnp.moveaxis(EO, 2, 1))
 	ntb = ntp//tb
@@ -398,14 +678,15 @@ def _analysis_scan_pallas_sym(EO, theta_h, lmax, mmax, mode="scalar", interpret=
 	invband = np.float32(2.0**-S32)
 	fac_m1 = np.float32(2.0**-S32)
 
-	def kern(f_ref, th_ref, sv_ref, sl_ref, out_ref, prev, curr, lev):
+	nstate, prep_ct, stepf, rescalef = _make_stepper(ds)
+
+	def kern(f_ref, th_ref, sv_ref, sl_ref, ab_ref, out_ref, *scratch):
 		im = pl.program_id(0)
 		il = pl.program_id(2)
 		@pl.when(il == 0)
 		def _():
-			prev[:] = jnp.zeros((MB, tb), jnp.float32)
-			curr[:] = jnp.zeros((MB, tb), jnp.float32)
-			lev[:] = jnp.zeros((MB, tb), jnp.float32)
+			for r in scratch:
+				r[:] = jnp.zeros((MB, tb), jnp.float32)
 		@pl.when((il + 1)*LB <= im*MB)
 		def _():
 			out_ref[:] = jnp.zeros_like(out_ref)
@@ -415,14 +696,17 @@ def _analysis_scan_pallas_sym(EO, theta_h, lmax, mmax, mode="scalar", interpret=
 			m2 = marr*marr
 			# m-parity mask per row, shared across l steps
 			modd = jnp.mod(marr[:, 0], 2.0) > 0.5  # [MB] bool
-			thv = [th_ref[i, :][None, :] for i in range(5)]
-			ct = thv[0]
-			p, c, lv = prev[:], curr[:], lev[:]
+			thv = [th_ref[i, :][None, :] for i in range(6)]
+			th_ct = prep_ct(thv[0], thv[5])
+			st = tuple(r[:] for r in scratch)
 			rows = []
 			for k in range(LB):
 				l = (il*LB + k).astype(jnp.float32)
-				p, c, lv, lam, lam1 = _step_block(l, marr, m2, ct, sv_ref[:], sl_ref[:],
-					p, c, lv, fac_m1)
+				ablo = (ab_ref[2, k, :][:, None], ab_ref[3, k, :][:, None]) \
+					if ds else (None, None)
+				st, lam, lam1 = stepf(l, marr, m2, th_ct, sv_ref[:], sl_ref[:],
+					st, fac_m1, ab_ref[0, k, :][:, None], ab_ref[1, k, :][:, None],
+					alo=ablo[0], blo=ablo[1])
 				us = funcs(l, marr, m2, thv, lam, lam1)
 				lodd = (k % 2 == 1)  # static: LB is even
 				cols = []
@@ -445,9 +729,9 @@ def _analysis_scan_pallas_sym(EO, theta_h, lmax, mmax, mode="scalar", interpret=
 					else:    cols.append(jnp.where(modd, sO, sE))
 				rows.append(jnp.stack(cols))          # [C, MB]
 				if k % 8 == 7:
-					p, c, lv = _rescale(p, c, lv, band, invband)
-			pr, cr, lr = _rescale(p, c, lv, band, invband)
-			prev[:] = pr; curr[:] = cr; lev[:] = lr
+					st = rescalef(st, band, invband)
+			st = rescalef(st, band, invband)
+			for r, v in zip(scratch, st): r[:] = v
 			out_ref[:] = jnp.moveaxis(jnp.stack(rows), 0, 1)[None]  # [1, C, LB, MB]
 
 	out = pl.pallas_call(
@@ -456,27 +740,26 @@ def _analysis_scan_pallas_sym(EO, theta_h, lmax, mmax, mode="scalar", interpret=
 		in_specs=[
 			pl.BlockSpec((nfun, 2, C, MB, tb), lambda im, it, il: (0, 0, 0, im, it),
 				memory_space=pltpu.VMEM),
-			pl.BlockSpec((5, tb), lambda im, it, il: (0, it), memory_space=pltpu.VMEM),
+			pl.BlockSpec((6, tb), lambda im, it, il: (0, it), memory_space=pltpu.VMEM),
 			pl.BlockSpec((MB, tb), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
 			pl.BlockSpec((MB, tb), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
+			pl.BlockSpec((abrows, LB, MB), lambda im, it, il: (0, il, im),
+				memory_space=pltpu.VMEM),
 		],
 		out_specs=pl.BlockSpec((1, C, LB, MB), lambda im, it, il: (it, 0, il, im),
 			memory_space=pltpu.VMEM),
 		out_shape=jax.ShapeDtypeStruct((ntb, C, nlp, nmp), jnp.float32),
-		scratch_shapes=[
-			pltpu.VMEM((MB, tb), jnp.float32),
-			pltpu.VMEM((MB, tb), jnp.float32),
-			pltpu.VMEM((MB, tb), jnp.float32),
-		],
+		scratch_shapes=[pltpu.VMEM((MB, tb), jnp.float32)]*nstate,
 		compiler_params=pltpu.CompilerParams(
 			dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
 		interpret=interpret,
-	)(EOp, th, seedv, seedl)
+	)(EOp, th, seedv, seedl, ab)
 	return jnp.moveaxis(jnp.sum(out, axis=0), 0, -1)[:nl, :nm]
 
 
-@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "interpret"))
-def _analysis_scan_pallas_full(F, theta, lmax, mmax, mode="scalar", interpret=False):
+@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "interpret", "ds"))
+def _analysis_scan_pallas_full(F, theta, lmax, mmax, mode="scalar", interpret=False,
+		ds=False, cth=None, ctl=None):
 	"""Pallas version of sht_core.analysis_scan (float32).
 	F: [nfun, C, nm, nt] -> out [nl, nm, C].
 
@@ -487,8 +770,10 @@ def _analysis_scan_pallas_full(F, theta, lmax, mmax, mode="scalar", interpret=Fa
 	F = jnp.asarray(F, jnp.float32)
 	nfun, funcs = _make_funcs(mode)
 	C = F.shape[1]
-	tb = _pick_tb(nfun, C, nt=int(np.shape(theta)[0]))
-	th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp) = _prep_inputs(theta, lmax, mmax, mode, tb=tb)
+	tb = _pick_tb(nfun, C, nt=int(np.shape(theta)[0]), ds=ds)
+	th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp) = _prep_inputs(theta, lmax, mmax, mode, tb=tb, cth=cth, ctl=ctl)
+	ab = _recur_ab_tables_ds(nlp, nmp) if ds else _recur_ab_tables(nlp, nmp)
+	abrows = 4 if ds else 2
 	Fp = jnp.zeros((nfun, C, nmp, ntp), jnp.float32).at[:, :, :nm, :nt].set(F)
 	ntb = ntp//tb
 	grid = (nmp//MB, ntb, nlp//LB)
@@ -496,14 +781,15 @@ def _analysis_scan_pallas_full(F, theta, lmax, mmax, mode="scalar", interpret=Fa
 	invband = np.float32(2.0**-S32)
 	fac_m1 = np.float32(2.0**-S32)
 
-	def kern(f_ref, th_ref, sv_ref, sl_ref, out_ref, prev, curr, lev):
+	nstate, prep_ct, stepf, rescalef = _make_stepper(ds)
+
+	def kern(f_ref, th_ref, sv_ref, sl_ref, ab_ref, out_ref, *scratch):
 		im = pl.program_id(0)
 		il = pl.program_id(2)
 		@pl.when(il == 0)
 		def _():
-			prev[:] = jnp.zeros((MB, tb), jnp.float32)
-			curr[:] = jnp.zeros((MB, tb), jnp.float32)
-			lev[:] = jnp.zeros((MB, tb), jnp.float32)
+			for r in scratch:
+				r[:] = jnp.zeros((MB, tb), jnp.float32)
 		# below-diagonal blocks produce exactly zero, but each output slab is
 		# written only once, so dead blocks still write zeros (cheap)
 		@pl.when((il + 1)*LB <= im*MB)
@@ -515,14 +801,17 @@ def _analysis_scan_pallas_full(F, theta, lmax, mmax, mode="scalar", interpret=Fa
 			# let broadcasting expand over theta (cuts the sqrt work by tb)
 			marr = (im*MB + jax.lax.broadcasted_iota(jnp.int32, (MB, 1), 0)).astype(jnp.float32)
 			m2 = marr*marr
-			thv = [th_ref[i, :][None, :] for i in range(5)]
-			ct = thv[0]
-			p, c, lv = prev[:], curr[:], lev[:]
+			thv = [th_ref[i, :][None, :] for i in range(6)]
+			th_ct = prep_ct(thv[0], thv[5])
+			st = tuple(r[:] for r in scratch)
 			rows = []
 			for k in range(LB):
 				l = (il*LB + k).astype(jnp.float32)
-				p, c, lv, lam, lam1 = _step_block(l, marr, m2, ct, sv_ref[:], sl_ref[:],
-					p, c, lv, fac_m1)
+				ablo = (ab_ref[2, k, :][:, None], ab_ref[3, k, :][:, None]) \
+					if ds else (None, None)
+				st, lam, lam1 = stepf(l, marr, m2, th_ct, sv_ref[:], sl_ref[:],
+					st, fac_m1, ab_ref[0, k, :][:, None], ab_ref[1, k, :][:, None],
+					alo=ablo[0], blo=ablo[1])
 				us = funcs(l, marr, m2, thv, lam, lam1)
 				cols = []
 				for ci in range(C):
@@ -532,9 +821,9 @@ def _analysis_scan_pallas_full(F, theta, lmax, mmax, mode="scalar", interpret=Fa
 					cols.append(jnp.sum(tot, axis=-1))
 				rows.append(jnp.stack(cols))          # [C, MB]
 				if k % 8 == 7:
-					p, c, lv = _rescale(p, c, lv, band, invband)
-			pr, cr, lr = _rescale(p, c, lv, band, invband)
-			prev[:] = pr; curr[:] = cr; lev[:] = lr
+					st = rescalef(st, band, invband)
+			st = rescalef(st, band, invband)
+			for r, v in zip(scratch, st): r[:] = v
 			out_ref[:] = jnp.moveaxis(jnp.stack(rows), 0, 1)[None]  # [1, C, LB, MB]
 
 	out = pl.pallas_call(
@@ -543,28 +832,27 @@ def _analysis_scan_pallas_full(F, theta, lmax, mmax, mode="scalar", interpret=Fa
 		in_specs=[
 			pl.BlockSpec((nfun, C, MB, tb), lambda im, it, il: (0, 0, im, it),
 				memory_space=pltpu.VMEM),
-			pl.BlockSpec((5, tb), lambda im, it, il: (0, it), memory_space=pltpu.VMEM),
+			pl.BlockSpec((6, tb), lambda im, it, il: (0, it), memory_space=pltpu.VMEM),
 			pl.BlockSpec((MB, tb), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
 			pl.BlockSpec((MB, tb), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
+			pl.BlockSpec((abrows, LB, MB), lambda im, it, il: (0, il, im),
+				memory_space=pltpu.VMEM),
 		],
 		out_specs=pl.BlockSpec((1, C, LB, MB), lambda im, it, il: (it, 0, il, im),
 			memory_space=pltpu.VMEM),
 		out_shape=jax.ShapeDtypeStruct((ntb, C, nlp, nmp), jnp.float32),
-		scratch_shapes=[
-			pltpu.VMEM((MB, tb), jnp.float32),
-			pltpu.VMEM((MB, tb), jnp.float32),
-			pltpu.VMEM((MB, tb), jnp.float32),
-		],
+		scratch_shapes=[pltpu.VMEM((MB, tb), jnp.float32)]*nstate,
 		compiler_params=pltpu.CompilerParams(
 			dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
 		interpret=interpret,
-	)(Fp, th, seedv, seedl)
+	)(Fp, th, seedv, seedl, ab)
 	return jnp.moveaxis(jnp.sum(out, axis=0), 0, -1)[:nl, :nm]
 
 
 TCHUNK = 2048  # theta rings per analysis chunk (bounds the partial-slab memory)
 
-def analysis_scan_pallas_chunked(F, theta, lmax, mmax, mode="scalar", interpret=False):
+def analysis_scan_pallas_chunked(F, theta, lmax, mmax, mode="scalar", interpret=False,
+		ds=None):
 	"""Memory-bounded analysis: the per-theta-tile partial slabs scale as
 	ntb * nl * nm, which overflows HBM for big transforms; process theta in
 	chunks (each chunk's recurrence is independent) and sum. Symmetric ring
@@ -572,18 +860,26 @@ def analysis_scan_pallas_chunked(F, theta, lmax, mmax, mode="scalar", interpret=
 	rings, preserving the symmetry win at any size)."""
 	F = jnp.asarray(F, jnp.float32)
 	nt = F.shape[-1]
+	ds = _use_ds(ds)
+	split = _maybe_polar_analysis(F, theta, lmax, mmax, mode, interpret, ds,
+		analysis_scan_pallas_chunked)
+	if split is not None: return split
 	nh = _detect_sym(theta)
 	if nh is not None:
 		return _analysis_sym_entry(F, np.asarray(theta, np.float64), nh, lmax,
-			mmax, mode=mode, interpret=interpret)
+			mmax, mode=mode, interpret=interpret, ds=ds)
 	if nt <= TCHUNK:
+		cp = _ct_parts(theta)
+		cth, ctl = cp if cp is not None else (None, None)
 		return _analysis_scan_pallas_full(F, theta, lmax, mmax, mode=mode,
-			interpret=interpret)
+			interpret=interpret, ds=ds, cth=cth, ctl=ctl)
 	if not isinstance(theta, jax.core.Tracer): theta = np.asarray(theta, np.float64)
 	out = None
 	for i0 in range(0, nt, TCHUNK):
 		i1 = min(i0 + TCHUNK, nt)
+		cp = _ct_parts(theta[i0:i1])
+		cth, ctl = cp if cp is not None else (None, None)
 		part = _analysis_scan_pallas_full(F[..., i0:i1], theta[i0:i1], lmax, mmax,
-			mode=mode, interpret=interpret)
+			mode=mode, interpret=interpret, ds=ds, cth=cth, ctl=ctl)
 		out = part if out is None else out + part
 	return out

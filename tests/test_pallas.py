@@ -10,7 +10,7 @@ import pytest
 from pixell_tpu.ops import sht_core, sht_pallas
 from pixell_tpu import sht
 
-LMAX = 40
+LMAX = 24
 
 
 def _check(mode, C, theta, tol_syn=None, tol_ana=None):
@@ -58,3 +58,28 @@ def test_pallas_sym_paths(mode, C):
 	theta = np.sort(rng.uniform(0.1, np.pi*0.8, 2*LMAX+2))
 	assert sht_pallas._detect_sym(theta) is None
 	_check(mode, C, theta)
+
+
+def test_polar_ds_kernels():
+	"""The double-single polar kernels against the f64 scan on a tiny
+	near-pole ring set, where the plain f32 recurrence loses accuracy
+	(amplification ~ min(l, 1/theta)^2)."""
+	lmax = 24
+	theta = np.concatenate([np.linspace(2e-3, 0.05, 6),
+		np.pi - np.linspace(0.05, 2e-3, 6)])
+	rng = np.random.default_rng(0)
+	A = rng.standard_normal((lmax+1, lmax+1, 1)).astype(np.float32)
+	G64 = np.asarray(sht_core.synthesis_scan(jnp.asarray(A, jnp.float64),
+		jnp.asarray(theta), lmax, lmax, mode="scalar", dtype=np.float64))
+	cp = sht_pallas._ct_parts(theta)
+	G = np.asarray(sht_pallas._synthesis_scan_pallas_full(jnp.asarray(A),
+		theta, lmax, lmax, mode="scalar", interpret=True, ds=True,
+		cth=cp[0], ctl=cp[1]))
+	assert np.abs(G - G64).max() < 2e-6*np.abs(G64).max()
+	F = rng.standard_normal((1, 1, lmax+1, len(theta))).astype(np.float32)
+	a64 = np.asarray(sht_core.analysis_scan(jnp.asarray(F, jnp.float64),
+		jnp.asarray(theta), lmax, lmax, mode="scalar", dtype=np.float64))
+	a = np.asarray(sht_pallas._analysis_scan_pallas_full(jnp.asarray(F),
+		theta, lmax, lmax, mode="scalar", interpret=True, ds=True,
+		cth=cp[0], ctl=cp[1]))
+	assert np.abs(a - a64).max() < 2e-6*np.abs(a64).max()
