@@ -242,6 +242,9 @@ def _rescale_ds(ph, pl, ch, cl, lev, band, invband):
 # (~2^-45 recurrence, ~10x the Legendre cost).
 ACCURACY = "high"
 POLAR_AMP = 60.0  # polar cutoff theta < POLAR_AMP/lmax (and mirrored);
+POLAR_MMAX = 128  # m-extent of the polar DS pass: lambda_lm at polar rings
+# is exponentially small for m > lmax*sin(theta_cut) + O(l^(1/3)) ~ 60+17,
+# so one MB-wide m-tile covers every mode that matters there
 # measured fast-kernel per-ring error at lmax 1000 decays ~theta^-1.3:
 # 0.9 abs at theta=0.002 -> 5e-3 at 0.05 -> 1e-3 at 0.2 (G scale ~150)
 
@@ -389,14 +392,26 @@ def synthesis_scan_pallas(A, theta, lmax, mmax, mode="scalar", interpret=False,
 			return _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode=mode,
 				interpret=interpret, ds=True, cth=cp[0], ctl=cp[1])
 		if nn or ns:
+			# fast kernel everywhere, then OVERWRITE the polar rings with a
+			# DS pass restricted to m < POLAR_MMAX (lambda_lm at theta <
+			# POLAR_AMP/lmax is exponentially negligible for larger m, so
+			# the fast values there are already fine): one m-tile of DS work
 			th64 = np.asarray(theta, np.float64)
-			bulk = synthesis_scan_pallas(A, th64[nn:nt_all-ns], lmax, mmax,
-				mode=mode, interpret=interpret, ds=False)
+			G = _synthesis_fast(A, theta, lmax, mmax, mode, interpret)
+			Mp = min(mmax + 1, POLAR_MMAX)
 			pth = np.concatenate([th64[:nn], th64[nt_all-ns:]])
 			cthp, ctlp = _ct_parts(pth)
-			pol = _synthesis_scan_pallas_full(A, pth, lmax, mmax, mode=mode,
-				interpret=interpret, ds=True, cth=cthp, ctl=ctlp)
-			return jnp.concatenate([pol[..., :nn], bulk, pol[..., nn:]], -1)
+			pol = _synthesis_scan_pallas_full(A[:, :Mp], pth, lmax, Mp - 1,
+				mode=mode, interpret=interpret, ds=True, cth=cthp, ctl=ctlp)
+			if nn:
+				G = G.at[..., :Mp, :nn].set(pol[..., :nn])
+			if ns:
+				G = G.at[..., :Mp, nt_all-ns:].set(pol[..., nn:])
+			return G
+	return _synthesis_fast(A, theta, lmax, mmax, mode, interpret, ds=ds)
+
+
+def _synthesis_fast(A, theta, lmax, mmax, mode, interpret, ds=False):
 	nh = _detect_sym(theta)
 	if nh is None:
 		cp = _ct_parts(theta)
@@ -623,11 +638,16 @@ def _maybe_polar_analysis(F, theta, lmax, mmax, mode, interpret, ds, bulk_fun):
 			interpret=interpret, ds=True, cth=cp[0], ctl=cp[1])
 	bulk = bulk_fun(F[..., nn:nt_all-ns], th64[nn:nt_all-ns], lmax, mmax,
 		mode=mode, interpret=interpret, ds=False)
+	# polar contributions: only m < POLAR_MMAX matter (lambda is
+	# exponentially negligible beyond), so the DS pass is one m-tile
+	Mp = min(mmax + 1, POLAR_MMAX)
 	pth = np.concatenate([th64[:nn], th64[nt_all-ns:]])
 	Fp = jnp.concatenate([F[..., :nn], F[..., nt_all-ns:]], -1)
 	cthp, ctlp = _ct_parts(pth)
-	pol = _analysis_scan_pallas_full(Fp, pth, lmax, mmax, mode=mode,
-		interpret=interpret, ds=True, cth=cthp, ctl=ctlp)
+	pol = _analysis_scan_pallas_full(Fp[..., :Mp, :], pth, lmax, Mp - 1,
+		mode=mode, interpret=interpret, ds=True, cth=cthp, ctl=ctlp)
+	if Mp < mmax + 1:
+		pol = jnp.pad(pol, [(0, 0), (0, mmax + 1 - Mp), (0, 0)])
 	return bulk + pol
 
 
