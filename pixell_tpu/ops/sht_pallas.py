@@ -905,60 +905,7 @@ def analysis_scan_pallas_chunked(F, theta, lmax, mmax, mode="scalar", interpret=
 	return out
 
 
-# ---------------------------------------------------------------------------
-# Triangular alm packer: sheared m-major rows -> packed triangular layout
-# via sequential row DMAs (ascending m, so each row's overhanging tail is
-# overwritten by the next row's copy). Replaces the XLA window scatter-add,
-# which costs ~5 ms at lmax 750 on TPU.
-# ---------------------------------------------------------------------------
-def pack_tri_rows(S, lmax, mmax, interpret=False):
-	"""S[..., nm, nl] with S[m, i] = rect[l=m+i, m] -> packed [..., nalm].
-	Rows are DMA'd whole (length nl) at each run start; the junk tail of
-	row m lands exactly in run m+1's region and is overwritten because the
-	copies run in ascending m order (grid and in-kernel loop are
-	sequential)."""
-	S = jnp.asarray(S)
-	nl = lmax + 1
-	nm = mmax + 1
-	n = nm*(2*lmax + 2 - mmax)//2
-	bshape = S.shape[:-2]
-	B = int(np.prod(bshape, dtype=int)) if bshape else 1
-	nlp = _ceil(nl, 128)*128
-	nmp = _ceil(nm, MB)*MB
-	Sp = jnp.zeros((B, nmp, nlp), S.dtype).at[:, :nm, :nl].set(
-		S.reshape(B, nm, nl))
-	marr = np.arange(nmp)
-	starts = np.where(marr <= mmax,
-		marr*(2*lmax + 1 - marr)//2 + marr, n).astype(np.int32)
-	npad = n + nlp
-
-	def kern(starts_ref, s_ref, out_ref, sem):
-		b = pl.program_id(0)
-		im = pl.program_id(1)
-		def body(i, carry):
-			dst = starts_ref[im*MB + i]
-			cp = pltpu.make_async_copy(
-				s_ref.at[0, i, pl.ds(0, nl)],
-				out_ref.at[b, pl.ds(dst, nl)],
-				sem)
-			cp.start()
-			cp.wait()
-			return carry
-		jax.lax.fori_loop(0, MB, body, 0)
-
-	out = pl.pallas_call(
-		kern,
-		grid_spec=pltpu.PrefetchScalarGridSpec(
-			num_scalar_prefetch=1,
-			grid=(B, nmp//MB),
-			in_specs=[pl.BlockSpec((1, MB, nlp), lambda b, im, *_: (b, im, 0),
-				memory_space=pltpu.VMEM)],
-			out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-			scratch_shapes=[pltpu.SemaphoreType.DMA(())],
-		),
-		out_shape=jax.ShapeDtypeStruct((B, npad), S.dtype),
-		compiler_params=pltpu.CompilerParams(
-			dimension_semantics=("arbitrary", "arbitrary")),
-		interpret=interpret,
-	)(jnp.asarray(starts), Sp)
-	return out[:, :n].reshape(bshape + (n,))
+# The former Pallas row-DMA triangular packer (pack_tri_rows) was removed:
+# Mosaic cannot DMA to unaligned dynamic lane offsets (the per-run start
+# offsets are arbitrary), which made it fail to compile on real TPUs.
+# Its replacement is the pure-XLA pairwise fold in sht._pack_tri_fold.

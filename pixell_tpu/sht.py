@@ -94,12 +94,51 @@ def _tri_starts(lmax, mmax):
 	m = np.arange(mmax+1)
 	return (m*(2*lmax+1-m)//2 + m).astype(np.int32)
 
-def _pallas_pack_ok():
-	"""Use the Pallas row-DMA packer on accelerators (the XLA window
-	scatter-add costs ~5 ms at lmax 750 on TPU; on CPU the scatter is fine
-	and Pallas would need interpret mode)."""
-	import jax as _jax
-	return _jax.default_backend() != "cpu"
+def _pack_tri_fold(S, lmax, mmax):
+	"""Sheared m-major rows S[..., nm, nl] (S[m, i] = rect[l=m+i, m], zeros
+	for i >= nl-m) -> packed triangular [..., nalm].
+
+	Pure-XLA recursive pairwise fold. At each level, rows hold the
+	already-concatenated runs of 2^k original m-runs; row j's valid length is
+	LINEAR in j: L(j) = A - B*j (initially A=nl, B=1). Merging pair
+	(2j, 2j+1) places odd row j at in-pair offset L(2j) = A - 2Bj -- also
+	linear in j -- so ONE left-pad by A + flat re-view at the LARGER pitch
+	V = (W+A) + 2B (a "shear": element (j, c) of pitch-(W+A) rows lands at
+	column c - 2Bj of pitch-V rows) aligns every odd row at once, and an add
+	merges. New lengths: L'(j) = 2A - B - 4Bj, so (A, B) <- (2A - B, 4B).
+	log2(nm) levels of pad/reshape/add: O(n log nm) pure-bandwidth work, no
+	gathers or scatters (TPU gathers run ~100M elem/s; the XLA window
+	scatter-add this replaces cost ~5 ms at lmax 750), and no Pallas (Mosaic
+	DMA cannot write at unaligned dynamic lane offsets, which sank the
+	row-DMA packer design).
+
+	Zero-row padding (odd R) is appended at the END, so any row whose formula
+	length exceeds its true data length is the last nonempty row at its
+	level; offsets of earlier rows are unaffected and trailing junk is
+	cropped by the final [:n] slice. All-zero rows may "bleed" across row
+	windows under the shear; they only ever add zeros."""
+	nl = lmax + 1; nm = mmax + 1
+	n = nalm(lmax, mmax)
+	bshape = S.shape[:-2]
+	Bn = int(np.prod(bshape, dtype=int)) if bshape else 1
+	X = jnp.asarray(S).reshape((Bn, nm, nl))
+	# defensive: the invariant needs zeros beyond each row's valid run
+	mi = jax.lax.broadcasted_iota(jnp.int32, (nm, nl), 0)
+	ii = jax.lax.broadcasted_iota(jnp.int32, (nm, nl), 1)
+	X = jnp.where(ii < nl - mi, X, 0)
+	A, Bc, W, R = nl, 1, nl, nm
+	while R > 1:
+		if R % 2:
+			X = jnp.pad(X, ((0, 0), (0, 1), (0, 0)))
+			R += 1
+		V = W + A + 2*Bc
+		O1 = jnp.pad(X[:, 1::2, :], ((0, 0), (0, 0), (A, 0)))  # pitch W+A
+		flat = O1.reshape(Bn, (R//2)*(W + A))
+		Ov = jnp.pad(flat, ((0, 0), (0, (R//2)*V - flat.shape[1]))) \
+			.reshape(Bn, R//2, V)                     # col A + c - 2Bj
+		X = jnp.pad(X[:, 0::2, :], ((0, 0), (0, 0), (0, V - W))) + Ov
+		A, Bc, W, R = 2*A - Bc, 4*Bc, V, R//2
+	return X[:, 0, :n].reshape(bshape + (n,))
 
 def alm2rect(alm, lmax, mmax=None):
 	"""Triangular alm [..., nalm] -> rectangular [..., nl, nm] (l-major).
@@ -133,15 +172,14 @@ def rect2alm(rect, lmax, mmax=None):
 	Inverse of alm2rect's shear trick: transpose to m-major, zero the l<m
 	region, re-view rows at width nl+1 (shearing row m left by m, so valid
 	data starts at column 0 and the tail reads the ZEROED invalid region of
-	the next row), then scatter-ADD the nl-wide rows at each run start.
-	Overlapping window tails only add zeros, so the scatter is exact and
-	order-independent."""
+	the next row), then compact the variable-length runs with the pairwise
+	fold (_pack_tri_fold)."""
 	if mmax is None: mmax = lmax
 	nl, nm = lmax+1, mmax+1
 	n = nalm(lmax, mmax)
 	rect = jnp.asarray(rect)
 	if jnp.iscomplexobj(rect):
-		# scatter-add on complex is not supported on all TPU runtimes
+		# axon cannot move complex across host<->device; keep re/im split
 		return jax.lax.complex(rect2alm(rect.real, lmax, mmax),
 			rect2alm(rect.imag, lmax, mmax))
 	U = jnp.moveaxis(rect, -1, -2)                   # [..., nm, nl]
@@ -152,9 +190,14 @@ def rect2alm(rect, lmax, mmax=None):
 	P = jnp.pad(Uf, [(0, 0)]*(Uf.ndim-1) + [(0, nm)]) \
 		.reshape(U.shape[:-2] + (nm, nl+1))
 	S = P[..., :nl]                                  # S[m, i] = rect[m+i, m]
-	if _pallas_pack_ok():
-		from .ops import sht_pallas
-		return sht_pallas.pack_tri_rows(S, lmax, mmax)
+	return _pack_tri_fold(S, lmax, mmax)
+
+def _pack_tri_scatter(S, lmax, mmax):
+	"""Reference packer: XLA window scatter-add of the sheared rows (exact
+	because invalid tails are zero). Slower than _pack_tri_fold on TPU
+	(~5 ms at lmax 750); kept as an independent oracle for tests."""
+	nl, nm = lmax+1, mmax+1
+	n = nalm(lmax, mmax)
 	starts = jnp.asarray(_tri_starts(lmax, mmax))[:, None]
 	dn = jax.lax.ScatterDimensionNumbers(
 		update_window_dims=(1,), inserted_window_dims=(),
