@@ -35,7 +35,10 @@ def _pick_tb(nfun, C, nt=None, ds=False):
 	if ds: n *= 2  # DS carries 5 state tiles + wider temporaries
 	if n <= 2: tb = TB
 	elif n <= 4: tb = 512
-	else: tb = 256
+	elif n <= 6: tb = 256
+	else: tb = 128  # e.g. sym spin-2 (2 hemis x 2 funcs x C=2): 8+ acc
+	# tiles of [MB, tb] live at once; tb=256 put the scoped-VMEM total
+	# ~1 MB over the 16 MB limit on v5e (measured: 16.91M requested)
 	if nt is not None:
 		# don't pad a short ring set up to a full tile: the kernel cost is
 		# proportional to the padded theta extent (lane dim multiples of 256)

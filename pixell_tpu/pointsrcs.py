@@ -1,11 +1,15 @@
 """Point-source / object simulation and photometry.
 
 TPU-native replacement for the reference's cell-decomposition C painter
-(cython/srcsim_core.c, pixell/pointsrcs.py). The C code builds per-cell
-object lists with dynamic sizes; here we paint fixed-size stamps around each
-object with a scatter-add (scan over objects of a vectorized stamp update),
-which is jit-compatible and parallelizes over the stamp pixels. Photometry
-(radial_sum) is the matching gather.
+(cython/srcsim_core.c, pixell/pointsrcs.py). Like the reference, the map is
+split into cells and each cell evaluates only the objects whose per-object
+maximum radius reaches it; unlike the C code's dynamic per-cell lists +
+OpenMP loop, the cell->object assignment is built host-side as a fixed-size
+[ncell_active, K] table and ONE jitted kernel evaluates all (cell, slot)
+pairs vectorized, scattering non-overlapping cell blocks back into the map.
+transpose=True runs the exact adjoint (map -> per-object amplitudes) as a
+gather-reduce over the same cells (reference srcsim_core.c sim_objects
+transpose path). Photometry (radial_sum) is the matching gather.
 """
 from __future__ import annotations
 import functools
@@ -41,100 +45,263 @@ def _profile_rmax(prof, vmin):
 	return r[above[-1]] if len(above) else r[-1]
 
 
-@functools.partial(jax.jit, static_argnames=("R", "op", "nypix", "nxpix", "wrapx", "separable"))
-def _paint_core(omap, pix, amps, prof_r, prof_b, prof_ids, posmap_dec, posmap_ra,
-		src_dec, src_ra, R, op, nypix, nxpix, wrapx, separable):
-	"""Scatter fixed-size stamps: for each source, evaluate its profile at the
-	angular distance of each stamp pixel and combine into the map."""
-	dy = jnp.arange(-R, R+1)
-	dx = jnp.arange(-R, R+1)
-	def body(carry, inp):
-		m = carry
-		cpix, amp, pid, sdec, sra = inp
-		iy = (cpix[0].astype(jnp.int32) + dy)
-		ix = (cpix[1].astype(jnp.int32) + dx)
-		iyc = jnp.clip(iy, 0, nypix-1)
-		ixc = ix % nxpix if wrapx else jnp.clip(ix, 0, nxpix-1)
-		# pixel positions of the stamp
-		pdec = posmap_dec[iyc][:, None] if separable else posmap_dec[iyc[:, None], ixc[None, :]]
-		pra  = posmap_ra[ixc][None, :] if separable else posmap_ra[iyc[:, None], ixc[None, :]]
-		r = utils.angdist(jnp.stack([pra + 0*pdec, pdec + 0*pra]),
-			jnp.stack([sra, sdec]), axis=0)
-		# per-source profile: interpolate in r (prof_r/prof_b are [nprof, ns])
-		br = jnp.interp(r, prof_r[pid], prof_b[pid], right=0.0)
-		val = amp*br
-		# mask pixels clamped away (out of bounds in y or non-wrapping x)
-		good = (iy >= 0)[:, None] & (iy < nypix)[:, None]
-		if not wrapx:
-			good = good & ((ix >= 0) & (ix < nxpix))[None, :]
-		val = jnp.where(good, val, 0.0)
+CSIZE = 32  # cell size in pixels (reference srcsim default 8; TPU prefers
+# bigger blocks: fewer, wider vector ops. Work = sum_i cells(i)*CSIZE^2.)
+
+def _build_cells(pix, Ry, Rx, ny, nx, csize, wrapx):
+	"""Host-side cell assignment (reference srcsim_core.c assign_cells):
+	for each object, find the cells its per-object pixel radius (Ry, Rx)
+	touches; return (cell_ids[nact], cell_src[nact, K]) with -1 padding.
+	K is rounded up to a power of two to bucket jit recompiles."""
+	ncy, ncx = -(-ny//csize), -(-nx//csize)
+	y, x = pix[0], pix[1]
+	cy0 = np.clip((y - Ry)//csize, 0, ncy-1)
+	cy1 = np.clip((y + Ry)//csize, 0, ncy-1)
+	alive = (y + Ry >= 0) & (y - Ry < ny)
+	if wrapx:
+		x = x % nx
+		xc0 = (x - Rx)//csize            # may be negative: wraps
+		nxc = np.minimum((x + Rx)//csize - xc0 + 1, ncx)
+	else:
+		xc0 = np.clip((x - Rx)//csize, 0, ncx-1)
+		nxc = np.clip((x + Rx)//csize, 0, ncx-1) - xc0 + 1
+		alive &= (x + Rx >= 0) & (x - Rx < nx)
+	nyc = np.where(alive, cy1 - cy0 + 1, 0)
+	nxc = np.where(alive, nxc, 1)
+	cnt = nyc*nxc
+	tot = int(cnt.sum())
+	if tot == 0:
+		return (np.zeros(0, np.int32), np.zeros((0, 1), np.int32))
+	src = np.repeat(np.arange(len(y)), cnt)
+	k = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+	ky, kx = k // nxc[src], k % nxc[src]
+	cy = cy0[src] + ky
+	cx = (xc0[src] + kx) % ncx if wrapx else xc0[src] + kx
+	cell = (cy*ncx + cx).astype(np.int64)
+	order = np.argsort(cell, kind="stable")
+	cell_s, src_s = cell[order], src[order].astype(np.int32)
+	ucell, start, ccount = np.unique(cell_s, return_index=True,
+		return_counts=True)
+	K = 1 << int(np.ceil(np.log2(max(int(ccount.max()), 1))))
+	cell_src = np.full((len(ucell), K), -1, np.int32)
+	rowpos = np.arange(tot) - np.repeat(start, ccount)
+	cell_src[np.repeat(np.arange(len(ucell)), ccount), rowpos] = src_s
+	return ucell.astype(np.int32), cell_src
+
+
+@functools.partial(jax.jit, static_argnames=(
+	"csize", "op", "ny", "nx", "separable", "transpose"))
+def _paint_cells(mflat, cell_ids, cell_src, amps, prof_b, prof_dr, prof_ids,
+		pm_dec, pm_ra, src_dec, src_ra, csize, op, ny, nx, separable,
+		transpose):
+	"""Evaluate all (active cell, object slot) pairs. mflat is [ncomp, ny, nx].
+	Forward: returns the combined map. Transpose: returns [ncomp, nobj]
+	adjoint amplitudes (exact transpose of the op="add" forward paint).
+	prof_b is [nprof, ns] on an equi-spaced r grid with spacing prof_dr."""
+	ncomp = mflat.shape[0]
+	nobj = src_dec.shape[0]
+	cs = csize
+	ncy, ncx = -(-ny//cs), -(-nx//cs)
+	nact, K = cell_src.shape
+	pad_y, pad_x = ncy*cs - ny, ncx*cs - nx
+	mp = jnp.pad(mflat, ((0, 0), (0, pad_y), (0, pad_x)))
+	blocks = mp.reshape(ncomp, ncy, cs, ncx, cs).transpose(1, 3, 0, 2, 4) \
+		.reshape(ncy*ncx, ncomp, cs, cs)
+	cblocks = blocks[cell_ids]                       # [nact, ncomp, cs, cs]
+	cy, cx = cell_ids // ncx, cell_ids % ncx
+	iy = cy[:, None]*cs + jnp.arange(cs)[None, :]    # [nact, cs]
+	ix = cx[:, None]*cs + jnp.arange(cs)[None, :]
+	inmap = ((iy < ny)[:, :, None] & (ix < nx)[:, None, :])
+	if separable:
+		pdec = pm_dec[jnp.minimum(iy, ny-1)][:, :, None]   # [nact, cs, 1]
+		pra  = pm_ra[jnp.minimum(ix, nx-1)][:, None, :]    # [nact, 1, cs]
+	else:
+		iyc, ixc = jnp.minimum(iy, ny-1), jnp.minimum(ix, nx-1)
+		pdec = pm_dec[iyc[:, :, None], ixc[:, None, :]]
+		pra  = pm_ra[iyc[:, :, None], ixc[:, None, :]]
+	ns = prof_b.shape[1]
+	prof_flat = prof_b.reshape(-1)
+
+	def eval_slot(k, _):
+		sid = cell_src[:, k]
+		valid = sid >= 0
+		sidc = jnp.maximum(sid, 0)
+		sdec, sra = src_dec[sidc], src_ra[sidc]
+		pid = prof_ids[sidc]
+		# exact angular distance, like reference calc_dist
+		r = utils.angdist(
+			jnp.stack([pra + 0*pdec, pdec + 0*pra]),
+			jnp.stack([sra, sdec])[:, :, None, None], axis=0)
+		# equi-spaced linear interp, 0 beyond the table
+		t = r/prof_dr[pid][:, None, None]
+		i0 = jnp.clip(t.astype(jnp.int32), 0, ns-2)
+		f = jnp.clip(t - i0, 0.0, 1.0)
+		base = pid[:, None, None]*ns + i0
+		br = prof_flat[base]*(1 - f) + prof_flat[base + 1]*f
+		br = jnp.where((t < ns - 1) & valid[:, None, None] & inmap, br, 0.0)
+		return br, sidc, valid
+
+	if transpose:
+		def body(k, oamp):
+			br, sidc, valid = eval_slot(k, None)
+			s = jnp.einsum("acyx,ayx->ca", cblocks, br)
+			s = jnp.where(valid[None, :], s, 0.0)
+			return oamp.at[:, sidc].add(s)
+		oamp = jnp.zeros((ncomp, nobj), mflat.dtype)
+		return jax.lax.fori_loop(0, K, body, oamp)
+
+	init = jnp.zeros((nact, ncomp, cs, cs), mflat.dtype)
+	if op == "max": init = jnp.full_like(init, -jnp.inf)
+	if op == "min": init = jnp.full_like(init, jnp.inf)
+	def body(k, acc):
+		br, sidc, valid = eval_slot(k, None)
+		val = amps[:, sidc].T[:, :, None, None]*br[:, None, :, :]
 		if op == "add":
-			m = m.at[..., iyc[:, None], ixc[None, :]].add(val)
-		elif op == "max":
-			m = m.at[..., iyc[:, None], ixc[None, :]].max(jnp.where(good, val, -jnp.inf))
-		elif op == "min":
-			m = m.at[..., iyc[:, None], ixc[None, :]].min(jnp.where(good, val, jnp.inf))
-		return m, None
-	omap, _ = jax.lax.scan(body, omap, (pix.T, amps, prof_ids, src_dec, src_ra))
-	return omap
+			return acc + val
+		bad = ~(valid[:, None, None] & inmap)[:, None, :, :]
+		if op == "max":
+			return jnp.maximum(acc, jnp.where(bad, -jnp.inf, val))
+		return jnp.minimum(acc, jnp.where(bad, jnp.inf, val))
+	acc = jax.lax.fori_loop(0, K, body, init)
+	if op == "add":
+		out = cblocks + acc
+	elif op == "max":
+		out = jnp.maximum(cblocks, jnp.where(jnp.isfinite(acc), acc, -jnp.inf))
+	else:
+		out = jnp.minimum(cblocks, jnp.where(jnp.isfinite(acc), acc, jnp.inf))
+	blocks = blocks.at[cell_ids].set(out)
+	mp = blocks.reshape(ncy, ncx, ncomp, cs, cs).transpose(2, 0, 3, 1, 4) \
+		.reshape(ncomp, ncy*cs, ncx*cs)
+	return mp[:, :ny, :nx]
+
+
+def _norm_profiles(profile):
+	"""Normalize a profile spec to a list of [2, ns] arrays. A scalar is
+	interpreted as a gaussian sigma (convenience beyond the reference)."""
+	if np.isscalar(profile) or np.ndim(profile) == 0:
+		return [expand_beam(profile)]
+	if isinstance(profile, (tuple, list)) and np.ndim(profile[0]) > 1 or \
+			(isinstance(profile, list) and len(profile) and np.ndim(profile[0]) == 2):
+		return [np.asarray(p) for p in profile]
+	if np.ndim(profile) == 3:
+		return [np.asarray(p) for p in profile]
+	return [np.asarray(profile)]
+
+def _equi_profiles(profs, dtype):
+	"""Resample profiles onto per-profile EQUI-SPACED r grids sharing one
+	sample count (index math instead of binary search; TPU gathers are the
+	enemy). Already-equi profiles pass through exactly. Returns
+	(prof_b[nprof, ns], prof_dr[nprof])."""
+	def is_equi(r):
+		return len(r) > 1 and r[0] == 0 and np.allclose(r[-1], (len(r)-1)*r[1])
+	ns = max(max(len(p[0]) for p in profs), 2)
+	if not all(is_equi(p[0]) for p in profs):
+		ns = max(ns, 2048)  # dense enough for non-uniform tables
+	prof_b = np.zeros((len(profs), ns), dtype)
+	prof_dr = np.zeros(len(profs), dtype)
+	for i, p in enumerate(profs):
+		r, b = np.asarray(p[0], float), np.asarray(p[1], float)
+		if is_equi(r) and len(r) == ns:
+			prof_b[i] = b
+			prof_dr[i] = r[1]
+		else:
+			re = np.linspace(0, r[-1], ns)
+			prof_b[i] = np.interp(re, r, b)
+			prof_dr[i] = re[1] if ns > 1 else 1.0
+	return prof_b, prof_dr
+
+def _per_source_rmax(profs, prof_ids, amax, vmin, rmax):
+	"""Largest radius where |amax_i * b(r)| >= vmin for each source
+	(reference srcsim_core.c measure_rmax), optionally capped by rmax."""
+	nobj = len(prof_ids)
+	out = np.zeros(nobj)
+	for ip, p in enumerate(profs):
+		sel = prof_ids == ip
+		if not sel.any(): continue
+		r, b = np.asarray(p[0], float), np.abs(np.asarray(p[1], float))
+		env = np.maximum.accumulate(b[::-1])[::-1]  # non-increasing tail max
+		th = vmin/np.maximum(amax[sel], 1e-30)
+		# last index where env >= th: search on the reversed (ascending) env
+		idx = len(env) - np.searchsorted(env[::-1], th, side="left")
+		idx = np.clip(idx - 1, 0, len(r) - 1)
+		out[sel] = r[idx]
+	if rmax: out = np.minimum(out, rmax)
+	return out
 
 
 def sim_objects(shape, wcs, poss, amps, profile, prof_ids=None, omap=None,
 		vmin=None, rmax=None, op="add", pixwin=False, separable="auto",
-		transpose=False, prof_equi=None, return_times=False, dtype=np.float32):
+		transpose=False, prof_equi=None, return_times=False, dtype=np.float32,
+		csize=CSIZE):
 	"""Paint radial profiles at poss[{dec,ra},nobj] with amplitudes
-	amps[nobj] (or [ncomp,nobj]) onto a map (reference pointsrcs.sim_objects:35
+	amps[nobj] (or [..., nobj]) onto a map (reference pointsrcs.sim_objects:35
 	over srcsim_core.c).
 
 	profile: (r, br) arrays, or a list of them (with prof_ids selecting);
-	vmin: profile truncated where |br*amp| < vmin; rmax: hard radius cap."""
+	vmin: profile truncated where |br*amax_i| < vmin (default
+	min(|amps|)*1e-3, like the reference); rmax: hard radius cap.
+
+	transpose=True computes the exact adjoint of the op="add" paint:
+	amp_out[..., i] = sum_pix map[..., pix] * b_i(pix), reading from omap
+	(or a zero map if omap is None -- pass the map to measure!). Unlike the
+	reference (which accumulates into the passed amps array in place), the
+	adjoint amplitudes are RETURNED, shaped like amps."""
 	poss = np.asarray(poss)
 	amps = np.asarray(amps, dtype)
-	if isinstance(profile, (tuple, list)) and np.ndim(profile[0]) > 1 or \
-			(isinstance(profile, list) and len(profile) and np.ndim(profile[0]) == 2):
-		profs = [np.asarray(p) for p in profile]
-	elif np.ndim(profile) == 3:
-		profs = [np.asarray(p) for p in profile]
-	else:
-		profs = [np.asarray(profile)]
-	if prof_ids is None: prof_ids = np.zeros(poss.shape[1], int)
-	prof_ids = np.asarray(prof_ids, int)
-	# common r-sampling for all profiles
-	ns = max(len(p[0]) for p in profs)
-	prof_r = np.zeros((len(profs), ns))
-	prof_b = np.zeros((len(profs), ns))
-	for i, p in enumerate(profs):
-		prof_r[i, :len(p[0])] = p[0]; prof_r[i, len(p[0]):] = p[0][-1]
-		prof_b[i, :len(p[1])] = p[1]
-	# stamp radius in pixels
-	if rmax is None:
-		if vmin is None: vmin = np.max(np.abs(amps))*1e-5
-		amax = np.max(np.abs(amps)) if amps.size else 1.0
-		rmax = max(_profile_rmax((prof_r[i], prof_b[i]*amax), vmin) for i in range(len(profs)))
-	res_rad = np.abs(np.asarray(wcs.wcs.cdelt))*utils.degree
-	# account for RA compression: stamp must cover rmax/cos(dec)
-	dec_max = np.max(np.abs(poss[0])) if poss.size else 0
-	cosd = max(np.cos(min(abs(dec_max) + rmax, np.pi/2*0.999)), 1e-3)
-	R = int(np.ceil(rmax/min(res_rad)/cosd)) + 1
-	R = min(R, max(shape[-2:]))
+	pre = amps.shape[:-1]
+	nobj = poss.shape[1] if poss.ndim > 1 else 0
+	amps_flat = amps.reshape(-1, nobj) if nobj else amps.reshape(-1, 0)
+	ncomp = amps_flat.shape[0]
 	if omap is None:
-		omap = enmap.zeros(shape, wcs, dtype)
+		omap = enmap.zeros(pre + tuple(shape[-2:]), wcs, dtype)
+	if nobj == 0:
+		return np.zeros(amps.shape, dtype) if transpose else omap
+	profs = _norm_profiles(profile)
+	if prof_ids is None: prof_ids = np.zeros(nobj, int)
+	prof_ids = np.asarray(prof_ids, int)
+	# per-source truncation radius from vmin (reference measure_rmax)
+	amax = np.max(np.abs(amps_flat), 0) if ncomp else np.ones(nobj)
+	if vmin is None:
+		vmin = np.min(np.abs(amps_flat[amps_flat != 0]))*1e-3 \
+			if np.any(amps_flat != 0) else 1e-3
+	rmax_i = _per_source_rmax(profs, prof_ids, amax, vmin, rmax)
+	prof_b, prof_dr = _equi_profiles(profs, dtype)
+	# pixel radii; RA compression widens the stamp by 1/cos(dec)
+	res_rad = np.abs(np.asarray(wcs.wcs.cdelt))*utils.degree
+	dec = np.asarray(poss[0], float)
+	cosd = np.maximum(np.cos(np.minimum(np.abs(dec) + rmax_i, np.pi/2*0.999)),
+		1e-3)
+	Ry = np.minimum(np.ceil(rmax_i/res_rad[1]).astype(int) + 1, shape[-2])
+	Rx = np.minimum(np.ceil(rmax_i/(res_rad[0]*cosd)).astype(int) + 1,
+		shape[-1])
 	if separable == "auto": separable = wcsutils.is_separable(wcs)
 	if separable:
-		dec, ra = enmap.posaxes(shape, wcs)
-		pm_dec, pm_ra = jnp.asarray(dec, dtype), jnp.asarray(ra, dtype)
+		decax, raax = enmap.posaxes(shape, wcs)
+		pm_dec, pm_ra = jnp.asarray(decax, dtype), jnp.asarray(raax, dtype)
 	else:
 		pm = np.asarray(enmap.posmap(shape, wcs, safe=False))
 		pm_dec, pm_ra = jnp.asarray(pm[0], dtype), jnp.asarray(pm[1], dtype)
 	pix = np.round(np.asarray(enmap.sky2pix(shape, wcs, poss))).astype(np.int32)
 	wrapx = abs(abs(wcs.wcs.cdelt[0])*shape[-1] - 360.0) < 1e-6
-	data = jnp.asarray(omap.data, dtype)
-	out = _paint_core(data, jnp.asarray(pix), jnp.asarray(amps),
-		jnp.asarray(prof_r, dtype), jnp.asarray(prof_b, dtype),
-		jnp.asarray(prof_ids), pm_dec, pm_ra,
+	cell_ids, cell_src = _build_cells(pix, Ry, Rx, shape[-2], shape[-1],
+		csize, bool(wrapx))
+	data = jnp.asarray(omap.data, dtype).reshape((ncomp,) + tuple(shape[-2:]))
+	if transpose and pixwin:
+		# adjoint of (apply_window o paint): the window is a real symmetric
+		# fourier multiplier, hence self-adjoint
+		data = jnp.asarray(enmap.apply_window(
+			enmap.ndmap(data, wcs)).data, dtype)
+	if len(cell_ids) == 0:
+		return np.zeros(amps.shape, dtype) if transpose else omap
+	out = _paint_cells(data, jnp.asarray(cell_ids), jnp.asarray(cell_src),
+		jnp.asarray(amps_flat), jnp.asarray(prof_b), jnp.asarray(prof_dr),
+		jnp.asarray(prof_ids, np.int32), pm_dec, pm_ra,
 		jnp.asarray(poss[0], dtype), jnp.asarray(poss[1], dtype),
-		int(R), op, shape[-2], shape[-1], bool(wrapx), bool(separable))
-	res = enmap.ndmap(out, wcs)
+		int(csize), op, shape[-2], shape[-1], bool(separable),
+		bool(transpose))
+	if transpose:
+		return np.asarray(out).reshape(amps.shape)
+	res = enmap.ndmap(out.reshape(omap.shape), wcs)
 	if pixwin:
 		res = enmap.apply_window(res)
 	return res

@@ -96,3 +96,76 @@ def test_sim_srcs_legacy():
 	srcs = np.array([[0.0, 0.0, 3.0]])
 	m = pointsrcs.sim_srcs(shape, wcs, srcs, beam=0.3*utils.degree, dtype=np.float64)
 	assert abs(float(np.asarray(m).max()) - 3.0) < 1e-3
+
+
+def test_sim_objects_transpose_adjoint():
+	"""<paint(a), m> == <a, paint^T(m)> (reference srcsim transpose mode)."""
+	shape, wcs = patch(0.5, 48)
+	rng = np.random.default_rng(3)
+	n = 25
+	dec = rng.uniform(-0.15, 0.15, n); ra = rng.uniform(-0.15, 0.15, n)
+	poss = np.array([dec, ra])
+	amps = rng.standard_normal(n).astype(np.float32)
+	sigma = 1.2*utils.degree
+	fwd = pointsrcs.sim_objects(shape, wcs, poss, amps, sigma,
+		vmin=1e-6)
+	m = rng.standard_normal(fwd.shape).astype(np.float32)
+	adj = pointsrcs.sim_objects(shape, wcs, poss, amps, sigma,
+		vmin=1e-6, transpose=True,
+		omap=enmap.ndmap(jnp.asarray(m), wcs))
+	lhs = float(np.sum(np.asarray(fwd)*m))
+	rhs = float(np.sum(adj*amps))
+	assert abs(lhs - rhs) < 1e-3*max(abs(lhs), 1.0), (lhs, rhs)
+
+
+def test_sim_objects_transpose_multicomp():
+	"""Adjoint with [ncomp, nobj] amplitudes."""
+	shape, wcs = patch(0.5, 40)
+	rng = np.random.default_rng(4)
+	n = 10
+	poss = np.array([rng.uniform(-0.1, 0.1, n), rng.uniform(-0.1, 0.1, n)])
+	amps = rng.standard_normal((3, n)).astype(np.float32)
+	sigma = 1.0*utils.degree
+	fwd = pointsrcs.sim_objects(shape, wcs, poss, amps, sigma, vmin=1e-6)
+	assert fwd.shape == (3,) + tuple(shape[-2:])
+	m = rng.standard_normal(fwd.shape).astype(np.float32)
+	adj = pointsrcs.sim_objects(shape, wcs, poss, amps, sigma, vmin=1e-6,
+		transpose=True, omap=enmap.ndmap(jnp.asarray(m), wcs))
+	assert adj.shape == amps.shape
+	lhs = float(np.sum(np.asarray(fwd)*m))
+	rhs = float(np.sum(adj*amps))
+	assert abs(lhs - rhs) < 1e-3*max(abs(lhs), 1.0), (lhs, rhs)
+
+
+def test_sim_objects_per_source_radius():
+	"""A bright extended source must not inflate the radius of faint ones:
+	faint far-away sources still painted correctly (they are, with per-source
+	rmax, since correctness only needs the radius to COVER the profile)."""
+	shape, wcs = patch(0.5, 64)
+	rng = np.random.default_rng(5)
+	poss = np.array([[0.0, 0.18], [0.0, -0.18]])
+	amps = np.array([1000.0, 1.0], np.float32)
+	sigma = 0.8*utils.degree
+	res = pointsrcs.sim_objects(shape, wcs, poss, amps, sigma, vmin=1e-4)
+	# each peak should match amp * profile(distance of nearest pixel center)
+	pix = np.round(np.asarray(enmap.sky2pix(shape, wcs, poss))).astype(int)
+	pos = np.asarray(enmap.posmap(shape, wcs))
+	vals = np.asarray(res)[pix[0], pix[1]]
+	for i, amp in enumerate([1000.0, 1.0]):
+		d = utils.angdist(np.array([pos[1, pix[0, i], pix[1, i]],
+			pos[0, pix[0, i], pix[1, i]]]), np.array([poss[1, i], poss[0, i]]))
+		want = amp*np.exp(-0.5*(float(d)/sigma)**2)
+		assert abs(vals[i] - want) < 1e-3*amp + 1e-3, (i, vals[i], want)
+
+
+def test_sim_objects_fullsky_wrap():
+	"""Objects near RA=180 paint across the wrap on a full-sky geometry."""
+	shape, wcs = enmap.fullsky_geometry(res=1*utils.degree, variant="cc")
+	poss = np.array([[0.0], [np.pi - 1e-9]])
+	amps = np.array([1.0], np.float32)
+	res = pointsrcs.sim_objects(shape, wcs, poss, amps, 3*utils.degree,
+		vmin=1e-5)
+	tot = np.asarray(res)
+	# signal must appear on both RA edges of the map
+	assert tot[:, :3].max() > 1e-3
+	assert tot[:, -3:].max() > 1e-3
