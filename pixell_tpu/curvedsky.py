@@ -580,8 +580,7 @@ def synthesis_general(alm, loc, lmax=None, mmax=None, spin=(0, 2), deriv=False,
 	pts = jnp.stack([jnp.asarray(loc)[:, 0], jnp.asarray(loc)[:, 1]], -1)
 	flat = torus.reshape((-1, Nt, Np))
 	fgrid = jnp.fft.fftn(flat, axes=(-2, -1))/(Nt*Np)
-	out = jnp.stack([enfft.u2nu(fgrid[i], pts, epsilon=epsilon).real
-		for i in range(flat.shape[0])])
+	out = enfft.u2nu(fgrid, pts, epsilon=epsilon).real  # batched over comps
 	out = out.reshape(grid.shape[:-2] + (pts.shape[0],)).astype(rdt)
 	if alm.ndim == 1 and not deriv: out = out[..., 0, :]
 	return out

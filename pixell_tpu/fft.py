@@ -332,22 +332,19 @@ def _spread_inds_weights(pos, nfine, w, beta):
 
 @functools.partial(jax.jit, static_argnames=("nfine", "w", "beta"))
 def _u2nu_2d_core(fgrid, py, px, nfine, w, beta):
+	"""fgrid[C, nfy, nfx]: all components share one set of interpolation
+	indices/weights and evaluate in a single batched gather + einsum."""
 	iy, wy = _spread_inds_weights(py, nfine[0], w, beta)
 	ix, wx = _spread_inds_weights(px, nfine[1], w, beta)
-	# gather [npt, w, w]
-	vals = fgrid[iy[:, :, None], ix[:, None, :]]
-	return jnp.einsum("pyx,py,px->p", vals, wy, wx)
+	# gather [C, npt, w, w]
+	vals = fgrid[:, iy[:, :, None], ix[:, None, :]]
+	return jnp.einsum("cpyx,py,px->cp", vals, wy, wx)
 
-def u2nu(grid, coords, forward=False, epsilon=None, nthread=None, out=None,
-		periodicity=2*np.pi, fft_order=True):
-	"""Evaluate the Fourier series given by the uniform grid of coefficients
-	``grid[...,ny,nx]`` at the nonuniform points coords[npt,ndim] (in radians,
-	periodic with the given periodicity). Type-2 NUFFT
-	(reference fft.u2nu:457)."""
+def _u2nu_fine(grid, epsilon, forward, fft_order):
+	"""Stage 1 of u2nu: deconvolve the spectrum by the ES kernel, zero-pad to
+	the oversampled size, and inverse-FFT to the fine spatial grid. This is
+	the expensive, point-independent part -- u2nu_plan caches it."""
 	grid = jnp.asarray(grid)
-	coords = jnp.asarray(coords)
-	ndim = coords.shape[-1]
-	assert ndim == 2, "Only 2D u2nu implemented"
 	rdt = utils.real_dtype(grid.dtype)
 	if epsilon is None:
 		epsilon = 1e-5 if rdt == np.float32 else 1e-10
@@ -355,7 +352,6 @@ def u2nu(grid, coords, forward=False, epsilon=None, nthread=None, out=None,
 	ny, nx = grid.shape[-2:]
 	sigma = 2
 	nfy, nfx = fft_len(int(ny*sigma), "above"), fft_len(int(nx*sigma), "above")
-	# Deconvolve and zero-pad the spectrum, then inverse FFT to the fine grid
 	cy = _es_correction(nfy, w, beta, rdt)
 	cx = _es_correction(nfx, w, beta, rdt)
 	# place grid freqs into fine spectrum (grid in fft order if fft_order)
@@ -364,17 +360,32 @@ def u2nu(grid, coords, forward=False, epsilon=None, nthread=None, out=None,
 	spec = resample(g, (nfy, nfx), axes=(-2, -1))
 	# correction indexed by original freq: after resample, fine grid fft-order
 	spec = spec*jnp.asarray(cy)[:, None]*jnp.asarray(cx)[None, :]
-	sign = -2j*np.pi if forward else 2j*np.pi
 	fine = jnp.fft.ifftn(spec, axes=(-2, -1))*(nfy*nfx)
 	if forward: fine = jnp.conj(jnp.fft.ifftn(jnp.conj(spec), axes=(-2, -1)))*(nfy*nfx)
-	# positions in fine-grid units
-	py = (coords[:, 0]/periodicity % 1.0)*nfy
-	px = (coords[:, 1]/periodicity % 1.0)*nfx
-	pre = grid.shape[:-2]
-	fine = fine.reshape((-1, nfy, nfx))
-	res = jnp.stack([_u2nu_2d_core(fine[i], py, px, (nfy, nfx), w, float(beta))
-		for i in range(fine.shape[0])])
-	return res.reshape(pre + (coords.shape[0],))
+	return fine, (nfy, nfx), w, float(beta)
+
+def _u2nu_points(fine, nfine, w, beta, coords, periodicity, pre):
+	"""Stage 2 of u2nu: ES-kernel interpolation of the fine grid at the
+	nonuniform points."""
+	coords = jnp.asarray(coords)
+	per = np.broadcast_to(np.asarray(periodicity, float), (2,))
+	py = (coords[:, 0]/per[0] % 1.0)*nfine[0]
+	px = (coords[:, 1]/per[1] % 1.0)*nfine[1]
+	flat = fine.reshape((-1,) + tuple(nfine))
+	res = _u2nu_2d_core(flat, py, px, tuple(nfine), w, beta)
+	return res.reshape(tuple(pre) + (coords.shape[0],))
+
+def u2nu(grid, coords, forward=False, epsilon=None, nthread=None, out=None,
+		periodicity=2*np.pi, fft_order=True):
+	"""Evaluate the Fourier series given by the uniform grid of coefficients
+	``grid[...,ny,nx]`` at the nonuniform points coords[npt,ndim] (in radians,
+	periodic with the given periodicity). Type-2 NUFFT
+	(reference fft.u2nu:457)."""
+	grid = jnp.asarray(grid)
+	assert jnp.asarray(coords).shape[-1] == 2, "Only 2D u2nu implemented"
+	fine, nfine, w, beta = _u2nu_fine(grid, epsilon, forward, fft_order)
+	return _u2nu_points(fine, nfine, w, beta, coords, periodicity,
+		grid.shape[:-2])
 
 @functools.partial(jax.jit, static_argnames=("nfine", "w", "beta"))
 def _nu2u_2d_core(vals, py, px, nfine, w, beta):
@@ -404,7 +415,7 @@ def nu2u(vals, coords, out=None, oshape=None, forward=True, epsilon=None,
 	trans = jax.linear_transpose(fwd, proto)
 	pre = vals.shape[:-1]
 	flat = vals.reshape((-1, vals.shape[-1]))
-	res = jnp.stack([trans(flat[i])[0] for i in range(flat.shape[0])])
+	res = jax.vmap(lambda v: trans(v)[0])(flat)
 	return res.reshape(pre + (ny, nx))
 
 def interpol_nufft(map, inds, out=None, epsilon=None, nthread=None, nofft=False):
@@ -645,6 +656,49 @@ def inufft_adjoint(fa, inds, out=None, axes=None, periodicity=None,
 		epsilon=epsilon, normalize=normalize, forward=not flip,
 		complex=complex)
 
-def u2nu_plan(*args, **kwargs):
-	"""Plan-style interface is not needed with XLA; provided for parity."""
-	raise NotImplementedError("u2nu_plan: use u2nu directly (jit caches plans)")
+class u2nu_plan:
+	"""Plan-based type-2 NUFFT (reference fft.u2nu_plan:619): precompute the
+	deconvolved, oversampled fine grid for a fixed set of Fourier fields once,
+	then evaluate repeatedly at arbitrary point sets with gather-only work.
+	The reference wraps ducc's incremental_u2nu; here the plan IS the fine
+	grid resident on device.
+
+	fa: fields [..., gshape]; axes: the two transform axes; eval(inds) with
+	inds[2, ...] in grid units (periodicity defaults to the grid shape, like
+	the reference)."""
+	def __init__(self, fa, axes, periodicity=None, epsilon=None, nthread=None,
+			normalize=False, forward=False, complex=True, op=None):
+		fa = jnp.asarray(fa)
+		axes = tuple(np.atleast_1d(axes) % fa.ndim)
+		assert len(axes) == 2, "Only 2D u2nu_plan implemented"
+		# move the transform axes last
+		perm = [i for i in range(fa.ndim) if i not in axes] + list(axes)
+		fa = jnp.transpose(fa, perm)
+		if op is not None: fa = op(fa)
+		self.pshape = fa.shape[:-2]
+		self.gshape = fa.shape[-2:]
+		if periodicity is None: periodicity = self.gshape
+		self.periodicity = periodicity
+		self.ctype = utils.complex_dtype(fa.dtype)
+		self.dtype = utils.real_dtype(fa.dtype)
+		if epsilon is None:
+			epsilon = 1e-5 if self.dtype == np.float32 else 1e-10
+		self.epsilon = epsilon
+		self.complex = complex
+		self.normalize = normalize
+		self.norm = int(np.prod(self.gshape))
+		self.fine, self.nfine, self.w, self.beta = _u2nu_fine(
+			fa, epsilon, forward, fft_order=True)
+	def eval(self, inds, out=None):
+		inds = jnp.asarray(inds)
+		ishape = inds.shape[1:]
+		coords = inds.reshape(2, -1).T
+		res = _u2nu_points(self.fine, self.nfine, self.w, self.beta,
+			coords, self.periodicity, self.pshape)
+		if not self.complex: res = res.real
+		if self.normalize: res = res/self.norm
+		res = res.reshape(tuple(self.pshape) + tuple(ishape))
+		if out is not None:
+			out[:] = np.asarray(res)
+			return out
+		return res

@@ -137,40 +137,73 @@ def lens_map_curved(shape=None, wcs=None, phi_alm=None, cmb_alm=None,
 		epsilon=None, pol=None):
 	"""Lens cmb_alm by the potential phi_alm onto the geometry (shape, wcs)
 	(reference lensing.lens_map_curved:367). output: string of maps to
-	return: "l"=lensed, "u"=unlensed, "p"=phi map, "a"=grad."""
+	return: "l"=lensed, "u"=unlensed, "p"=phi map, "k"=convergence, "a"=grad.
+
+	delta_theta streams the computation in dec bands (reference
+	lensing.py:450-492): only one band's posmap / displaced positions /
+	NUFFT points are alive at a time, bounding the O(npix) working set at
+	high resolution. (The band SHTs only touch the band's rings, so the
+	Legendre cost also scales with the band; the NUFFT's global torus grid
+	is the remaining lmax-scale allocation.)"""
 	ctype = np.complex64 if np.dtype(dtype) == np.float32 else np.complex128
-	phi_alm = jnp.asarray(phi_alm, ctype)
+	phi_alm = utils.to_device(np.asarray(phi_alm).astype(ctype) if not
+		isinstance(phi_alm, jnp.ndarray) else phi_alm)
 	if phi_ainfo is None: phi_ainfo = curvedsky.alm_info(nalm=phi_alm.shape[-1])
-	# deflection field = gradient of phi on the target geometry
-	grad = curvedsky.alm2map(phi_alm, enmap.zeros((2,)+tuple(shape[-2:]), wcs, dtype),
-		deriv=True, ainfo=phi_ainfo)
-	cmb_alm = jnp.asarray(cmb_alm, ctype)
+	cmb_alm = utils.to_device(np.asarray(cmb_alm).astype(ctype) if not
+		isinstance(cmb_alm, jnp.ndarray) else cmb_alm)
 	cmb_ainfo = curvedsky.alm_info(nalm=cmb_alm.shape[-1])
 	ncomp = cmb_alm.shape[0] if cmb_alm.ndim > 1 else 1
 	pol = ncomp > 1 if pol is None else pol
-	pos = np.asarray(enmap.posmap(shape, wcs, safe=False))
-	opos = np.asarray(offset_by_grad(jnp.asarray(pos), jnp.asarray(np.asarray(grad)),
-		pol=pol, geodesic=geodesic))
-	loc = np.stack([np.pi/2 - opos[0].reshape(-1), opos[1].reshape(-1) % (2*np.pi)], -1)
-	vals = curvedsky.synthesis_general(cmb_alm, jnp.asarray(loc),
-		lmax=cmb_ainfo.lmax, spin=spin, epsilon=epsilon)
-	lensed = enmap.ndmap(np.asarray(vals).reshape(
-		(() if cmb_alm.ndim == 1 else (ncomp,)) + tuple(shape[-2:])), wcs).astype(dtype)
-	if pol and ncomp >= 3 and opos.shape[0] >= 4:
-		c2g = opos[2].reshape(shape[-2:]); s2g = opos[3].reshape(shape[-2:])
-		gamma = np.arctan2(s2g, c2g)/2
-		lensed = enmap.rotate_pol(lensed, gamma)
-	res = []
-	for c in output:
-		if c == "l": res.append(lensed)
-		elif c == "u":
-			u = curvedsky.alm2map(cmb_alm, enmap.zeros(
-				(() if cmb_alm.ndim == 1 else (ncomp,)) + tuple(shape[-2:]), wcs, dtype), spin=spin)
-			res.append(u)
-		elif c == "p":
-			p = curvedsky.alm2map(phi_alm, enmap.zeros(tuple(shape[-2:]), wcs, dtype))
-			res.append(p)
-		elif c == "a": res.append(grad)
+	pre = () if cmb_alm.ndim == 1 else (ncomp,)
+	ny = shape[-2]
+	if delta_theta is None:
+		bsize = ny
+	else:
+		bsize = max(1, utils.nint(abs(delta_theta/utils.degree/wcs.wcs.cdelt[1])))
+		# avoid a tiny trailing block (reference lensing.py:455-457)
+		nblock = max(ny//bsize, 1)
+		bsize = max(int(ny/(nblock + 0.5)), 1)
+	want = set(output)
+	if "k" in want:
+		kappa_alm = phi_to_kappa(phi_alm, phi_ainfo=phi_ainfo)
+	parts = {c: [] for c in "lupka" if c in want}
+	for i1 in range(0, ny, bsize):
+		i2 = min(i1 + bsize, ny)
+		lshape, lwcs = enmap.slice_geometry(tuple(shape[-2:]), wcs,
+			(slice(i1, i2), slice(None)))
+		if verbose: print("lens band %d:%d / %d" % (i1, i2, ny))
+		grad = curvedsky.alm2map(phi_alm,
+			enmap.zeros((2,) + tuple(lshape[-2:]), lwcs, dtype),
+			deriv=True, ainfo=phi_ainfo)
+		if "a" in want: parts["a"].append(jnp.asarray(grad))
+		if "p" in want:
+			parts["p"].append(jnp.asarray(curvedsky.alm2map(phi_alm,
+				enmap.zeros(tuple(lshape[-2:]), lwcs, dtype), ainfo=phi_ainfo)))
+		if "k" in want:
+			parts["k"].append(jnp.asarray(curvedsky.alm2map(kappa_alm,
+				enmap.zeros(tuple(lshape[-2:]), lwcs, dtype), ainfo=phi_ainfo)))
+		if "u" in want:
+			parts["u"].append(jnp.asarray(curvedsky.alm2map(cmb_alm,
+				enmap.zeros(pre + tuple(lshape[-2:]), lwcs, dtype), spin=spin,
+				ainfo=cmb_ainfo)))
+		if "l" not in want:
+			continue
+		pos = jnp.asarray(enmap.posmap(lshape, lwcs, safe=False))
+		opos = offset_by_grad(pos, jnp.asarray(grad), pol=pol,
+			geodesic=geodesic)
+		loc = jnp.stack([jnp.pi/2 - opos[0].reshape(-1),
+			opos[1].reshape(-1) % (2*jnp.pi)], -1)
+		vals = curvedsky.synthesis_general(cmb_alm, loc,
+			lmax=cmb_ainfo.lmax, spin=spin, epsilon=epsilon)
+		band = jnp.asarray(vals).reshape(pre + tuple(lshape[-2:])).astype(dtype)
+		if pol and ncomp >= 3 and opos.shape[0] >= 4:
+			gamma = jnp.arctan2(opos[3], opos[2])/2
+			band = jnp.asarray(enmap.rotate_pol(
+				enmap.ndmap(band, lwcs), gamma))
+		parts["l"].append(band)
+	maps = {c: enmap.ndmap(jnp.concatenate(p, axis=-2), wcs)
+		for c, p in parts.items()}
+	res = [maps[c] for c in output if c in maps]
 	return res[0] if len(res) == 1 else tuple(res)
 
 def rand_alm(ps_lensinput, lmax=None, dtype=np.float64, seed=None, phi_seed=None, verbose=False, ps_mask=None):

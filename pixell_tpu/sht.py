@@ -649,7 +649,5 @@ def _resample_theta_jit(maps, variant, nt_out, spins):
 		ft = ft*_utils.to_device(ph_out, ft.dtype)[:, None]
 	res = jnp.fft.ifft(ft, axis=-2)[..., :nt_out, :]
 	if not jnp.iscomplexobj(maps):
-		res = res.real.astype(rdt)
-	else:
-		res = res.real.astype(rdt)
-	return res
+		res = res.real
+	return res.astype(rdt)

@@ -2,7 +2,7 @@
 import numpy as np
 import jax.numpy as jnp
 import pytest
-from pixell_tpu import enmap, uharm, wavelets, multimap, powspec, utils, curvedsky
+from pixell_tpu import enmap, uharm, wavelets, multimap, powspec, utils, curvedsky, fft
 
 
 def test_powspec_sym_roundtrip():
@@ -146,3 +146,24 @@ def test_nufft_inverse_pair():
 	# nufft aliases agree
 	got2 = np.asarray(fft.nufft_adjoint(v, pts, oshape=(ny, nx)))
 	assert np.allclose(got2, got)
+
+
+def test_u2nu_plan():
+	"""u2nu_plan.eval matches direct u2nu (reference fft.u2nu_plan:619).
+	The plan takes inds in GRID units (periodicity = grid shape)."""
+	rng = np.random.default_rng(21)
+	ny, nx = 16, 24
+	g = rng.standard_normal((2, ny, nx)) + 1j*rng.standard_normal((2, ny, nx))
+	npt = 37
+	iy = rng.uniform(0, ny, npt); ix = rng.uniform(0, nx, npt)
+	plan = fft.u2nu_plan(jnp.asarray(g), axes=(-2, -1), epsilon=1e-10)
+	got = np.asarray(plan.eval(np.array([iy, ix])))
+	pts = np.stack([iy/ny*2*np.pi, ix/nx*2*np.pi], -1)
+	want = np.asarray(fft.u2nu(jnp.asarray(g), jnp.asarray(pts), epsilon=1e-10))
+	assert got.shape == (2, npt)
+	assert np.abs(got - want).max() < 1e-8*np.abs(want).max()
+	# normalize and real-output options
+	plan2 = fft.u2nu_plan(jnp.asarray(g), axes=(-2, -1), epsilon=1e-10,
+		normalize=True, complex=False)
+	got2 = np.asarray(plan2.eval(np.array([iy, ix])))
+	assert np.abs(got2 - want.real/(ny*nx)).max() < 1e-8*np.abs(want).max()

@@ -183,3 +183,28 @@ def test_aberration_deflection():
 	odec, ora = aberration.deflect(dec, ra, dir, beta)
 	shift = ra - ora  # photon comes from further away from apex...
 	assert abs(abs(shift[0]) - beta) < beta*0.01
+
+
+def test_lens_map_curved_banded():
+	"""delta_theta banding must reproduce the unbanded result, and all five
+	outputs (l, u, p, k, a) must be produced with matching geometry
+	(reference lensing.py:450-492)."""
+	shape, wcs = enmap.band_geometry(24*utils.degree, res=2*utils.degree)
+	cmb_alm = cmb_like_alm(LMAX, seed=11)
+	phi_alm = cmb_like_alm(LMAX, seed=12)*1e-3
+	whole = lensing.lens_map_curved(shape=shape, wcs=wcs, phi_alm=phi_alm,
+		cmb_alm=cmb_alm, output="l", spin=[0])
+	banded, u, p, k, a = lensing.lens_map_curved(shape=shape, wcs=wcs,
+		phi_alm=phi_alm, cmb_alm=cmb_alm, output="lupka", spin=[0],
+		delta_theta=5*utils.degree)
+	assert banded.shape == whole.shape
+	assert u.shape == whole.shape and p.shape == tuple(shape[-2:])
+	assert k.shape == tuple(shape[-2:]) and a.shape == (2,) + tuple(shape[-2:])
+	d = np.abs(np.asarray(banded) - np.asarray(whole)).max()
+	s = np.abs(np.asarray(whole)).max()
+	assert d < 1e-6*s, (d, s)
+	# k really is the convergence: l(l+1)/2 phi
+	kap2 = curvedsky.alm2map(jnp.asarray(lensing.phi_to_kappa(
+		jnp.asarray(phi_alm))), enmap.zeros(shape, wcs))
+	assert np.abs(np.asarray(k) - np.asarray(kap2)).max() < 1e-8*max(
+		np.abs(np.asarray(kap2)).max(), 1e-30)
