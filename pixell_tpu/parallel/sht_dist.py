@@ -73,15 +73,95 @@ def analysis_dist(maps, theta, weights, mesh, lmax, mmax=None, phi0=0.0,
 	return fun(maps_p, theta_p, weights_p)
 
 
+# ---------------------------------------------------------------------------
+# m-sharded transforms (SURVEY.md section 5: "m-parallel SHT = sequence
+# parallelism"). The alm lives in the RECTANGULAR complex representation
+# rect[..., ncomp, nl, nm], sharded over its m axis: the Legendre recurrence
+# is elementwise in m, so the whole harmonic side (alm memory + Legendre
+# flops) shards with the mesh, and the only communication is the phase
+# transpose (m-sharded -> ring-sharded) before/after the ring FFTs, which
+# GSPMD lowers to an all-to-all. Unlike ring sharding, this scales the
+# ALM-SIDE memory, the binding constraint at lmax 10k+.
+# ---------------------------------------------------------------------------
+def _constrain(x, mesh, spec):
+	return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+def _pad_mmax(lmax, mmax, mesh, m_axis):
+	"""GSPMD silently REPLICATES an array whose sharded axis does not divide
+	the mesh axis, so run the m-sharded path at the smallest padded mmax
+	with (mmax+1) % ndev == 0. The extra columns are exact zeros: the scan
+	engine masks l >= m, so mmax may exceed lmax (verified: tail columns
+	come out exactly 0)."""
+	nd = mesh.shape[m_axis]
+	return -(-(mmax + 1)//nd)*nd - 1
+
+def synthesis_dist_m(rect, theta, nphi, mesh, phi0=0.0, lmax=None, mmax=None,
+		spin=(0, 2), m_axis="cols", row_axis="rows"):
+	"""m-sharded synthesis: rect [..., ncomp, nl, nm] sharded over m ->
+	map sharded over rings. The Legendre stage runs fully m-local; GSPMD
+	inserts one all-to-all at the phase -> ring-FFT boundary. Uses the jnp
+	scan engine (float64 Legendre), which partitions under GSPMD."""
+	rect = jnp.asarray(rect)
+	if lmax is None: lmax = rect.shape[-2] - 1
+	if mmax is None: mmax = rect.shape[-1] - 1
+	mpad = _pad_mmax(lmax, mmax, mesh, m_axis)
+	if mpad > mmax:
+		rect = jnp.pad(rect, [(0, 0)]*(rect.ndim-1) + [(0, mpad - mmax)])
+	rect = _constrain(rect, mesh, P(*([None]*(rect.ndim-1) + [m_axis])))
+	spin = tuple(np.atleast_1d(spin))
+	out = sht.synthesis_rect(rect, theta, nphi, phi0=phi0, lmax=lmax,
+		mmax=mpad, spin=spin)
+	return _constrain(out, mesh, P(*([None]*(out.ndim-2) + [row_axis, None])))
+
+def analysis_dist_m(maps, theta, weights, mesh, lmax, mmax=None, phi0=0.0,
+		spin=(0, 2), m_axis="cols", row_axis="rows"):
+	"""m-sharded analysis: ring-sharded map -> rect [..., ncomp, nl, nm]
+	sharded over m (nm padded up to a mesh-axis multiple; the pad columns
+	are zeroed). Ring FFTs are ring-local; one all-to-all moves the phase
+	coefficients to m sharding; the Legendre transpose and the output alm
+	are m-local (per-device alm memory = nl*nm/ndev)."""
+	maps = _constrain(jnp.asarray(maps), mesh,
+		P(*([None]*(maps.ndim-2) + [row_axis, None])))
+	spin = tuple(np.atleast_1d(spin))
+	if mmax is None: mmax = lmax
+	mpad = _pad_mmax(lmax, mmax, mesh, m_axis)
+	rect = sht.analysis_rect(maps, theta, lmax, weights, mmax=mpad, phi0=phi0,
+		spin=spin)
+	if mpad > mmax:
+		# the pad columns hold real m in (mmax, mpad] coefficients; the caller
+		# asked for mmax, so zero them (keeps roundtrips at the stated mmax)
+		mv = jnp.arange(mpad + 1)
+		rect = jnp.where(mv <= mmax, rect, 0)
+	return _constrain(rect, mesh, P(*([None]*(rect.ndim-1) + [m_axis])))
+
+
 def roundtrip_step(mesh, lmax, variant="F1", nphi=None, ncomp=3, spin=(0, 2),
-		dtype=np.float64, row_axis="rows"):
+		dtype=np.float64, row_axis="rows", shard="rings"):
 	"""Build a jittable full SHT round-trip step (map2alm -> filter ->
-	alm2map) sharded over rings -- the library's 'training step' analogue."""
+	alm2map) -- the library's 'training step' analogue.
+
+	shard="rings": theta-sharded transforms with a psum (alm replicated).
+	shard="m": m-sharded transforms; the harmonic side stays sharded over
+	the mesh's m axis end to end (alm memory scales down with the mesh) and
+	the filter multiply runs on the sharded rect representation."""
 	nt = 2*lmax + 2
 	if nphi is None: nphi = 2*lmax + 4
 	theta = jnp.asarray(sht.ring_theta(variant, nt), dtype)
 	weights = jnp.asarray(sht.ring_weights(variant, nt), dtype)
 	fl = jnp.asarray(np.exp(-0.5*np.arange(lmax+1)*(np.arange(lmax+1)+1)*(0.01)**2))
+	if shard == "m":
+		m_axis = "cols" if "cols" in mesh.shape else row_axis
+		def step(maps):
+			rect = analysis_dist_m(maps, theta, weights, mesh, lmax,
+				spin=spin, m_axis=m_axis, row_axis=row_axis)
+			rect = rect*fl.astype(rect.real.dtype)[:, None]  # per-l filter, m-local
+			omap = synthesis_dist_m(rect, theta, nphi, mesh, lmax=lmax,
+				spin=spin, m_axis=m_axis, row_axis=row_axis)
+			# pin the output shardings (jit would otherwise pick its own)
+			rect = _constrain(rect, mesh, P(None, None, m_axis))
+			omap = _constrain(omap, mesh, P(None, row_axis, None))
+			return omap, rect
+		return step, (nt, nphi)
 	def step(maps):
 		alm = analysis_dist(maps, theta, weights, mesh, lmax, spin=spin,
 			row_axis=row_axis)

@@ -421,6 +421,64 @@ def synthesis(alm, theta, nphi, phi0=0.0, lmax=None, mmax=None, spin=(0, 2),
 	return jnp.concatenate(outs, -3).astype(map_dtype)
 
 
+def synthesis_rect(rect, theta, nphi, phi0=0.0, lmax=None, mmax=None,
+		spin=(0, 2), map_dtype=None):
+	"""Like synthesis, but from the rectangular complex representation
+	rect [..., ncomp, nl, nm] (l-major, zero for l < m). Every downstream
+	operation (Legendre scan, phase construction) is ELEMENTWISE in m, so a
+	rect input sharded over its m axis runs with zero communication until
+	the ring FFT -- the basis of the m-sharded distributed SHT
+	(parallel/sht_dist.synthesis_dist_m)."""
+	rect = jnp.asarray(rect)
+	theta = _keep_theta(theta)
+	if lmax is None: lmax = rect.shape[-2] - 1
+	if mmax is None: mmax = rect.shape[-1] - 1
+	rdt = np.float32 if rect.dtype == jnp.complex64 else np.float64
+	if map_dtype is None: map_dtype = rdt
+	ldt = _leg_dtype(map_dtype)
+	ncomp = rect.shape[-3]
+	outs = []
+	for s, i1, i2 in _spin_blocks(spin, ncomp):
+		sub = rect[..., i1:i2, :, :]
+		A = _c2coef(sub)
+		if s == 0:
+			G = _synth_scan(A, theta, lmax, mmax, "scalar", ldt)
+			Gc = _coef2c(G, i2-i1)[..., 0, :, :, :]
+			outs.append(ring_synthesis(Gc, phi0, nphi))
+		else:
+			if s <= 2:
+				mode = "spin1" if s == 1 else "spin2"
+				G = _synth_scan(A, theta, lmax, mmax, mode, ldt)
+			else:
+				G = sht_core.wigner_synthesis_scan(A, theta, lmax, mmax, s,
+					dtype=ldt)
+			Gc = _coef2c(G, 2)
+			GE = Gc[..., 0, 0, :, :]; GB = Gc[..., 0, 1, :, :]
+			XE = Gc[..., 1, 0, :, :]; XB = Gc[..., 1, 1, :, :]
+			P1 = -(GE + _mul_i(XB))
+			P2 = -(GB - _mul_i(XE))
+			outs.append(ring_synthesis(jnp.stack([P1, P2], -3), phi0, nphi))
+	return jnp.concatenate(outs, -3).astype(map_dtype)
+
+
+def analysis_rect(maps, theta, lmax, weights, mmax=None, phi0=0.0,
+		spin=(0, 2)):
+	"""Quadrature analysis returning the rectangular complex representation
+	[..., ncomp, nl, nm] instead of packed triangular alm. The output (and
+	all intermediates) are elementwise in m -- see synthesis_rect."""
+	maps = jnp.asarray(maps)
+	if mmax is None: mmax = lmax
+	nphi = maps.shape[-1]
+	w = jnp.asarray(weights, maps.dtype)*(2*np.pi/nphi)
+	F = ring_analysis(maps*w[:, None], phi0, mmax+1)
+	rect = adjoint_synthesis_phase(F, theta, lmax, mmax=mmax, spin=spin,
+		rect_out=True)
+	# undo the real-map m>0 degeneracy doubling of the transpose
+	fac = jnp.asarray(np.where(np.arange(mmax+1) == 0, 1.0, 0.5),
+		rect.real.dtype)
+	return rect*fac
+
+
 def adjoint_synthesis(maps, theta, lmax, mmax=None, phi0=0.0, spin=(0, 2),
 		deriv=False, alm_dtype=None):
 	"""Exact transpose of synthesis: map [..., ncomp, nt, nphi] -> alm.
@@ -433,11 +491,13 @@ def adjoint_synthesis(maps, theta, lmax, mmax=None, phi0=0.0, spin=(0, 2),
 
 
 def adjoint_synthesis_phase(F, theta, lmax, mmax=None, spin=(0, 2),
-		deriv=False, alm_dtype=None):
+		deriv=False, alm_dtype=None, rect_out=False):
 	"""Like adjoint_synthesis, but takes the per-ring phase coefficients
 	F[..., ncomp, nm, nt] (ring_analysis output) instead of maps. Lets
 	callers do theta-domain work (padding, exact upsampling, quadrature
-	weighting) on the narrow m-spectrum instead of the full-width map."""
+	weighting) on the narrow m-spectrum instead of the full-width map.
+	rect_out=True returns the rectangular complex representation
+	[..., ncomp, nl, nm] (m-shardable) instead of packed triangular alm."""
 	F_in = jnp.asarray(F)
 	theta = _keep_theta(theta)
 	if mmax is None: mmax = lmax
@@ -456,6 +516,7 @@ def adjoint_synthesis_phase(F, theta, lmax, mmax=None, spin=(0, 2),
 		rect = jax.lax.complex(A[..., 0], A[..., 1])
 		# conjugate-symmetry factor: m>0 modes appear twice in a real map
 		rect = _m_degeneracy(rect, mmax)
+		if rect_out: return rect.astype(cdt)
 		return rect2alm(rect, lmax, mmax).astype(cdt)
 	ncomp = F_in.shape[-3]
 	outs = []
@@ -470,7 +531,7 @@ def adjoint_synthesis_phase(F, theta, lmax, mmax=None, spin=(0, 2),
 			rect = jax.lax.complex(A[..., 0], A[..., 1])
 			rect = jnp.moveaxis(rect, -1, -3)
 			rect = _m_degeneracy(rect, mmax)
-			outs.append(rect2alm(rect, lmax, mmax))
+			outs.append(rect if rect_out else rect2alm(rect, lmax, mmax))
 		else:
 			Qf = Fm[..., 0, :, :]; Uf = Fm[..., 1, :, :]
 			# aE = -sum w Qf - i sum x Uf ; aB = -sum w Uf + i sum x Qf
@@ -489,8 +550,8 @@ def adjoint_synthesis_phase(F, theta, lmax, mmax=None, spin=(0, 2),
 			rect = jax.lax.complex(A[..., 0], A[..., 1])
 			rect = jnp.moveaxis(rect, -1, -3)
 			rect = _m_degeneracy(rect, mmax)
-			outs.append(rect2alm(rect, lmax, mmax))
-	return jnp.concatenate(outs, -2).astype(cdt)
+			outs.append(rect if rect_out else rect2alm(rect, lmax, mmax))
+	return jnp.concatenate(outs, -3 if rect_out else -2).astype(cdt)
 
 
 def _m_degeneracy(rect, mmax):

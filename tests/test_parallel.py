@@ -105,3 +105,44 @@ def test_fake_communicator():
 	comm = dist.FakeCommunicator()
 	assert comm.allreduce(5) == 5
 	assert dist.COMM_WORLD.size >= 1
+
+def test_m_sharded_roundtrip_matches_ring():
+	"""m-sharded (2D mesh) SHT roundtrip == ring-sharded roundtrip, and the
+	harmonic representation is genuinely sharded over m (per-device alm
+	memory shrinks with the mesh) -- SURVEY.md section 5 m-parallel SHT."""
+	devs = jax.devices()
+	if len(devs) < 8: pytest.skip("needs 8 devices")
+	m2 = pmesh.get_mesh((2, 4), ("rows", "cols"), devs[:8])
+	lmax = 40
+	step_m, (nt, nphi) = sht_dist.roundtrip_step(m2, lmax, ncomp=3,
+		spin=(0, 2), shard="m")
+	rng = np.random.default_rng(2)
+	maps = jnp.asarray(rng.standard_normal((3, nt, nphi)))
+	omap_m, rect = jax.jit(step_m)(maps)
+	# per-device m extent must shrink with the mesh's m axis
+	shard_nm = {s.data.shape[-1] for s in rect.addressable_shards}
+	assert max(shard_nm) == rect.shape[-1]//4
+	m1 = pmesh.get_mesh((8,), ("rows",), devs[:8])
+	step_r, _ = sht_dist.roundtrip_step(m1, lmax, ncomp=3, spin=(0, 2))
+	omap_r, alm = jax.jit(step_r)(maps)
+	assert np.abs(np.asarray(omap_m) - np.asarray(omap_r)).max() < 1e-10
+	# the sharded rect agrees with the replicated packed alm
+	rect_ref = np.asarray(sht.alm2rect(jnp.asarray(alm), lmax))
+	got = np.asarray(rect)[..., :lmax+1]
+	assert np.abs(got - rect_ref).max() < 1e-10
+
+def test_rect_transforms_match_packed():
+	"""synthesis_rect/analysis_rect agree with the packed-alm transforms."""
+	lmax = 30
+	nt, nphi = 2*lmax + 2, 2*lmax + 4
+	theta = jnp.asarray(sht.ring_theta("F1", nt))
+	w = jnp.asarray(sht.ring_weights("F1", nt))
+	rng = np.random.default_rng(3)
+	maps = jnp.asarray(rng.standard_normal((3, nt, nphi)))
+	alm = sht.analysis(maps, theta, lmax, w, spin=(0, 2))
+	rect = sht.analysis_rect(maps, theta, lmax, w, spin=(0, 2))
+	rect_ref = np.asarray(sht.alm2rect(jnp.asarray(alm), lmax))
+	assert np.abs(np.asarray(rect) - rect_ref).max() < 1e-12
+	m1 = sht.synthesis(alm, theta, nphi, lmax=lmax, spin=(0, 2))
+	m2 = sht.synthesis_rect(rect, theta, nphi, lmax=lmax, spin=(0, 2))
+	assert np.abs(np.asarray(m1) - np.asarray(m2)).max() < 1e-12
