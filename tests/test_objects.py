@@ -169,3 +169,56 @@ def test_sim_objects_fullsky_wrap():
 	# signal must appear on both RA edges of the map
 	assert tot[:, :3].max() > 1e-3
 	assert tot[:, -3:].max() > 1e-3
+
+
+def test_healpix_info_structure():
+	info = distances.healpix_info(8)
+	assert info.npix == 768 and info.ny == 31
+	assert info.nx[0] == 4 and info.nx[8] == 32 and info.nx[-1] == 4
+	assert info.off[-1] + info.nx[-1] == info.npix
+	# ravel/unravel roundtrip
+	pix = np.arange(info.npix)
+	yx = distances.unravel_healpix(info, pix)
+	assert (distances.ravel_healpix(info, yx) == pix).all()
+	assert (yx[1] < info.nx[yx[0]]).all()
+
+def test_healpix_distance_from_points():
+	"""Grid (JFA) method vs exact brute force on nside 64 (reference
+	distances.distance_from_points_healpix semantics)."""
+	info = distances.healpix_info(64)
+	rng = np.random.default_rng(1)
+	n = 30
+	pts = np.array([rng.uniform(-1.4, 1.4, n), rng.uniform(0, 2*np.pi, n)])
+	d1, l1 = distances.distance_from_points_healpix(info, pts, domains=True,
+		method="brute")
+	d2, l2 = distances.distance_from_points_healpix(info, pts, domains=True,
+		method="grid")
+	pix = (4*np.pi/info.npix)**0.5
+	assert np.abs(d1 - d2).max() < 3*pix
+	assert (l1 == l2).mean() > 0.98
+	# rmax caps distances and marks domains invalid
+	d3, l3 = distances.distance_from_points_healpix(info, pts, domains=True,
+		method="brute", rmax=0.1)
+	assert d3.max() <= 0.1 + 1e-12
+	assert (l3[d1 > 0.1] == -1).all()
+
+def test_healpix_find_edges():
+	"""Edges of the zero region of a disc mask: a thin shell just outside
+	the disc (reference find_edges_healpix: zero pixels with a nonzero
+	neighbor)."""
+	info = distances.healpix_info(32)
+	dec, ra = distances._hp_positions_all(info)
+	r = utils.angdist(np.stack([ra, dec]), np.array([1.0, 0.3]), axis=0)
+	mask = r < 0.4
+	edges = distances.find_edges_healpix(info, mask)
+	assert len(edges) > 0
+	# every edge pixel is outside the disc but near its boundary
+	assert (~mask[edges]).all()
+	assert (np.abs(r[edges] - 0.4) < 3*(4*np.pi/info.npix)**0.5).all()
+	# 2d form consistent
+	yx = distances.find_edges_healpix(info, mask, flat=False)
+	assert (distances.ravel_healpix(info, yx) == edges).all()
+	# labeled version: edge pixels belong to the labeled region
+	lab = mask.astype(np.int32)
+	le = distances.find_edges_labeled_healpix(info, lab)
+	assert (mask[le]).all()
