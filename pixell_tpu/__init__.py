@@ -47,7 +47,5 @@ from . import mpi
 from . import mpiutils
 from . import warray
 from . import sqlite
-from . import sqlite_util
 from . import checkpoint
 from . import parallel
-from . import models

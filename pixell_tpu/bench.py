@@ -1,89 +1,117 @@
-"""Lightweight wall/device timing (reference pixell/bench.py).
+"""Lightweight wall/device timing (role of reference pixell/bench.py).
 
-Same API as the reference Bench (reference bench.py:55-104: mark/show/add/
-print/set_verbose/set_tfun and the module-level default instance), with one
-TPU-specific addition: by default the timer synchronizes the device before
-reading the clock, so jax's async dispatch doesn't make everything look
-free (the reference's Device.time does the equivalent sync dance for cupy,
-device.py:17-19).
+Provides the same surface as the reference Bench (mark/show/add/print/
+set_verbose/set_tfun plus the module-level default instance and its t/t_tot/n
+mappings, reference bench.py:55-104), with a TPU-specific default: the timer
+synchronizes the device before reading the clock, so jax's async dispatch
+does not make everything look free.
+
+Internally each mark keeps one record [count, last, total]; the t/t_tot/n
+attributes are live mapping VIEWS over those records rather than separate
+dicts, so the module-level aliases stay current.
 """
 from __future__ import annotations
 import time
 from contextlib import contextmanager
-from . import bunch
 
 _print = print
 
 
-def _sync():
+def device_sync():
+	"""Drain jax's async dispatch queue (no-op without jax)."""
 	try:
 		import jax
-		# block on a trivial computation to drain the dispatch queue
-		jax.block_until_ready(jax.numpy.zeros(()))
+		(jax.numpy.zeros(()) + 0).block_until_ready()
 	except Exception:
 		pass
 
 
+class _Field:
+	"""Live mapping view of one column of a Bench's records."""
+	def __init__(self, records, col):
+		self._records = records
+		self._col = col
+	def __getitem__(self, name):
+		return self._records[name][self._col]
+	def __contains__(self, name):
+		return name in self._records
+	def __iter__(self):
+		return iter(self._records)
+	def __len__(self):
+		return len(self._records)
+	def get(self, name, default=None):
+		rec = self._records.get(name)
+		return default if rec is None else rec[self._col]
+	def items(self):
+		for name, rec in self._records.items():
+			yield name, rec[self._col]
+	def __repr__(self):
+		return repr(dict(self.items()))
+
+
+_NCOL, _LAST, _TOT = 0, 1, 2
+
 class Bench:
-	"""Accumulate named wall times (reference bench.Bench:55).
+	"""Accumulate named timings.
 
 	with bench.mark("name"): ...   accumulates
 	with bench.show("name"): ...   accumulates and prints
 	"""
-	def __init__(self, verbose=False, tfun=time.time, sync=True):
-		self.t      = bunch.Bunch()
-		self.t_tot  = bunch.Bunch()
-		self.n      = bunch.Bunch()
+	def __init__(self, verbose=False, tfun=None, sync=True):
+		self._rec = {}
+		self.n     = _Field(self._rec, _NCOL)
+		self.t     = _Field(self._rec, _LAST)
+		self.t_tot = _Field(self._rec, _TOT)
 		self.verbose = verbose
-		self.tfun   = tfun
-		self.sync   = sync
+		self.tfun = tfun if tfun is not None else time.time
+		self.sync = sync
+	def _now(self, tfun):
+		if self.sync:
+			device_sync()
+		return tfun()
 	@contextmanager
-	def mark(self, name, tfun=None):
-		if tfun is None: tfun = self.tfun
-		if self.sync: _sync()
-		t1 = tfun()
+	def _timed(self, name, tfun, loud):
+		tfun = tfun or self.tfun
+		start = self._now(tfun)
 		try:
 			yield
 		finally:
-			if self.sync: _sync()
-			t2 = tfun()
-			self.add(name, t2 - t1)
-			if self.verbose:
+			self.add(name, self._now(tfun) - start)
+			if loud or self.verbose:
 				self.print(name)
-	@contextmanager
+	def mark(self, name, tfun=None):
+		return self._timed(name, tfun, loud=False)
 	def show(self, name, tfun=None):
-		try:
-			with self.mark(name, tfun=tfun):
-				yield
-		finally:
-			self.print(name)
-	def add(self, name, t):
-		if name not in self.n:
-			self.t_tot[name] = 0
-			self.n[name] = 0
-		self.n[name] += 1
-		self.t[name] = t
-		self.t_tot[name] += t
+		return self._timed(name, tfun, loud=True)
+	def add(self, name, dt):
+		rec = self._rec.setdefault(name, [0, 0.0, 0.0])
+		rec[_NCOL] += 1
+		rec[_LAST] = dt
+		rec[_TOT] += dt
 	def print(self, name):
-		_print("%7.4f s (last) %7.4f s (mean) %4d (n) %s" % (
-			self.t[name], self.t_tot[name]/self.n[name], self.n[name], name))
+		rec = self._rec[name]
+		_print("%s: last %.4f s  mean %.4f s  n %d" % (
+			name, rec[_LAST], rec[_TOT]/rec[_NCOL], rec[_NCOL]))
 	def set_verbose(self, verbose):
 		self.verbose = verbose
 	def set_tfun(self, tfun):
 		self.tfun = tfun
 	def stats(self, name):
-		"""Convenience summary (not in the reference)."""
-		return bunch.Bunch(last=self.t[name], tot=self.t_tot[name], n=self.n[name])
+		rec = self._rec[name]
+		from . import bunch
+		return bunch.Bunch(last=rec[_LAST], tot=rec[_TOT], n=rec[_NCOL])
+	def summary(self):
+		"""Multi-line report of every mark, longest total first."""
+		order = sorted(self._rec, key=lambda k: -self._rec[k][_TOT])
+		return "\n".join("%-24s tot %8.4f s  mean %8.4f s  n %4d" % (
+			k, self._rec[k][_TOT], self._rec[k][_TOT]/self._rec[k][_NCOL],
+			self._rec[k][_NCOL]) for k in order)
 
 
-# Global interface (reference bench.py:96-104)
+# Module-level default instance (reference bench.py:96-104): its methods
+# and stat views are re-exported as module attributes.
 _default = Bench()
-mark  = _default.mark
-show  = _default.show
-add   = _default.add
-print = _default.print
-t_tot = _default.t_tot
-t     = _default.t
-n     = _default.n
-set_verbose = _default.set_verbose
-set_tfun = _default.set_tfun
+for _attr in ("mark show add print t_tot t n set_verbose set_tfun "
+		"summary").split():
+	globals()[_attr] = getattr(_default, _attr)
+del _attr

@@ -1,383 +1,197 @@
-"""Device and memory abstraction (reference pixell/device.py).
+"""Device and memory services for the TPU runtime.
 
-The reference abstracts CPU vs GPU (cupy) with explicit allocators, arena
-memory pools and array pools (reference device.py:4-368). Under jax the
-accelerator runtime owns device allocation, so the mapping here is:
+The reference (pixell/device.py) abstracts CPU-vs-GPU with explicit byte
+allocators and arena memory pools, because cupy leaves allocation to the
+user. Under JAX the runtime owns device memory, so pooling by pointer
+arithmetic is the wrong tool; what replaces it:
 
-- Device/DeviceCpu/DeviceTpu wrap jax devices; DeviceTpu.memuse reads jax
-  memory_stats; synchronize drains the async dispatch queue.
-- The Mempool arena (two-mode grow/reuse with reset/reserve/swap, reference
-  Mempool:136) is kept VERBATIM for host-side staging buffers (pinned IO,
-  catalog assembly) over an aligned numpy allocator.
-- ArrayPoolTpu maps the pool API onto jax: buffers are plain device arrays,
-  and reuse happens through XLA buffer donation rather than pointer reuse,
-  so it only tracks totals.
+- `Device` wraps a jax.Device: transfers, synchronization, synchronized
+  timing, and memory introspection through the runtime's own counters
+  (`jax.Device.memory_stats`), which see every live XLA buffer -- something
+  the reference's pools could only approximate by tracking their own arenas.
+- Buffer REUSE is expressed with donation, not pools: `donating_jit` marks
+  chosen arguments as donated so XLA writes outputs into their storage, and
+  `Workspace` holds named long-lived device buffers that callers check out
+  (ownership transfer), donate into a step function, and check back in.
+  This is the SURVEY plan ("pools become explicit donated buffers") and is
+  how steady-state pipelines (CG iterations, map-maker sweeps) run with a
+  constant memory footprint.
+
+Reference API parity notes: `get_device`, `Device.memuse/synchronize/time`,
+and `anypy` correspond to reference device.py:4-121,343-366. The arena pool
+classes (reference device.py:127-340) intentionally have no counterpart;
+`Workspace` covers their role in this framework.
 """
 from __future__ import annotations
-import time, contextlib
+import gc
+import time
+import functools
 import numpy as np
-from . import bunch
 
 
-def round_up(a, b):
-	"""Round a up to a multiple of b (reference device.round_up:341)."""
-	return (a + b - 1)//b*b
-
-def getptr(arr):
-	"""Pointer to a numpy array's data (reference device.getptr:349)."""
-	try: return arr.data.ptr            # cupy-style
-	except AttributeError: pass
-	try: return arr.ctypes.data         # numpy
-	except AttributeError:
-		return arr.unsafe_buffer_pointer()  # jax
-
-
-class AllocCpu:
-	"""Raw byte allocator (reference device.AllocCpu:110)."""
-	def alloc(self, n): return np.empty(int(n), dtype=np.uint8)
-
-class AllocTpu:
-	"""Device byte allocator (replaces reference AllocGpu:113, which wraps the
-	cupy allocator). XLA owns device memory, so this allocates host staging
-	bytes that jax will transfer on use."""
-	def alloc(self, n): return np.empty(int(n), dtype=np.uint8)
-
-AllocGpu = AllocTpu
-
-class AllocAligned:
-	"""Wrap an allocator to make it aligned (reference device.AllocAligned:124)."""
-	def __init__(self, allocator, align=16):
-		self.allocator = allocator
-		self.align     = align
-	def alloc(self, n):
-		n   = int(n)
-		buf = self.allocator.alloc(n + self.align - 1)
-		off = (-getptr(buf)) % self.align
-		return buf[off:off+n]
-
-
-class Mempool:
-	"""Two-mode arena allocator (reference device.Mempool:136): mode 1 hands
-	out slices of one big arena; mode 2 appends new arenas as needed. reset()
-	consolidates back to a single arena of the peak capacity."""
-	def __init__(self, aligned_alloc, name="[unnamed]", logger=None):
-		self.allocator = aligned_alloc
-		self.name      = name
-		self.logger    = logger
-		self.arenas    = []
-		self.used      = 0
-	def alloc(self, n):
-		n = int(n)
-		effsize = round_up(n, self.allocator.align)
-		if len(self.arenas) != 1 or self.arenas[0].size < self.used + n:
-			if self.logger:
-				self.logger("grow mempool %s by %d (used %d)" % (self.name, n, self.used))
-			self.arenas.append(self.allocator.alloc(n))
-			buf = self.arenas[-1][0:n]
-			self.used += effsize
-		else:
-			buf = self.arenas[-1][self.used:self.used+n]
-			self.used += effsize
-		return buf
-	@property
-	def capacity(self):
-		return self.arenas[0].size if len(self.arenas) == 1 else self.used
-	def free(self):
-		if self.logger: self.logger("free mempool %s" % self.name)
-		self.arenas = []
-		self.used   = 0
-	def reset(self):
-		"""Invalidate handed-out memory; consolidate to one arena of the peak
-		capacity so future allocations reuse it without growing."""
-		if len(self.arenas) != 1:
-			cap = self.capacity
-			self.arenas = []
-			if cap > 0:
-				self.arenas = [self.allocator.alloc(cap)]
-		self.used = 0
-		return self
-	def reserve(self, n):
-		"""Reserve space for at least n bytes without reallocation."""
-		self.reset()
-		self.alloc(n)
-		self.reset()
-		return self
-	def swap(self, other):
-		"""Swap internal buffers with other (reference Mempool.swap:202)."""
-		self.arenas, other.arenas = other.arenas, self.arenas
-		self.used, other.used = other.used, self.used
-		self.allocator, other.allocator = other.allocator, self.allocator
-	def proxy(self, name):
-		return ArrayPoolProxy(self, name=name)
-	def __repr__(self):
-		return "%s(name='%s', capacity=%d, used=%d)" % (
-			self.__class__.__name__, self.name, self.capacity, self.used)
-
-
-class ArrayPoolCpu(Mempool):
-	"""Array-level interface over a host Mempool (reference device.ArrayPoolCpu:210)."""
-	def array(self, arr, reset=True, logger=None):
-		self.logger = logger or self.logger
-		arr = np.asarray(arr)
-		oarr = self.empty(arr.shape, dtype=arr.dtype, reset=reset)
-		oarr[:] = arr
-		return oarr
-	def empty(self, shape, dtype=np.float32, reset=True):
-		if reset: self.reset()
-		n = int(np.prod(shape))*np.dtype(dtype).itemsize
-		return self.alloc(n).view(dtype).reshape(shape)
-	def full(self, shape, val, dtype=np.float32, reset=True):
-		arr = self.empty(shape, dtype=dtype, reset=reset)
-		arr[:] = val
-		return arr
-	def zeros(self, shape, dtype=np.float32, reset=True):
-		return self.full(shape, 0, dtype=dtype, reset=reset)
-	def ones(self, shape, dtype=np.float32, reset=True):
-		return self.full(shape, 1, dtype=dtype, reset=reset)
-	def alloc_raw(self, n): return self.alloc(n)
-	@contextlib.contextmanager
-	def as_allocator(self, reset=True):
-		if reset: self.reset()
-		yield
-
-
-class ArrayPoolTpu:
-	"""Pool API over jax device arrays (replaces reference ArrayPoolGpu:238).
-	XLA owns device memory; reuse is expressed with buffer donation in jitted
-	calls, so this pool creates arrays and tracks sizes only."""
-	def __init__(self, device=None, name="[unnamed]", logger=None, **_):
-		self.device = device
-		self.name   = name
-		self.logger = logger
-		self.used   = 0
-	def _dev(self):
-		import jax
-		return self.device.dev if self.device is not None else jax.devices()[0]
-	def array(self, arr, reset=True, logger=None):
-		import jax
-		if reset: self.reset()
-		out = jax.device_put(np.ascontiguousarray(np.asarray(arr)), self._dev())
-		self.used += out.size*out.dtype.itemsize
-		return out
-	def empty(self, shape, dtype=np.float32, reset=True):
-		return self.zeros(shape, dtype=dtype, reset=reset)
-	def full(self, shape, val, dtype=np.float32, reset=True):
-		import jax, jax.numpy as jnp
-		if reset: self.reset()
-		out = jax.device_put(jnp.full(shape, val, dtype), self._dev())
-		self.used += out.size*out.dtype.itemsize
-		return out
-	def zeros(self, shape, dtype=np.float32, reset=True):
-		return self.full(shape, 0, dtype=dtype, reset=reset)
-	def ones(self, shape, dtype=np.float32, reset=True):
-		return self.full(shape, 1, dtype=dtype, reset=reset)
-	@property
-	def capacity(self): return self.used
-	def reset(self): self.used = 0; return self
-	def free(self): self.used = 0
-	def reserve(self, n): return self
-	def swap(self, other):
-		self.used, other.used = other.used, self.used
-	@contextlib.contextmanager
-	def as_allocator(self, reset=True):
-		if reset: self.reset()
-		yield
-	def __repr__(self):
-		return "ArrayPoolTpu(name='%s', used=%d)" % (self.name, self.used)
-
-ArrayPoolGpu = ArrayPoolTpu
-
-
-class ArrayPoolProxy:
-	"""Named view onto another pool (reference device.ArrayPoolProxy:271)."""
-	def __init__(self, pool, name="[unnamed]"):
-		self.name = name
-		self.pool = pool
-	@property
-	def capacity(self): return 0
-	@property
-	def logger(self): return self.pool.logger
-	def alloc(self, n): return self.pool.alloc(n)
-	def free(self): pass  # another pool manages the memory
-	def reset(self): self.pool.reset()
-	def reserve(self, n): self.pool.reserve(n)
-	def swap(self, other): raise NotImplementedError
-	def array(self, arr, reset=True, logger=None):
-		return self.pool.array(arr, reset=reset, logger=logger)
-	def empty(self, shape, dtype=np.float32, reset=True):
-		return self.pool.empty(shape, dtype=dtype, reset=reset)
-	def full(self, shape, val, dtype=np.float32, reset=True):
-		return self.pool.full(shape, val, dtype=dtype, reset=reset)
-	def zeros(self, shape, dtype=np.float32, reset=True):
-		return self.pool.zeros(shape, dtype=dtype, reset=reset)
-	def ones(self, shape, dtype=np.float32, reset=True):
-		return self.pool.ones(shape, dtype=dtype, reset=reset)
-	@contextlib.contextmanager
-	def as_allocator(self, reset=True):
-		with self.pool.as_allocator(reset=reset):
-			yield
-	def __repr__(self):
-		return "ArrayPoolProxy(name='%s', pool='%s')" % (self.name, self.pool.name)
-
-
-class ArrayMultipool:
-	"""Collection of named pools built on demand (reference device.ArrayMultipool:300)."""
-	def __init__(self, factory):
-		self.factory = factory
-		self.pools   = {}
-	def want(self, *names):
-		pools = []
-		for name in names:
-			if name not in self.pools:
-				self.pools[name] = self.factory(name=name)
-			pools.append(self.pools[name])
-		return pools
-	def used(self): return sum(pool.used for pool in self.pools.values())
-	def capacity(self): return sum(pool.capacity for pool in self.pools.values())
-	def free(self):
-		for name in self.pools: self.pools[name].free()
-	def reset(self):
-		for name in self.pools: self.pools[name].reset()
-	def swap(self, name1, name2):
-		self.pools[name1].swap(self.pools[name2])
-	def __getitem__(self, name):
-		if name not in self.pools:
-			self.pools[name] = self.factory(name=name)
-		return self.pools[name]
-	def __getattr__(self, name):
-		if name in ("pools", "factory"): raise AttributeError(name)
-		return self.pools[name]
-	def __repr__(self):
-		names = sorted(self.pools)
-		body = "".join("\n  %s" % repr(self.pools[n]) for n in names)
-		return "ArrayMultipool(%s%s)" % (body, "\n" if names else "")
-
-
+# ---------------------------------------------------------------------------
+# Devices
+# ---------------------------------------------------------------------------
 class Device:
-	"""A compute device (reference device.Device:4)."""
-	def __init__(self, jax_device=None):
+	"""One jax device plus the services the library needs from it."""
+	kind = "abstract"
+	def __init__(self, dev=None, index=0):
 		import jax
-		self.dev   = jax_device or jax.devices()[0]
-		self.pools = None
-		self.np    = None
-		self.lib   = bunch.Bunch()
-	@property
-	def platform(self): return self.dev.platform
-	def ptr(self, arr): return getptr(arr)
+		self.dev = dev if dev is not None else jax.devices()[index]
+		self.workspaces = {}
+	# --- transfers ---
+	def put(self, arr):
+		"""Host (or other-device) array -> this device."""
+		import jax
+		return jax.device_put(arr, self.dev)
+	def get(self, arr):
+		"""Array -> host numpy."""
+		return np.asarray(arr)
+	# --- execution ---
 	def synchronize(self):
+		"""Wait until all work enqueued on this device has finished."""
 		import jax
-		jax.block_until_ready(jax.numpy.zeros((), device=self.dev))
-	def garbage_collect(self):
-		import gc
-		gc.collect()
+		(self.put(np.zeros(())) + 0).block_until_ready()
 	def time(self):
-		"""Synchronized wall time (reference device.Device.time:17)."""
+		"""Wall time after a device sync, for timing device work."""
 		self.synchronize()
 		return time.perf_counter()
+	def garbage_collect(self):
+		gc.collect()
+	# --- memory ---
 	def memuse(self, type="total"):
-		if type == "pools":
-			return self.pools.capacity() if self.pools is not None else 0
-		try:
-			stats = self.dev.memory_stats()
-			if type == "peak": return stats.get("peak_bytes_in_use", 0)
-			return stats.get("bytes_in_use", 0)
-		except Exception:
-			return 0
-	def put(self, arr):
-		import jax
-		return jax.device_put(np.asarray(arr), self.dev)
-	def get(self, arr):
-		try: return np.asarray(arr)
-		except TypeError: return arr
-	def copy(self, afrom, ato):
-		"""Copy afrom into ato (host buffers) or return a device copy."""
-		try:
-			ato[:] = np.asarray(afrom)
-			return ato
-		except TypeError:
-			return self.put(np.asarray(afrom))
+		"""Live device memory in bytes. type: "total" | "peak" |
+		"workspaces" (bytes held by this device's Workspace objects)."""
+		if type == "workspaces":
+			return sum(w.nbytes for w in self.workspaces.values())
+		stats = self.dev.memory_stats() or {}
+		key = "peak_bytes_in_use" if type == "peak" else "bytes_in_use"
+		return int(stats.get(key, 0))
+	def workspace(self, name):
+		"""Named Workspace living on this device (created on first use)."""
+		if name not in self.workspaces:
+			self.workspaces[name] = Workspace(self)
+		return self.workspaces[name]
+	@property
+	def np(self):
+		import jax.numpy as jnp
+		return jnp
+	def __repr__(self):
+		return "%s(%s)" % (self.__class__.__name__, self.dev)
 
 
 class DeviceCpu(Device):
-	"""Host device with real arena pools (reference device.DeviceCpu:21)."""
-	def __init__(self, align=None, alloc_factory=None, logger=None):
+	kind = "cpu"
+	def __init__(self, dev=None):
 		import jax
-		cpus = jax.devices("cpu") if _has_platform("cpu") else jax.devices()
-		super().__init__(cpus[0])
-		if align is None: align = 16
-		if alloc_factory is None:
-			def alloc_factory(name):
-				return ArrayPoolCpu(AllocAligned(AllocCpu(), align=align),
-					name=name, logger=logger)
-		self.pools = ArrayMultipool(alloc_factory)
-		self.np = np
-	def synchronize(self): pass
-	def get(self, arr):
-		try: return np.asarray(arr).copy()
-		except TypeError: return arr
+		if dev is None:
+			try: dev = jax.devices("cpu")[0]
+			except RuntimeError: dev = jax.devices()[0]
+		super().__init__(dev)
+	def synchronize(self):
+		pass
 	def memuse(self, type="total"):
-		if type == "total":
-			from . import memory
-			return memory.current()
-		if type == "pools": return self.pools.capacity()
-		if type == "np": return 0
-		raise ValueError("Unknown memuse type: '%s'" % str(type))
-	def copy(self, afrom, ato):
-		ato[:] = afrom
-		return ato
+		if type == "workspaces":
+			return sum(w.nbytes for w in self.workspaces.values())
+		# host backends rarely report memory_stats; fall back to process RSS
+		stats = self.dev.memory_stats() or {}
+		if stats:
+			key = "peak_bytes_in_use" if type == "peak" else "bytes_in_use"
+			return int(stats.get(key, 0))
+		from . import memory
+		return memory.max() if type == "peak" else memory.current()
+	@property
+	def np(self):
+		return np
 
 
 class DeviceTpu(Device):
-	"""Accelerator device (replaces reference DeviceGpu:52)."""
-	def __init__(self, align=None, alloc_factory=None, logger=None):
-		import jax
-		super().__init__(jax.devices()[0])
-		import jax.numpy as jnp
-		if alloc_factory is None:
-			def alloc_factory(name):
-				return ArrayPoolTpu(device=self, name=name, logger=logger)
-		self.pools = ArrayMultipool(alloc_factory)
-		self.np = jnp
+	kind = "tpu"
 
-DeviceGpu = DeviceTpu  # API parity: the accelerator device
+# The accelerator role the reference filled with cupy ("gpu") is the TPU here
+DeviceGpu = DeviceTpu
 
 
-def _has_platform(name):
-	import jax
-	try:
-		jax.devices(name)
-		return True
-	except RuntimeError:
-		return False
-
-def get_device(name="auto"):
+def get_device(name="auto", index=0):
+	"""Device factory (reference device.py's Device selection)."""
 	import jax
 	if name == "auto":
-		return DeviceTpu() if jax.default_backend() != "cpu" else DeviceCpu()
-	if name == "cpu": return DeviceCpu()
-	return DeviceTpu()
-
-
-def device_memcpy(afrom, ato):
-	"""Copy between host/device buffers (replaces reference cuda_memcpy:343)."""
-	try:
-		ato[:] = np.asarray(afrom)
-		return ato
-	except TypeError:
-		import jax
-		return jax.device_put(np.asarray(afrom))
-
-cuda_memcpy = device_memcpy  # legacy name
+		name = "cpu" if jax.default_backend() == "cpu" else "tpu"
+	if name == "cpu":
+		return DeviceCpu()
+	return DeviceTpu(jax.devices()[index])
 
 
 def anypy(arr):
-	"""Return the array module (np or jnp) matching arr (reference device.anypy:353)."""
+	"""The array module (numpy or jax.numpy) that made arr."""
 	from . import utils
 	return utils._xp(arr)
 
 
-class ArrayPool(ArrayPoolTpu):
-	"""Backwards-compatible alias used by earlier versions of this package."""
-	def __init__(self, device=None, name="pool", **kw):
-		super().__init__(device=device, name=name, **kw)
-		self.arrays = {}
+# ---------------------------------------------------------------------------
+# Donation: the TPU-native replacement for memory pools
+# ---------------------------------------------------------------------------
+def donating_jit(fun=None, donate=(0,), **jit_kw):
+	"""jax.jit with donated arguments: XLA reuses the donated inputs'
+	device memory for the outputs, so iterating `x = step(x)` runs with a
+	constant footprint -- the role of the reference's buffer pools.
+
+	Use as a decorator or called directly:
+	    step = donating_jit(lambda x: x + 1)
+	    x = step(x)   # x's old buffer is dead after this; don't reuse it
+	"""
+	import jax
+	if fun is None:
+		return functools.partial(donating_jit, donate=donate, **jit_kw)
+	return jax.jit(fun, donate_argnums=tuple(donate), **jit_kw)
+
+
+class Workspace:
+	"""Named long-lived device buffers with checkout semantics.
+
+	A Workspace holds device arrays between pipeline steps. `take` removes
+	and returns a buffer (the caller now owns it and may donate it into a
+	jitted call); `give` stores a buffer under a name; `ensure` returns a
+	zeroed buffer of the requested shape, reusing a stored one when its
+	shape and dtype match. Because ownership is explicit, there is no
+	aliasing between stored buffers and donated arguments -- the failure
+	mode pointer-reuse pools have to defend against."""
+	def __init__(self, device=None):
+		self.device = device if device is not None else get_device()
+		self._bufs = {}
+	def give(self, name, arr):
+		self._bufs[name] = arr
+		return arr
+	def take(self, name, default=None):
+		return self._bufs.pop(name, default)
+	def peek(self, name, default=None):
+		return self._bufs.get(name, default)
+	def ensure(self, name, shape, dtype=np.float32):
+		"""A zeroed device buffer of the given shape/dtype, reusing the
+		stored one when compatible (constant steady-state footprint)."""
+		import jax.numpy as jnp
+		cur = self._bufs.get(name)
+		shape = tuple(shape)
+		if cur is not None and cur.shape == shape \
+				and cur.dtype == np.dtype(dtype):
+			out = cur*0
+		else:
+			out = self.device.put(jnp.zeros(shape, dtype))
+		self._bufs[name] = out
+		return out
+	def drop(self, name):
+		self._bufs.pop(name, None)
+	def clear(self):
+		self._bufs.clear()
+	@property
+	def nbytes(self):
+		return sum(int(np.prod(b.shape))*b.dtype.itemsize
+			for b in self._bufs.values())
+	def names(self):
+		return sorted(self._bufs)
+	def __contains__(self, name):
+		return name in self._bufs
+	def __repr__(self):
+		body = ", ".join("%s%s" % (n, tuple(self._bufs[n].shape))
+			for n in self.names())
+		return "Workspace(%d bytes: %s)" % (self.nbytes, body)

@@ -1,18 +1,21 @@
-"""Unified ephemeris interface (reference pixell/ephem.py).
+"""Unified ephemeris interface (role of reference pixell/ephem.py).
 
-Same two-level API as the reference: the simple interface (module-level
-``eval``, ``add`` and ``bodies``, reference ephem.py:237-243) and the
-advanced interface of Ephem classes (AstropyEphem, PyephemEphem,
-PrecompEphem, InterpEphem, MultiEphem; reference ephem.py:42-240). All
-``eval(name, ctime, cartesian=False, site=None)`` methods return
-(pos[...,{ra,dec}] radians, dist[...] AU), or rect[...,3] AU when
-cartesian=True. ctime is unix time.
+API parity with the reference: module-level ``eval``/``add``/``bodies``
+(reference ephem.py:237-243) and the Ephem class family (AstropyEphem,
+PyephemEphem, PrecompEphem, InterpEphem, MultiEphem; reference
+ephem.py:42-240). Every ``eval(name, ctime, cartesian=False, site=None)``
+returns (pos[..., {ra,dec}] radians, dist[...] AU), or rect[..., 3] AU when
+cartesian=True; ctime is unix time.
 
-Neither astropy nor pyephem exists in this environment, so the default
-backend is KeplerEphem: a dependency-free analytic ephemeris using the JPL
-approximate mean Keplerian elements of the planets (valid 1800-2050,
-arcminute-level) plus low-precision lunar theory. AstropyEphem/PyephemEphem
-are retained and work when their libraries are installed.
+The implementation is organized differently from the reference: backends
+implement ONE method, ``_rect(name, ctime, site) -> rect[..., 3]``
+(observer-relative equatorial cartesian, AU), and the shared base class
+handles name normalization and the cartesian/angles output conventions.
+Dispatch across backends is a body->provider dict rather than a priority
+list scan. Since neither astropy nor pyephem ships in this environment, the
+default backend is KeplerEphem: a dependency-free analytic ephemeris from
+the JPL approximate mean Keplerian elements (valid 1800-2050,
+arcminute-level) plus low-precision lunar theory.
 """
 from __future__ import annotations
 import os, glob
@@ -20,162 +23,155 @@ import numpy as np
 from . import utils, sites
 
 
+def _ang2rect(pos):
+	"""[..., {ra,dec}] -> unit vectors [..., 3]."""
+	ra, dec = pos[..., 0], pos[..., 1]
+	cd = np.cos(dec)
+	return np.stack([cd*np.cos(ra), cd*np.sin(ra), np.sin(dec)], -1)
+
+def _rect2ang_r(rect):
+	"""[..., 3] -> ([..., {ra,dec}], r)."""
+	x, y, z = rect[..., 0], rect[..., 1], rect[..., 2]
+	r = np.sqrt(x*x + y*y + z*z)
+	ra = np.mod(np.arctan2(y, x), 2*np.pi)
+	dec = np.arcsin(np.clip(z/np.maximum(r, 1e-300), -1, 1))
+	return np.stack([ra, dec], -1), r
+
+
 class Ephem:
-	"""General interface for the Ephemeris implementations
-	(reference ephem.Ephem:42)."""
-	def __init__(self, bodies=[], capitalize=True):
-		self.bodies     = list(bodies)
+	"""Base class. Subclasses provide _rect(name, ctime, site); the output
+	conventions live here, once."""
+	def __init__(self, bodies=(), capitalize=True):
+		self.bodies = list(bodies)
 		self.capitalize = capitalize
-	def eval(self, name, ctime, cartesian=False, site=None):
+	def _norm(self, name):
+		return name.capitalize() if self.capitalize else name
+	def _rect(self, name, ctime, site):
 		raise NotImplementedError
+	def eval(self, name, ctime, cartesian=False, site=None):
+		ctime = np.asarray(ctime, float)
+		rect = self._rect(self._norm(name), ctime, site)
+		return rect if cartesian else _rect2ang_r(rect)
 
 
 class MultiEphem(Ephem):
-	"""Forwards requests to the last-added ephemeris that knows the body
-	(reference ephem.MultiEphem:50)."""
-	def __init__(self, others=[], capitalize=True):
+	"""Dispatches each body to the provider that knows it; when several do,
+	the most recently added wins (reference MultiEphem:50 semantics)."""
+	def __init__(self, others=(), capitalize=True):
 		super().__init__(capitalize=capitalize)
-		self.others = []
+		self._provider = {}
 		for other in others:
 			self.add(other)
-	def eval(self, name, ctime, cartesian=False, site=None):
-		if self.capitalize: name = name.capitalize()
-		for other in self.others[::-1]:
-			if name in other.bodies:
-				return other.eval(name, ctime, cartesian=cartesian, site=site)
-		raise KeyError("No ephemeris found for '%s'" % str(name))
 	def add(self, other):
-		self.others.append(other)
-		self.bodies += other.bodies
+		for body in other.bodies:
+			self._provider[body] = other
+		self.bodies = list(self._provider)
+	def eval(self, name, ctime, cartesian=False, site=None):
+		key = self._norm(name)
+		try:
+			prov = self._provider[key]
+		except KeyError:
+			raise KeyError("No ephemeris found for '%s'" % str(name))
+		return prov.eval(key, ctime, cartesian=cartesian, site=site)
 
 
 class AstropyEphem(Ephem):
-	"""Ephemeris from astropy's solar_system_ephemeris (reference
-	ephem.AstropyEphem:73). Requires astropy."""
+	"""Backend over astropy's solar_system_ephemeris (reference
+	AstropyEphem:73). Slow; wrap in InterpEphem. Requires astropy."""
 	def __init__(self, ephemeris="builtin", site=None, capitalize=True):
 		import astropy.coordinates as aco
-		bodies = [name.capitalize() for name in aco.solar_system_ephemeris.bodies]
-		super().__init__(bodies=bodies, capitalize=capitalize)
-		self.site      = site
+		super().__init__(
+			bodies=[b.capitalize() for b in aco.solar_system_ephemeris.bodies],
+			capitalize=capitalize)
 		self.ephemeris = ephemeris
-	def eval(self, name, ctime, cartesian=False, site=None):
-		import astropy.time as ati, astropy.coordinates as aco
-		if self.capitalize: name = name.capitalize()
-		site  = site or self.site or sites.default_site
-		ctime = np.asarray(ctime)
-		t     = ati.Time(ctime, format="unix")
-		loc   = aco.EarthLocation.from_geodetic(site.lon, site.lat, site.alt)
-		data  = aco.get_body(name, t, location=loc, ephemeris=self.ephemeris)
-		if cartesian:
-			rect = np.zeros(ctime.shape + (3,))
-			dc = data.cartesian
-			rect[..., 0] = dc.x.to("AU").value
-			rect[..., 1] = dc.y.to("AU").value
-			rect[..., 2] = dc.z.to("AU").value
-			return rect
-		pos = np.zeros(ctime.shape + (2,))
-		r   = np.zeros(ctime.shape)
-		ds  = data.spherical
-		pos[..., 0] = ds.lon.radian
-		pos[..., 1] = ds.lat.radian
-		r[...] = ds.distance.to("AU").value
-		return pos, r
+		self.site = site
+	def _rect(self, name, ctime, site):
+		import astropy.time as ati
+		import astropy.coordinates as aco
+		site = site or self.site or sites.default_site
+		loc = aco.EarthLocation.from_geodetic(site.lon, site.lat, site.alt)
+		body = aco.get_body(name, ati.Time(ctime, format="unix"),
+			location=loc, ephemeris=self.ephemeris)
+		c = body.cartesian
+		return np.stack([q.to("AU").value for q in (c.x, c.y, c.z)], -1)
 
 
 class PyephemEphem(Ephem):
-	"""Ephemeris using pyephem (reference ephem.PyephemEphem:110).
-	Requires the ephem package."""
+	"""Backend over pyephem (reference PyephemEphem:110). Requires ephem."""
+	BODIES = ("Ariel Callisto Deimos Dione Enceladus Europa Ganymede Hyperion "
+		"Iapetus Io Jupiter Mars Mercury Mimas Miranda Moon Neptune Oberon "
+		"Phobos Pluto Rhea Saturn Sun Tethys Titan Titania Umbriel Uranus "
+		"Venus").split()
 	def __init__(self, site=None, capitalize=True):
 		import ephem  # noqa: F401 -- availability check
-		bodies = ["Ariel", "Callisto", "Deimos", "Dione", "Enceladus", "Europa",
-			"Ganymede", "Hyperion", "Iapetus", "Io", "Jupiter", "Mars", "Mercury",
-			"Mimas", "Miranda", "Moon", "Neptune", "Oberon", "Phobos", "Pluto",
-			"Rhea", "Saturn", "Sun", "Tethys", "Titan", "Titania", "Umbriel",
-			"Uranus", "Venus"]
-		super().__init__(bodies=bodies, capitalize=capitalize)
+		super().__init__(bodies=self.BODIES, capitalize=capitalize)
 		self.site = site
-	def eval(self, name, ctime, cartesian=False, site=None):
+	def _rect(self, name, ctime, site):
 		import ephem
-		if self.capitalize: name = name.capitalize()
 		site = site or self.site or sites.default_site
-		obj  = getattr(ephem, name)()
-		obs  = ephem.Observer()
-		obs.lon = site.lon
-		obs.lat = site.lat
-		obs.elevation = site.alt
-		ctime = np.asarray(ctime)
-		djds = utils.ctime2djd(ctime).reshape(-1)
-		pos = np.zeros(djds.shape + (2,))
-		r   = np.zeros(djds.shape)
-		for i, djd in enumerate(djds):
-			obs.date = djd
-			obj.compute(obs)
-			pos[i, 0] = obj.a_ra
-			pos[i, 1] = obj.a_dec
-			r[i] = obj.earth_distance
-		if cartesian:
-			rect = _ang2rect(pos)*r[:, None]
-			return rect.reshape(ctime.shape + (3,))
-		return pos.reshape(ctime.shape + (2,)), r.reshape(ctime.shape)
+		observer = ephem.Observer()
+		observer.lon, observer.lat = site.lon, site.lat
+		observer.elevation = site.alt
+		body = getattr(ephem, name)()
+		def one(djd):
+			observer.date = djd
+			body.compute(observer)
+			return (float(body.a_ra), float(body.a_dec),
+				float(body.earth_distance))
+		samples = np.array([one(d) for d in
+			np.ravel(utils.ctime2djd(ctime))])
+		ang = samples[:, :2].reshape(ctime.shape + (2,))
+		r = samples[:, 2].reshape(ctime.shape)
+		return _ang2rect(ang)*r[..., None]
 
 
 class PrecompEphem(Ephem):
-	"""Precomputed positions from <path>/<Name>.npy structured files with
-	"ctime" and "pos" ([n,3] cartesian AU) fields (reference
-	ephem.PrecompEphem:157). The site was baked in; site arg ignored."""
+	"""Backend reading precomputed <path>/<Name>.npy structured arrays with
+	"ctime" and "pos" ([n, 3] cartesian AU) fields (reference
+	PrecompEphem:157). Site was baked into the precomputation."""
 	def __init__(self, path, capitalize=True):
-		bodies = [os.path.basename(name)[:-4]
-			for name in sorted(glob.glob(os.path.join(path, "*.npy")))]
-		super().__init__(bodies=bodies, capitalize=capitalize)
-		self.path  = path
-		self.cache = {}
-	def eval(self, name, ctime, cartesian=False, site=None):
-		if self.capitalize: name = name.capitalize()
-		spline = self.get(name)
-		rect = spline(ctime)
-		if cartesian: return rect
-		return _rect2ang_r(rect)
-	def get(self, name):
-		if name not in self.cache:
-			from scipy import interpolate
-			data = np.load(os.path.join(self.path, name + ".npy"))
-			self.cache[name] = interpolate.interp1d(
-				data["ctime"], data["pos"], kind=3, axis=0)
-		return self.cache[name]
+		names = sorted(glob.glob(os.path.join(path, "*.npy")))
+		super().__init__(bodies=[os.path.basename(f)[:-4] for f in names],
+			capitalize=capitalize)
+		self.path = path
+		self._splines = {}
+	def _rect(self, name, ctime, site):
+		if name not in self._splines:
+			from scipy.interpolate import CubicSpline
+			tab = np.load(os.path.join(self.path, name + ".npy"))
+			self._splines[name] = CubicSpline(tab["ctime"], tab["pos"], axis=0)
+		return self._splines[name](ctime)
 	def clear(self):
-		self.cache = {}
+		self._splines = {}
 
 
 class InterpEphem(Ephem):
-	"""Samples another ephemeris sparsely and spline-interpolates, speeding
-	up slow backends ~1000x (reference ephem.InterpEphem:197)."""
+	"""Accelerator: evaluates a slow backend on a coarse time grid and
+	cubic-splines to the requested times (reference InterpEphem:197,
+	~1000x for astropy/pyephem). dt is the knot spacing in seconds; the
+	default 300 s keeps spline error far below the backends' accuracy."""
 	def __init__(self, other, dt=300):
 		super().__init__(bodies=other.bodies, capitalize=other.capitalize)
 		self.other = other
-		self.dt    = dt
-	def eval(self, name, ctime, cartesian=False, site=None):
-		from scipy import interpolate
-		ctime = np.asarray(ctime, float)
-		tflat = ctime.reshape(-1)
-		order = np.argsort(tflat)
-		tflat = tflat[order]
-		step = np.max(np.abs(np.diff(tflat))) if len(tflat) > 1 else 0
-		if len(tflat) <= 1 or step >= self.dt or step == 0:
-			return self.other.eval(name, ctime, cartesian=cartesian, site=site)
-		t1, t2 = tflat[0], tflat[-1]
-		npoint = max(4, utils.ceil((t2 - t1)/self.dt))
-		iptime = np.linspace(t1, t2, npoint)
-		data   = self.other.eval(name, iptime, cartesian=True, site=site)
-		interp = interpolate.interp1d(iptime, data, kind=3, axis=0)
-		rect = np.zeros(ctime.shape + (3,))
-		rect.reshape(-1, 3)[order] = interp(tflat)
-		if cartesian: return rect
-		return _rect2ang_r(rect)
+		self.dt = dt
+	def _rect(self, name, ctime, site):
+		flat = np.ravel(ctime)
+		if flat.size == 0:
+			return np.zeros(ctime.shape + (3,))
+		t0, t1 = float(flat.min()), float(flat.max())
+		nknot = max(int(np.ceil((t1 - t0)/self.dt)) + 1, 4)
+		if flat.size <= nknot:
+			# fewer queries than knots: interpolation can't win
+			return self.other.eval(name, ctime, cartesian=True, site=site)
+		from scipy.interpolate import CubicSpline
+		knots = np.linspace(t0, t1, nknot)
+		base = self.other.eval(name, knots, cartesian=True, site=site)
+		return CubicSpline(knots, base, axis=0)(flat) \
+			.reshape(ctime.shape + (3,))
 
 
 # ---------------------------------------------------------------------------
-# Dependency-free analytic backend (replaces the reference's default
-# PyephemEphem when pyephem is absent).
+# Dependency-free analytic backend (default when pyephem/astropy are absent)
 # ---------------------------------------------------------------------------
 
 # JPL approximate mean Keplerian elements (J2000 ecliptic), valid 1800-2050:
@@ -213,7 +209,7 @@ def _kepler(M, e, niter=8):
 
 
 def _helio_ecl(name, T):
-	"""Heliocentric ecliptic rectangular coords [.. ,3] in AU at Julian
+	"""Heliocentric ecliptic rectangular coords [..., 3] in AU at Julian
 	centuries-from-J2000 T, from the mean-element tables."""
 	el0, rates = _ELEMENTS[name]
 	a, e, I, L, lperi, lnode = [e0 + d*T for e0, d in zip(el0, rates)]
@@ -256,45 +252,25 @@ def _moon_rect(T):
 	return _ecl2equ(ecl)
 
 
-def _ang2rect(pos):
-	"""[...,{ra,dec}] -> unit vectors [...,3]."""
-	ra, dec = pos[..., 0], pos[..., 1]
-	cd = np.cos(dec)
-	return np.stack([cd*np.cos(ra), cd*np.sin(ra), np.sin(dec)], -1)
-
-
-def _rect2ang_r(rect):
-	"""[...,3] -> ([...,{ra,dec}], r)."""
-	x, y, z = rect[..., 0], rect[..., 1], rect[..., 2]
-	r = np.sqrt(x*x + y*y + z*z)
-	ra = np.mod(np.arctan2(y, x), 2*np.pi)
-	dec = np.arcsin(np.clip(z/np.maximum(r, 1e-300), -1, 1))
-	return np.stack([ra, dec], -1), r
-
-
 class KeplerEphem(Ephem):
 	"""Analytic geocentric ephemeris from JPL mean Keplerian elements
 	(planets, arcmin-level 1800-2050) plus low-precision Sun/Moon. Purely
 	numpy; ignores the site (topocentric parallax is below its accuracy
 	for everything but the Moon)."""
 	def __init__(self, capitalize=True):
-		bodies = [n for n in _ELEMENTS if n != "Earth"] + ["Sun", "Moon"]
-		super().__init__(bodies=bodies, capitalize=capitalize)
-	def eval(self, name, ctime, cartesian=False, site=None):
-		if self.capitalize: name = name.capitalize()
-		ctime = np.asarray(ctime, float)
+		super().__init__(
+			bodies=[n for n in _ELEMENTS if n != "Earth"] + ["Sun", "Moon"],
+			capitalize=capitalize)
+	def _rect(self, name, ctime, site):
 		T = (ctime/86400.0 + 40587.0 - 51544.5)/36525.0  # centuries from J2000
 		earth = _ecl2equ(_helio_ecl("Earth", T))
 		if name == "Sun":
-			rect = -earth
-		elif name == "Moon":
-			rect = _moon_rect(T)
-		elif name in _ELEMENTS:
-			rect = _ecl2equ(_helio_ecl(name, T)) - earth
-		else:
-			raise KeyError("KeplerEphem has no body '%s'" % name)
-		if cartesian: return rect
-		return _rect2ang_r(rect)
+			return -earth
+		if name == "Moon":
+			return _moon_rect(T)
+		if name in _ELEMENTS:
+			return _ecl2equ(_helio_ecl(name, T)) - earth
+		raise KeyError("KeplerEphem has no body '%s'" % name)
 
 
 def _make_default():
@@ -337,12 +313,9 @@ class EphemPrecomputed(Ephem):
 		ra  = np.interp(mjd, self.mjds, np.unwrap(self.poss[0]))
 		dec = np.interp(mjd, self.mjds, self.poss[1])
 		return np.stack([np.asarray(ra) % (2*np.pi), np.asarray(dec)])
-	def eval(self, name, ctime, cartesian=False, site=None):
-		mjd = np.asarray(ctime, float)/86400.0 + 40587.0
-		pos = np.moveaxis(self.pos(name, mjd), 0, -1)
-		r = np.ones(pos.shape[:-1])
-		if cartesian: return _ang2rect(pos)*r[..., None]
-		return pos, r
+	def _rect(self, name, ctime, site):
+		mjd = ctime/86400.0 + 40587.0
+		return _ang2rect(np.moveaxis(self.pos(name, mjd), 0, -1))
 
 def interpol_pos(name, mjd1, mjd2, n=100, ephem=None):
 	"""Precompute positions over an mjd range for fast interpolation."""

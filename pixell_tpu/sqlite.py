@@ -1,140 +1,169 @@
-"""Convenience wrapper over sqlite3 connections (reference pixell/sqlite.py):
-a connection object that also exposes its table/column inventory, pretty
-printing, backup/attach/derive helpers."""
-import sqlite3, contextlib, tempfile, os
+"""sqlite conveniences (role of reference pixell/sqlite.py).
+
+One wrapper class, `SQL`, around an sqlite3 connection: schema inventory,
+tabular pretty-printing, backup/attach/derive across databases, plus numpy
+array round-trips (write_array/read_array, absorbed from the former
+sqlite_util module). Reference API names are kept (SQL, tables, columns,
+rows, show, format_result, backup, attach, derive) but the logic is
+class-centric: the module-level helpers are thin forwards to SQL methods
+instead of the other way around.
+"""
+from __future__ import annotations
+import contextlib
+import sqlite3
+import numpy as np
+
+_LIST_TABLES = "select name from sqlite_master where type='table'"
+
+
+def _raw(obj):
+	"""The underlying sqlite3 connection of an SQL, a connection, or None."""
+	if isinstance(obj, SQL): return obj.conn
+	if isinstance(obj, sqlite3.Connection): return obj
+	return None
 
 
 class SQL:
+	"""An sqlite database handle. fname can be a path, ":memory:", a
+	file: URI, another SQL object or a raw connection. mode: "ro"
+	(default), "rw", "rwc", or None for sqlite's own defaults."""
 	def __init__(self, fname=":memory:", mode="ro"):
-		"""Open an sqlite database. mode: ro (default), rw, rwc
-		(reference sqlite.SQL)."""
-		if isinstance(fname, str):
-			try:
-				if fname == ":memory:" or fname.startswith("file:") or mode is None:
-					self.conn = sqlite3.connect(fname)
-				else:
-					self.conn = sqlite3.connect("file:%s?mode=%s" % (fname, mode), uri=True)
-			except sqlite3.OperationalError as e:
-				raise sqlite3.OperationalError(str(e) + " " + fname)
-			self.fname = fname
-			self.own = True
-		elif hasattr(fname, "conn"):
-			self.conn = fname.conn
-			self.fname = get_fname(self.conn)
+		conn = _raw(fname)
+		if conn is not None:
+			self.conn = conn
+			self.fname = self.path()
 			self.own = False
-		elif hasattr(fname, "execute"):
-			self.conn = fname
-			self.fname = get_fname(self.conn)
-			self.own = False
-		else:
-			raise ValueError("SQL.__init__ needs a file name, an SQL object or a connection")
-	def execute(self, command, args=[]):
+			return
+		if not isinstance(fname, str):
+			raise ValueError("SQL needs a path, an SQL object or a connection")
+		uri = fname
+		if mode is not None and not (fname == ":memory:" or
+				fname.startswith("file:")):
+			uri = "file:%s?mode=%s" % (fname, mode)
+		try:
+			self.conn = sqlite3.connect(uri, uri=uri.startswith("file:"))
+		except sqlite3.OperationalError as e:
+			raise sqlite3.OperationalError("%s (%s)" % (e, fname))
+		self.fname = fname
+		self.own = True
+	# --- core ---
+	def execute(self, command, args=()):
 		return self.conn.execute(command, args)
-	def executemany(self, command, args=[]):
+	def executemany(self, command, args=()):
 		return self.conn.executemany(command, args)
-	def derive(self, query, tname="result", aname="_src"):
-		return derive(self.conn, query, tname=tname, aname=aname)
+	def query(self, command, args=()):
+		return self.conn.execute(command, args).fetchall()
+	def commit(self):
+		self.conn.commit()
 	def close(self):
-		if self.own: self.conn.close()
-	def backup(self, other): backup(self, other)
+		if self.own:
+			self.conn.close()
+	def path(self):
+		"""File behind the main database ('' for memory databases)."""
+		return self.query("pragma database_list")[0][2]
+	# --- schema ---
+	def tables(self):
+		return [name for (name,) in self.query(_LIST_TABLES)]
+	def columns(self, tname):
+		return [row[1] for row in self.query("pragma table_info(%r)" % tname)]
+	def nrow(self, tname):
+		return self.query("select count(*) from %s" % tname)[0][0]
+	# --- display ---
+	def show(self, what, limit=10):
+		"""Print a table (pass its name) or the result of a full query."""
+		q = what if len(what.split()) > 1 else "select * from " + what
+		if "limit" not in q.lower().split():
+			q += " limit %d" % (limit + 1)
+		else:
+			limit = None
+		print(format_result(self.query(q), limit=limit))
+	# --- cross-database ---
+	def backup(self, target):
+		self.conn.backup(_raw(target) if _raw(target) is not None else target)
+	@contextlib.contextmanager
 	def attach(self, other, name="other", mode="r"):
-		return attach(self, other, name=name, mode=mode)
-	def tables(self): return tables(self)
-	def columns(self, tname): return columns(self, tname)
-	def show(self, table, limit=10): return show(self, table, limit=limit)
-	def __repr__(self):
-		return info(self, "SQL", extra=["fname='%s'" % self.fname, "own=%d" % self.own])
-	def __enter__(self): return self
-	def __exit__(self, *args, **kwargs):
+		"""Temporarily attach another database under the given name."""
+		src = other if isinstance(other, str) else SQL(other).path()
+		self.execute("attach database ? as %s" % name, (src,))
+		try:
+			yield self
+		finally:
+			self.execute("detach database %s" % name)
+	def derive(self, query, tname="result", aname="_src"):
+		"""New memory database holding table tname = this query's result."""
+		out = SQL(":memory:", mode=None)
+		src = self.path()
+		if src:
+			with out.attach(src, name=aname):
+				out.execute("create table %s as %s" % (tname, query))
+		else:
+			# memory db: can't attach by path; copy rows through python
+			data = self.query(query)
+			if data:
+				ncol = len(data[0])
+				cols = ",".join("c%d" % i for i in range(ncol))
+				out.execute("create table %s (%s)" % (tname, cols))
+				out.executemany("insert into %s values (%s)" % (
+					tname, ",".join("?"*ncol)), data)
+		return out
+	# --- numpy round trips (formerly sqlite_util) ---
+	def write_array(self, table, arr, names=None):
+		arr = np.asarray(arr)
+		if arr.ndim == 1: arr = arr[:, None]
+		ncol = arr.shape[1]
+		if names is None: names = ["c%d" % i for i in range(ncol)]
+		self.execute("create table if not exists %s (%s)" % (
+			table, ",".join("%s real" % c for c in names)))
+		self.executemany("insert into %s values (%s)" % (
+			table, ",".join("?"*ncol)),
+			[tuple(float(v) for v in row) for row in arr])
+		self.commit()
+	def read_array(self, table):
+		return np.array(self.query("select * from %s" % table))
+	# --- protocol ---
+	def __enter__(self):
+		return self
+	def __exit__(self, *exc):
 		self.close()
+	def __repr__(self):
+		descs = ["%s[%s]x%d" % (t, ",".join(self.columns(t)), self.nrow(t))
+			for t in self.tables()]
+		return "SQL(fname=%r, own=%s, tables={%s})" % (
+			self.fname, self.own, "; ".join(descs))
 
 
-def tables(conn):
-	return [e[0] for e in conn.execute("SELECT name from sqlite_master WHERE type='table';")]
+def open(fname=":memory:", mode=None):
+	return SQL(fname, mode=mode)
 
-def columns(conn, tname):
-	return [c[1] for c in conn.execute("PRAGMA table_info('%s');" % tname)]
+# Module-level forwards for reference API parity
+def tables(conn):  return SQL(conn).tables()
+def columns(conn, tname): return SQL(conn).columns(tname)
+def rows(conn, tname): return SQL(conn).nrow(tname)
+def get_fname(conn):
+	return conn if isinstance(conn, str) else SQL(conn).path()
+def backup(source, target): SQL(source).backup(target)
+def attach(conn_base, conn_other, name="other", mode="r"):
+	return SQL(conn_base).attach(conn_other, name=name, mode=mode)
+def derive(conn, query, tname="result", aname="_src"):
+	return SQL(conn).derive(query, tname=tname, aname=aname)
+def show(conn, table, limit=10): SQL(conn).show(table, limit=limit)
+def info(conn, name="Connection", extra=()):
+	db = SQL(conn)
+	body = repr(db)
+	return "%s(%s)" % (name, ", ".join([body] + list(extra)))
 
-def rows(conn, tname):
-	return list(conn.execute("select count(*) from %s" % tname))[0][0]
-
-def info(conn, name="Connection", extra=[]):
-	tnames = tables(conn)
-	coldescs = ["%s*%d" % (str(columns(conn, t)), rows(conn, t)) for t in tnames]
-	tabdescs = ", ".join("%s:%s" % (t, c) for t, c in zip(tnames, coldescs))
-	return "%s(%s)" % (name, ", ".join(["tables=[%s]" % tabdescs] + extra))
-
-def show(conn, table, limit=10):
-	query = table
-	toks = query.split()
-	if len(toks) == 1:
-		query = "select * from " + toks[0]
-	limit_included = "limit" in toks or "LIMIT" in toks
-	if not limit_included:
-		query += " limit %d" % (limit + 1)
-	result = list(conn.execute(query))
-	if limit_included: limit = len(result)
-	print(format_result(result, limit=limit))
 
 def format_result(result, limit=None):
-	if limit is None: limit = len(result)
-	if len(result) == 0: return "<empty>"
-	trunc = len(result) > limit
-	if trunc: result = result[:limit]
-	widths = [0 for _ in result[0]]
-	for row in result:
-		for fi, field in enumerate(row):
-			widths[fi] = max(widths[fi], len(str(field)))
-	fmt = " ".join("%%%ds" % w for w in widths)
-	lines = [fmt % tuple(row) for row in result]
-	if trunc: lines.append("...")
+	"""Rows -> aligned text table; appends '...' when truncated to limit."""
+	result = list(result)
+	if not result:
+		return "<empty>"
+	shown = result if limit is None else result[:limit]
+	cells = [[str(v) for v in row] for row in shown]
+	widths = [max(len(row[i]) for row in cells)
+		for i in range(len(cells[0]))]
+	lines = ["  ".join(c.rjust(w) for c, w in zip(row, widths))
+		for row in cells]
+	if len(shown) < len(result):
+		lines.append("...")
 	return "\n".join(lines)
-
-def get_fname(conn):
-	if isinstance(conn, str): return conn
-	row = next(conn.execute("pragma database_list"))
-	return row[2]
-
-def backup(source, target):
-	if hasattr(source, "conn"): source = source.conn
-	if hasattr(target, "conn"): target = target.conn
-	source.backup(target)
-
-@contextlib.contextmanager
-def attach(conn_base, conn_other, name="other", mode="r"):
-	"""Temporarily attach conn_other to conn_base under the given name
-	(reference sqlite.attach). Read-only attach copies via a temp file when
-	needed."""
-	if hasattr(conn_base, "conn"): conn_base = conn_base.conn
-	fname = conn_other if isinstance(conn_other, str) else get_fname(
-		conn_other.conn if hasattr(conn_other, "conn") else conn_other)
-	conn_base.execute("ATTACH DATABASE ? AS %s" % name, (fname,))
-	try:
-		yield conn_base
-	finally:
-		conn_base.execute("DETACH DATABASE %s" % name)
-
-def derive(conn, query, tname="result", out_conn=None, aname="_src"):
-	"""Create a new table (in a new memory db by default) from a query on
-	conn (reference sqlite.derive)."""
-	if hasattr(conn, "conn"): conn = conn.conn
-	if out_conn is None:
-		out = SQL(":memory:", mode=None)
-	else:
-		out = out_conn if isinstance(out_conn, SQL) else SQL(out_conn)
-	src = get_fname(conn)
-	if src and src != "":
-		out.conn.execute("ATTACH DATABASE ? AS %s" % aname, (src,))
-		try:
-			out.conn.execute("CREATE TABLE %s AS %s" % (tname, query))
-		finally:
-			out.conn.execute("DETACH DATABASE %s" % aname)
-	else:
-		rows_ = list(conn.execute(query))
-		if rows_:
-			ncol = len(rows_[0])
-			out.conn.execute("CREATE TABLE %s (%s)" % (tname,
-				",".join("c%d" % i for i in range(ncol))))
-			out.conn.executemany("INSERT INTO %s VALUES (%s)" % (tname,
-				",".join("?"*ncol)), rows_)
-	return out

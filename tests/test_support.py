@@ -86,7 +86,7 @@ def test_memory_module():
 	assert memory.resident() > 0
 
 def test_sqlite_module():
-	from pixell_tpu import sqlite_util as sqlite
+	from pixell_tpu import sqlite
 	with sqlite.open() as db:
 		db.write_array("t", np.arange(12.0).reshape(4, 3))
 		back = db.read_array("t")
@@ -185,3 +185,29 @@ def test_old_aberration_helpers():
 	pos = np.array([np.linspace(0, 1, 5), np.linspace(-0.5, 0.5, 5)])
 	res = oab.remap(pos, oab.dir_equ, beta)
 	assert res.shape[0] == 4  # ra, dec, pol rotation, modulation
+
+
+def test_device_module():
+	from pixell_tpu import device
+	dev = device.get_device()
+	assert dev.kind in ("cpu", "tpu")
+	x = dev.put(np.arange(5.0))
+	assert np.allclose(dev.get(x), np.arange(5.0))
+	dev.synchronize()
+	assert dev.time() > 0
+	assert dev.memuse() >= 0 and dev.memuse("peak") >= 0
+	# workspace: reuse-compatible buffers, explicit checkout
+	ws = dev.workspace("cg")
+	b = ws.ensure("r", (4, 4))
+	assert b.shape == (4, 4) and float(jnp.sum(b)) == 0
+	ws.give("p", dev.put(np.ones((2,))))
+	assert "p" in ws and ws.nbytes > 0
+	p = ws.take("p")
+	assert "p" not in ws and np.allclose(dev.get(p), 1)
+	assert dev.memuse("workspaces") == ws.nbytes
+	# donation-based iteration compiles and runs
+	step = device.donating_jit(lambda x: x + 1)
+	y = dev.put(np.zeros(3, np.float32))
+	for _ in range(3):
+		y = step(y)
+	assert np.allclose(dev.get(y), 3)
