@@ -113,6 +113,12 @@ def _prepare_geom(theta, mmax, dtype):
 		st_safe = np.where(pole, 1.0, st64)
 		f = lambda x: jnp.asarray(np.asarray(x, np.float64).astype(dtype))
 		st = f(st64); ct = f(ct64)
+		# two-part cos(theta) for the f32 recurrence: a plain f32 cos has
+		# ~3e-8 ABSOLUTE error near the poles (ct ~ 1) which the recurrence
+		# amplifies to O(1); carry the f64 remainder as a separate low part
+		# (same fix as the Pallas kernels' cth/ctl)
+		ct_lo = f(ct64 - np.asarray(ct, np.float64)) \
+			if np.dtype(dtype) == np.float32 else jnp.zeros_like(ct)
 		ct_st = f(ct64/st_safe)
 		inv_st = f(np.where(pole, 0.0, 1/st_safe))
 		inv_st2 = f(np.where(pole, 0.0, 1/(st_safe*st_safe)))
@@ -121,6 +127,7 @@ def _prepare_geom(theta, mmax, dtype):
 		theta = jnp.asarray(theta, dtype)
 		st = jnp.sin(theta)
 		ct = jnp.cos(theta)
+		ct_lo = jnp.zeros_like(ct)
 		pole = jnp.abs(st) < 1e-12
 		st_safe = jnp.where(pole, 1.0, st)
 		ct_st = (ct/st_safe).astype(dtype)
@@ -142,7 +149,7 @@ def _prepare_geom(theta, mmax, dtype):
 	pref = np.sqrt((2*m + 1)/(4*np.pi))*np.where(m.astype(int) % 2 == 0, 1.0, -1.0)
 	val = val*jnp.asarray(pref.astype(dtype))[:, None]
 	return dict(
-		ct=ct, st=st, seed_val=val, seed_level=level,
+		ct=ct, ct_lo=ct_lo, st=st, seed_val=val, seed_level=level,
 		ct_st=ct_st, inv_st=inv_st, inv_st2=inv_st2, notpole=notpole)
 
 
@@ -230,16 +237,22 @@ def _scan_core(theta, lmax, mmax, mode, dtype, synth, A=None, F=None, ncoef=None
 	curr0 = jnp.zeros((nm, nt), dtype)
 	lev0  = jnp.zeros((nm, nt), dtype)
 
+	xlo = g["ct_lo"][None, :]
+
 	def step(l, prev, curr, lev):
 		"""One recurrence step: returns updated (prev, curr, lev) and the true
 		lambda_l, lambda_{l-1} values."""
 		lf = jnp.asarray(l, dtype)
 		# numerator clamped >= 0 so that pre-seed rows (l < m) stay exactly 0
-		# instead of becoming NaN (which would poison emissions via NaN*0)
-		a = jnp.sqrt(jnp.maximum(4*lf*lf - 1, 0.0)/jnp.maximum(lf*lf - m2, 0.25))[:, None]
-		b = jnp.sqrt(jnp.maximum((lf-1)*(lf-1) - m2, 0.0)
-			/ jnp.maximum(4*(lf-1)*(lf-1) - 1, 1.0))[:, None]
-		new = a*(x*curr - b*prev)
+		# instead of becoming NaN (which would poison emissions via NaN*0).
+		# FACTORED differences ((l-m)(l+m), exact in f32 up to l ~ 8M) dodge
+		# the l^2 - m^2 cancellation above l = 4096 (same as the Pallas
+		# kernels' ab tables, sht_pallas._recur_ab_tables).
+		a = jnp.sqrt(jnp.maximum((2*lf - 1)*(2*lf + 1), 0.0)
+			/ jnp.maximum((lf - marr)*(lf + marr), 0.25))[:, None]
+		b = jnp.sqrt(jnp.maximum((lf - 1 - marr)*(lf - 1 + marr), 0.0)
+			/ jnp.maximum((2*lf - 3)*(2*lf - 1), 1.0))[:, None]
+		new = a*((x*curr + xlo*curr) - b*prev)
 		seedmask = (marr == lf)[:, None]
 		new = jnp.where(seedmask, g["seed_val"], new)
 		lev = jnp.where(seedmask, g["seed_level"], lev)

@@ -14,10 +14,11 @@ LMAX = 24
 
 
 def _check(mode, C, theta, tol_syn=None, tol_ana=None):
-	# spin-2 has inherent f32 pole noise (inv_st2 cancellations): the f32
-	# scan itself is ~2e-4 relative off f64 there
-	if tol_syn is None: tol_syn = 4e-4 if mode == "spin2" else 1e-4
-	if tol_ana is None: tol_ana = 4e-4 if mode == "spin2" else 3e-4
+	# spin-2 has inherent f32 pole noise (inv_st2 cancellations); measured
+	# worst-case errors vs the f64 scan are ~3e-5 (spin2) / ~4e-6 (others)
+	# after the ab-table + two-part-cos fixes, tolerances 3x above that
+	if tol_syn is None: tol_syn = 1e-4 if mode == "spin2" else 1.2e-5
+	if tol_ana is None: tol_ana = 1e-4 if mode == "spin2" else 1.2e-5
 	lmax = mmax = LMAX
 	nfun = sht_core.NFUN[mode]
 	nt = len(theta)
