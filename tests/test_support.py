@@ -40,7 +40,7 @@ def test_enplot_pipeline(tmp_path):
 	shape, wcs = enmap.fullsky_geometry(res=5*utils.degree)
 	rng = np.random.default_rng(2)
 	m = enmap.ndmap(rng.standard_normal(shape), wcs)
-	plots = enplot.plot(m, "-g --colorbar --ticks 45 --contours 1.0")
+	plots = enplot.plot(m, "-b --ticks 45 --contours 1.0")
 	fname = str(tmp_path/"plot.png")
 	enplot.write(fname, plots)
 	import os
@@ -211,3 +211,67 @@ def test_device_module():
 	for _ in range(3):
 		y = step(y)
 	assert np.allclose(dev.get(y), 3)
+
+
+def test_enplot_option_parity():
+	"""Every option of the reference's argument language (reference
+	enplot.py:251-347) must parse, and the load-bearing ones must change the
+	output."""
+	ref_flags = ["-o", "--oname", "-c", "--color", "-r", "--range", "--min",
+		"--max", "-q", "--quantile", "-v", "-u", "-s", "--upgrade", "--scale",
+		"--verbosity", "--method", "--slice", "--sub", "--geometry", "-H",
+		"--hdu", "--address", "--op", "--op2", "-d", "--downgrade",
+		"--prefix", "--suffix", "--odir", "--ext", "-m", "--mask",
+		"--mask-tol", "-g", "--grid", "--grid-color", "--grid-width", "-t",
+		"--ticks", "--tick-unit", "--tu", "--nolabels", "--nstep",
+		"--subticks", "-b", "--colorbar", "--font", "--font-size",
+		"--font-color", "-D", "--driver", "--mpl-dpi", "--mpl-pad", "--rgb",
+		"--rgb-mode", "--reverse-color", "-a", "--autocrop", "-A",
+		"--autocrop-each", "-L", "--layers", "--no-image", "-C", "--contours",
+		"--contour-type", "--contour-color", "--contour-width", "--annotate",
+		"--annotate-maxrad", "--stamps", "--tile", "--tile-transpose",
+		"--tile-dims", "-S", "--symmetric", "-z", "--zenith", "-F",
+		"--fix-wcs", "--pos-ra", "-E", "--nonempty"]
+	parser = enplot.define_arg_parser()
+	known = set()
+	for action in parser._actions:
+		known.update(action.option_strings)
+	missing = [f for f in ref_flags if f not in known]
+	assert not missing, "missing reference enplot flags: %s" % missing
+
+def test_enplot_option_behavior(tmp_path):
+	shape, wcs = enmap.fullsky_geometry(res=10*utils.degree)
+	rng = np.random.default_rng(3)
+	m = enmap.ndmap(rng.standard_normal((3,) + shape), wcs)
+	# rgb consumes all 3 components into one image
+	p_rgb = enplot.plot(m, "--rgb")
+	assert len(p_rgb) == 1
+	# default: one plot per component, named with {comp}
+	p3 = enplot.plot(m, "--prefix x_ --ext png")
+	assert len(p3) == 3 and p3[0].name.startswith("x_") \
+		and p3[0].name.endswith("_0.png")
+	# tile stacks components into one image
+	p_tile = enplot.plot(m, "--tile 1,3")
+	assert len(p_tile) == 1
+	assert p_tile[0].img.size[0] == 3*p3[0].img.size[0]
+	# slicing and ops apply before plotting
+	p_sl = enplot.plot(m, "--slice 0 --op m*0+1 -g")
+	assert len(p_sl) == 1
+	# upgrade changes pixel size; downgrade shrinks
+	p_u = enplot.plot(m[0], "-u 3 -g")
+	assert p_u[0].img.size[0] == 3*shape[-1]
+	# layers mode emits separate map/grid/label images
+	p_lay = enplot.plot(m[0], "-L --ticks 45")
+	assert len(p_lay) == 3
+	# nonempty skips fully-masked fields
+	m2 = m.copy(); m2 = enmap.samewcs(np.asarray(m2), m2)
+	m2[0] = 0
+	p_ne = enplot.plot(enmap.ndmap(m2, wcs), "-E -m 0")
+	assert len(p_ne) == 2
+	# mpl driver works
+	p_mpl = enplot.plot(m[0], "-D mpl -b")
+	assert p_mpl[0].img.size[0] > 10
+	# reverse-color changes pixels
+	a = np.asarray(enplot.plot(m[0], "")[0].img)
+	b = np.asarray(enplot.plot(m[0], "--reverse-color")[0].img)
+	assert not np.array_equal(a, b)
