@@ -389,6 +389,15 @@ def _wigner_seeds(theta, mmax, s, dtype):
 		big = jnp.abs(v) > 2.0**S
 		v = jnp.where(big, v*2.0**-S, v)
 		lv = jnp.where(big, lv + 1.0, lv)
+		# canonicalize to level <= 0 wherever the value allows it: the
+		# recurrence emits only at level 0 (val) and -1 (val*2^-S), so an
+		# O(1) seed stored as (2^-S, level=+1) -- which happens near the
+		# seed's peak for m with log2 N > S, i.e. m > ~61 in f32 -- would
+		# otherwise be silently dropped
+		for _ in range(2):
+			down = (lv > 0) & (jnp.abs(v) <= 1.0)
+			v = jnp.where(down, v*2.0**S, v)
+			lv = jnp.where(down, lv - 1.0, lv)
 		return v, lv
 	vp, lp = build(Npv, Npl, a, b)
 	vm, lm = build(Nmv, Nml, b, a)

@@ -99,6 +99,32 @@ def _recur_ab_tables(nlp, nmp):
 	return jnp.stack([a, b])
 
 
+def _wigner_ab_tables(nlp, nmp, s, branch):
+	"""Recurrence tables [3, nlp, nmp] f32 for the general-spin Wigner-d
+	recurrence (sht_core._wigner_scan_core): row 0 = 1/v(l), row 1 = v(l-1),
+	row 2 = sgn*m*s/((l-1)l) (the additive cos-theta offset), where
+	v(l) = sqrt((l^2-m^2)(l^2-s^2)) / (l sqrt(4l^2-1)) and sgn = +1 for the
+	+s branch (branch 0), -1 for the -s branch (branch 1). Rows are zeroed
+	at l <= l0 = max(m, s) where the recurrence is dead (the seed overwrites
+	state at l0). Factored differences like the Legendre tables."""
+	sf = float(s)
+	sgn = 1.0 if branch == 0 else -1.0
+	l = jnp.arange(nlp, dtype=jnp.float32)[:, None]
+	m = jnp.arange(nmp, dtype=jnp.float32)[None, :]
+	l0 = jnp.maximum(m, sf)
+	def v(lv):
+		num = jnp.maximum((lv - m)*(lv + m)*(lv - sf)*(lv + sf), 0.0)
+		den = jnp.maximum(lv*jnp.sqrt(jnp.maximum(4*lv*lv - 1, 0.0)), 1.0)
+		return jnp.sqrt(num)/den
+	vl = v(l)
+	a = jnp.where(vl > 0, 1.0/jnp.maximum(vl, 1e-30), 0.0)
+	b = v(l - 1)
+	c = sgn*m*sf/jnp.maximum((l - 1)*l, 1.0)
+	live = l > l0
+	return jnp.stack([jnp.where(live, a, 0.0), jnp.where(live, b, 0.0),
+		jnp.where(live, c, 0.0)])
+
+
 def _two_prod_xla(x, y):
 	"""Exact product as (hi, lo) in XLA f32 (correctly-rounded mul + Dekker)."""
 	p = x*y
@@ -142,19 +168,24 @@ def _recur_ab_tables_ds(nlp, nmp):
 
 
 def _step_block(l, marr, m2, ct, seedv, seedl, prev, curr, lev, fac_m1,
-		a=None, b=None, ctl=None):
+		a=None, b=None, ctl=None, cadd=None, l0col=None):
 	"""One recurrence step on a [MB, TB] tile. Returns updated state and the
 	true lambda_l / lambda_{l-1} (unscaled). a/b are the [MB,1] coefficient
 	columns from _recur_ab_tables (fallback: in-kernel computation, only
-	safe where Mosaic sqrt precision does not matter)."""
+	safe where Mosaic sqrt precision does not matter). cadd ([MB,1]) is an
+	additive offset on cos(theta) and l0col the seed degree column (both
+	used by the general-spin Wigner recurrence; default Legendre: seed at
+	l = m, no offset)."""
 	lf = l.astype(jnp.float32)
 	if a is None:
 		a = jnp.sqrt(jnp.maximum(4*lf*lf - 1, 0.0)/jnp.maximum(lf*lf - m2, 0.25))
 		b = jnp.sqrt(jnp.maximum((lf-1)*(lf-1) - m2, 0.0)
 			/ jnp.maximum(4*(lf-1)*(lf-1) - 1, 1.0))
 	t = ct*curr if ctl is None else ct*curr + ctl*curr
+	if cadd is not None:
+		t = t + cadd*curr
 	new = a*(t - b*prev)
-	seedmask = (marr == lf)
+	seedmask = ((marr if l0col is None else l0col) == lf)
 	new = jnp.where(seedmask, seedv, new)
 	lev = jnp.where(seedmask, seedl, lev)
 	currz = jnp.where(seedmask, 0.0, curr)
@@ -278,9 +309,11 @@ def _make_stepper(ds):
 	curr_lo, lev). step returns (state, lam, lam1)."""
 	if not ds:
 		def prep_ct(ct, ctl): return (ct, ctl)
-		def step(l, marr, m2, th_ct, sv, sl, st, fac_m1, a, b, alo=None, blo=None):
+		def step(l, marr, m2, th_ct, sv, sl, st, fac_m1, a, b, alo=None, blo=None,
+				cadd=None, l0col=None):
 			p, c, lv, lam, lam1 = _step_block(l, marr, m2, th_ct[0], sv, sl,
-				st[0], st[1], st[2], fac_m1, a=a, b=b, ctl=th_ct[1])
+				st[0], st[1], st[2], fac_m1, a=a, b=b, ctl=th_ct[1],
+				cadd=cadd, l0col=l0col)
 			return (p, c, lv), lam, lam1
 		def rescale(st, band, invband):
 			return _rescale(st[0], st[1], st[2], band, invband)
@@ -288,7 +321,10 @@ def _make_stepper(ds):
 	def prep_ct(ct, ctl):
 		h, lo = _split(ct)
 		return (ct, h, lo, ctl)
-	def step(l, marr, m2, th_ct, sv, sl, st, fac_m1, a, b, alo=None, blo=None):
+	def step(l, marr, m2, th_ct, sv, sl, st, fac_m1, a, b, alo=None, blo=None,
+			cadd=None, l0col=None):
+		assert cadd is None and l0col is None, \
+			"the DS stepper does not support the Wigner recurrence"
 		czh, czl, nh, nl_, lv, lam, lam1 = _step_block_ds(l, marr, m2,
 			th_ct[0], th_ct[1], th_ct[2], sv, sl,
 			st[0], st[1], st[2], st[3], st[4], fac_m1, a, b,
@@ -301,6 +337,10 @@ def _make_stepper(ds):
 
 def _make_funcs(mode):
 	"""Returns nfun and a function (l, marr, m2, th, lam, lam1) -> [u_f]."""
+	if mode == "wigner":
+		# general spin: lambda IS the mode function (one d-function branch
+		# per kernel pass; the w/x combination happens outside)
+		return 1, (lambda lf, marr, m2, th, lam, lam1: [lam])
 	midx = sht_core.MODES[mode]
 	def funcs(lf, marr, m2, th, lam, lam1):
 		ct, ct_st, inv_st, inv_st2, notpole = th[:5]
@@ -355,9 +395,11 @@ def _ct_parts(theta):
 	return jnp.asarray(cth), jnp.asarray(ctl)
 
 
-def _prep_inputs(theta, lmax, mmax, mode, tb=None, cth=None, ctl=None):
+def _prep_inputs(theta, lmax, mmax, mode, tb=None, cth=None, ctl=None, wig=None):
 	"""Host-side padding and seed/theta-function tables (f32). The th table
-	rows are [ct_hi, ct/st, 1/st, 1/st^2, notpole, ct_lo]."""
+	rows are [ct_hi, ct/st, 1/st, 1/st^2, notpole, ct_lo]. wig = (s, branch)
+	switches the seed tables to the Wigner-d seeds at l0 = max(m, s)
+	(branch 0 = +s, 1 = -s)."""
 	if tb is None: tb = TB
 	g = sht_core._prepare_geom(theta, mmax, np.float32)
 	nt = int(np.shape(theta)[0])
@@ -373,8 +415,13 @@ def _prep_inputs(theta, lmax, mmax, mode, tb=None, cth=None, ctl=None):
 	# dummy rings at theta=pi/2 (harmless; their output is discarded)
 	th = jnp.stack([padt(ct), padt(g["ct_st"]), padt(g["inv_st"]),
 		padt(g["inv_st2"]), padt(g["notpole"], 1.0), padt(ctlo)])
-	seedv = jnp.pad(g["seed_val"], ((0, nmp - nm), (0, ntp - nt)))
-	seedl = jnp.pad(g["seed_level"], ((0, nmp - nm), (0, ntp - nt)))
+	if wig is None:
+		sval, slev = g["seed_val"], g["seed_level"]
+	else:
+		wv, wl = sht_core._wigner_seeds(theta, mmax, wig[0], np.float32)
+		sval, slev = wv[wig[1]], wl[wig[1]]
+	seedv = jnp.pad(sval, ((0, nmp - nm), (0, ntp - nt)))
+	seedl = jnp.pad(slev, ((0, nmp - nm), (0, ntp - nt)))
 	return th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp)
 
 
@@ -431,17 +478,24 @@ def _synthesis_fast(A, theta, lmax, mmax, mode, interpret, ds=False):
 	return jnp.concatenate([north, south], -1)
 
 
-@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "interpret", "ds"))
+@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "interpret", "ds",
+	"wig_s", "wig_branch"))
 def _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode="scalar", interpret=False,
-		ds=False, cth=None, ctl=None):
-	"""Pallas version of sht_core.synthesis_scan (float32)."""
+		ds=False, cth=None, ctl=None, wig_s=None, wig_branch=0):
+	"""Pallas version of sht_core.synthesis_scan (float32). mode="wigner"
+	(with wig_s/wig_branch) runs one branch of the general-spin Wigner-d
+	recurrence instead of the Legendre one."""
 	A = jnp.asarray(A, jnp.float32)
+	wig = None if wig_s is None else (int(wig_s), int(wig_branch))
+	assert (mode == "wigner") == (wig is not None)
+	assert not (ds and wig)
 	nfun, funcs = _make_funcs(mode)
 	C = A.shape[-1]
 	tb = _pick_tb(nfun, C, nt=int(np.shape(theta)[0]), ds=ds)
-	th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp) = _prep_inputs(theta, lmax, mmax, mode, tb=tb, cth=cth, ctl=ctl)
-	ab = _recur_ab_tables_ds(nlp, nmp) if ds else _recur_ab_tables(nlp, nmp)
-	abrows = 4 if ds else 2
+	th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp) = _prep_inputs(theta, lmax, mmax, mode, tb=tb, cth=cth, ctl=ctl, wig=wig)
+	if wig: ab = _wigner_ab_tables(nlp, nmp, wig[0], wig[1])
+	else: ab = _recur_ab_tables_ds(nlp, nmp) if ds else _recur_ab_tables(nlp, nmp)
+	abrows = 3 if wig else (4 if ds else 2)
 	# layout: big axes minor so TPU (8,128) tiling doesn't pad the C axis
 	Ap = jnp.zeros((C, nlp, nmp), jnp.float32).at[:, :nl, :nm].set(
 		jnp.moveaxis(A, -1, 0))
@@ -468,6 +522,7 @@ def _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode="scalar", interpret=F
 			# let broadcasting expand over theta (cuts the sqrt work by tb)
 			marr = (im*MB + jax.lax.broadcasted_iota(jnp.int32, (MB, 1), 0)).astype(jnp.float32)
 			m2 = marr*marr
+			l0col = jnp.maximum(marr, float(wig[0])) if wig else None
 			thv = [th_ref[i, :][None, :] for i in range(6)]
 			th_ct = prep_ct(thv[0], thv[5])
 			st = tuple(r[:] for r in scratch)
@@ -477,9 +532,10 @@ def _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode="scalar", interpret=F
 				l = (il*LB + k).astype(jnp.float32)
 				ablo = (ab_ref[2, k, :][:, None], ab_ref[3, k, :][:, None]) \
 					if ds else (None, None)
+				cadd = ab_ref[2, k, :][:, None] if wig else None
 				st, lam, lam1 = stepf(l, marr, m2, th_ct, sv_ref[:], sl_ref[:],
 					st, fac_m1, ab_ref[0, k, :][:, None], ab_ref[1, k, :][:, None],
-					alo=ablo[0], blo=ablo[1])
+					alo=ablo[0], blo=ablo[1], cadd=cadd, l0col=l0col)
 				us = funcs(l, marr, m2, thv, lam, lam1)
 				for f in range(nfun):
 					for ci in range(C):
@@ -780,23 +836,30 @@ def _analysis_scan_pallas_sym(EO, theta_h, lmax, mmax, mode="scalar", interpret=
 	return jnp.moveaxis(jnp.sum(out, axis=0), 0, -1)[:nl, :nm]
 
 
-@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "interpret", "ds"))
+@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "interpret", "ds",
+	"wig_s", "wig_branch"))
 def _analysis_scan_pallas_full(F, theta, lmax, mmax, mode="scalar", interpret=False,
-		ds=False, cth=None, ctl=None):
+		ds=False, cth=None, ctl=None, wig_s=None, wig_branch=0):
 	"""Pallas version of sht_core.analysis_scan (float32).
-	F: [nfun, C, nm, nt] -> out [nl, nm, C].
+	F: [nfun, C, nm, nt] -> out [nl, nm, C]. mode="wigner" (with
+	wig_s/wig_branch) runs one branch of the general-spin Wigner-d
+	recurrence instead of the Legendre one.
 
 	Each (m-tile, theta-tile) cell runs the full l recurrence in VMEM and
 	writes its own partial-alm slab (every output block written exactly
 	once -- no revisit semantics needed); the theta-tile axis is then summed
 	outside the kernel."""
 	F = jnp.asarray(F, jnp.float32)
+	wig = None if wig_s is None else (int(wig_s), int(wig_branch))
+	assert (mode == "wigner") == (wig is not None)
+	assert not (ds and wig)
 	nfun, funcs = _make_funcs(mode)
 	C = F.shape[1]
 	tb = _pick_tb(nfun, C, nt=int(np.shape(theta)[0]), ds=ds)
-	th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp) = _prep_inputs(theta, lmax, mmax, mode, tb=tb, cth=cth, ctl=ctl)
-	ab = _recur_ab_tables_ds(nlp, nmp) if ds else _recur_ab_tables(nlp, nmp)
-	abrows = 4 if ds else 2
+	th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp) = _prep_inputs(theta, lmax, mmax, mode, tb=tb, cth=cth, ctl=ctl, wig=wig)
+	if wig: ab = _wigner_ab_tables(nlp, nmp, wig[0], wig[1])
+	else: ab = _recur_ab_tables_ds(nlp, nmp) if ds else _recur_ab_tables(nlp, nmp)
+	abrows = 3 if wig else (4 if ds else 2)
 	Fp = jnp.zeros((nfun, C, nmp, ntp), jnp.float32).at[:, :, :nm, :nt].set(F)
 	ntb = ntp//tb
 	grid = (nmp//MB, ntb, nlp//LB)
@@ -824,6 +887,7 @@ def _analysis_scan_pallas_full(F, theta, lmax, mmax, mode="scalar", interpret=Fa
 			# let broadcasting expand over theta (cuts the sqrt work by tb)
 			marr = (im*MB + jax.lax.broadcasted_iota(jnp.int32, (MB, 1), 0)).astype(jnp.float32)
 			m2 = marr*marr
+			l0col = jnp.maximum(marr, float(wig[0])) if wig else None
 			thv = [th_ref[i, :][None, :] for i in range(6)]
 			th_ct = prep_ct(thv[0], thv[5])
 			st = tuple(r[:] for r in scratch)
@@ -832,9 +896,10 @@ def _analysis_scan_pallas_full(F, theta, lmax, mmax, mode="scalar", interpret=Fa
 				l = (il*LB + k).astype(jnp.float32)
 				ablo = (ab_ref[2, k, :][:, None], ab_ref[3, k, :][:, None]) \
 					if ds else (None, None)
+				cadd = ab_ref[2, k, :][:, None] if wig else None
 				st, lam, lam1 = stepf(l, marr, m2, th_ct, sv_ref[:], sl_ref[:],
 					st, fac_m1, ab_ref[0, k, :][:, None], ab_ref[1, k, :][:, None],
-					alo=ablo[0], blo=ablo[1])
+					alo=ablo[0], blo=ablo[1], cadd=cadd, l0col=l0col)
 				us = funcs(l, marr, m2, thv, lam, lam1)
 				cols = []
 				for ci in range(C):
@@ -904,6 +969,50 @@ def analysis_scan_pallas_chunked(F, theta, lmax, mmax, mode="scalar", interpret=
 		cth, ctl = cp if cp is not None else (None, None)
 		part = _analysis_scan_pallas_full(F[..., i0:i1], theta[i0:i1], lmax, mmax,
 			mode=mode, interpret=interpret, ds=ds, cth=cth, ctl=ctl)
+		out = part if out is None else out + part
+	return out
+
+
+def wigner_synthesis_scan_pallas(A, theta, lmax, mmax, s, interpret=False):
+	"""Pallas fast path for sht_core.wigner_synthesis_scan (general spin,
+	float32): two passes of the full kernel -- one per d-function branch
+	(+s, -s) -- combined into the (w, x) mode functions
+	w = (lam_p + (-1)^s lam_m)/2, x = (lam_p - (-1)^s lam_m)/2.
+	A [nl, nm, C] -> G [2(fun), C, nm, nt]. Plain f32 recurrence (no
+	polar-DS pass): accuracy matches the "fast" Legendre kernels."""
+	A = jnp.asarray(A, jnp.float32)
+	cp = _ct_parts(theta)
+	cth, ctl = cp if cp is not None else (None, None)
+	Gp = _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode="wigner",
+		interpret=interpret, cth=cth, ctl=ctl, wig_s=int(s), wig_branch=0)[0]
+	Gm = _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode="wigner",
+		interpret=interpret, cth=cth, ctl=ctl, wig_s=int(s), wig_branch=1)[0]
+	sgs = np.float32((-1.0)**int(s))
+	return jnp.stack([0.5*(Gp + sgs*Gm), 0.5*(Gp - sgs*Gm)])
+
+
+def wigner_analysis_scan_pallas(F, theta, lmax, mmax, s, interpret=False):
+	"""Pallas fast path for sht_core.wigner_analysis_scan (general spin,
+	float32). F [2(fun), C, nm, nt] -> out [nl, nm, C]. The (w, x) data is
+	recombined per branch (w F0 + x F1 = lam_p Fp + lam_m Fm with
+	Fp = (F0+F1)/2, Fm = (-1)^s (F0-F1)/2), each branch runs the full
+	analysis kernel, theta-chunked like analysis_scan_pallas_chunked."""
+	F = jnp.asarray(F, jnp.float32)
+	sgs = np.float32((-1.0)**int(s))
+	Fb = jnp.stack([0.5*(F[0] + F[1]), 0.5*sgs*(F[0] - F[1])])
+	nt = F.shape[-1]
+	if not isinstance(theta, jax.core.Tracer): theta = np.asarray(theta, np.float64)
+	out = None
+	for i0 in range(0, nt, TCHUNK):
+		i1 = min(i0 + TCHUNK, nt)
+		cp = _ct_parts(theta[i0:i1])
+		cth, ctl = cp if cp is not None else (None, None)
+		part = None
+		for br in (0, 1):
+			p = _analysis_scan_pallas_full(Fb[br][None, ..., i0:i1], theta[i0:i1],
+				lmax, mmax, mode="wigner", interpret=interpret, cth=cth, ctl=ctl,
+				wig_s=int(s), wig_branch=br)
+			part = p if part is None else part + p
 		out = part if out is None else out + part
 	return out
 

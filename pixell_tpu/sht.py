@@ -47,6 +47,18 @@ def _anal_scan(F, theta, lmax, mmax, mode, dtype):
 		return sht_pallas.analysis_scan_pallas_chunked(F, theta, lmax, mmax, mode=mode)
 	return sht_core.analysis_scan(F, theta, lmax, mmax, mode=mode, dtype=dtype)
 
+def _wigner_synth_scan(A, theta, lmax, mmax, s, dtype):
+	if _pallas_ok(dtype):
+		from .ops import sht_pallas
+		return sht_pallas.wigner_synthesis_scan_pallas(A, theta, lmax, mmax, s)
+	return sht_core.wigner_synthesis_scan(A, theta, lmax, mmax, s, dtype=dtype)
+
+def _wigner_anal_scan(F, theta, lmax, mmax, s, dtype):
+	if _pallas_ok(dtype):
+		from .ops import sht_pallas
+		return sht_pallas.wigner_analysis_scan_pallas(F, theta, lmax, mmax, s)
+	return sht_core.wigner_analysis_scan(F, theta, lmax, mmax, s, dtype=dtype)
+
 
 # ---------------------------------------------------------------------------
 # alm layout: triangular m-major (healpy-compatible), same as reference
@@ -408,8 +420,7 @@ def synthesis(alm, theta, nphi, phi0=0.0, lmax=None, mmax=None, spin=(0, 2),
 				G = _synth_scan(A, theta, lmax, mmax, mode, ldt)
 			else:
 				# general spin via the Wigner-d recurrence engine
-				G = sht_core.wigner_synthesis_scan(A, theta, lmax, mmax, s,
-					dtype=ldt)
+				G = _wigner_synth_scan(A, theta, lmax, mmax, s, ldt)
 			Gc = _coef2c(G, 2)                               # [..., 2(fun), 2(EB), nm, nt]
 			# (P1 + iP2) = -sum (a1 + i a2) sY;  (P1 - iP2) = -(-1)^s sum (a1 - i a2) -sY
 			# both reduce to P1_m = -(w a1 + i x a2), P2_m = -(w a2 - i x a1)
@@ -544,8 +555,7 @@ def adjoint_synthesis_phase(F, theta, lmax, mmax=None, spin=(0, 2),
 				mode = "spin1" if s == 1 else "spin2"
 				A = _anal_scan(Fr, theta, lmax, mmax, mode, ldt)
 			else:
-				A = sht_core.wigner_analysis_scan(Fr, theta, lmax, mmax, s,
-					dtype=ldt)
+				A = _wigner_anal_scan(Fr, theta, lmax, mmax, s, ldt)
 			A = A.reshape(A.shape[:-1] + (2, 2))
 			rect = jax.lax.complex(A[..., 0], A[..., 1])
 			rect = jnp.moveaxis(rect, -1, -3)

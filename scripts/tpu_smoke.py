@@ -128,6 +128,19 @@ def main():
 		return fn, (jnp.zeros((1, nt, nphi), f32),)
 	checks.append(("chunked analysis nt>TCHUNK", mk_chunked))
 
+	# --- general spin (Wigner-d kernels, mode="wigner", both branches) ---
+	def mk_wigner():
+		lmax = 400
+		nt, nphi = 2*lmax+2, 2*lmax+4
+		theta = jnp.asarray(sht.ring_theta("F1", nt), f32)
+		w = jnp.asarray(sht.ring_weights("F1", nt), f32)
+		def fn(maps):
+			alm = sht.analysis(maps, theta, lmax, w, spin=(3,))
+			return sht.synthesis(alm, theta, nphi, lmax=lmax, spin=(3,),
+				map_dtype=f32)
+		return fn, (jnp.zeros((2, nt, nphi), f32),)
+	checks.append(("general spin-3 wigner kernels", mk_wigner))
+
 	# --- alm pack/unpack at lmax 5000 shapes (pure XLA, cheap) ---
 	def mk_pack():
 		lmax = 5000

@@ -84,3 +84,57 @@ def test_polar_ds_kernels():
 		theta, lmax, lmax, mode="scalar", interpret=True, ds=True,
 		cth=cp[0], ctl=cp[1]))
 	assert np.abs(a - a64).max() < 2e-6*np.abs(a64).max()
+
+
+def test_wigner_seed_levels():
+	"""The wigner seed tables must canonicalize scaled levels to <= 0
+	wherever the value is representable: the recurrence emits only at
+	level 0/-1, so an O(1) seed left at (tiny val, level=+1) -- which the
+	raw three-factor product produces near the seed peak once log2 N_m > S,
+	i.e. m > ~61 in f32 -- would be silently dropped (caught on-chip as a
+	0.22 rel roundtrip error at lmax 200)."""
+	s = 3
+	mmax = 300
+	theta = (np.arange(128)+0.5)*np.pi/128
+	v32, l32 = sht_core._wigner_seeds(jnp.asarray(theta), mmax, s, np.float32)
+	v64, l64 = sht_core._wigner_seeds(jnp.asarray(theta), mmax, s, np.float64)
+	v32, l32, v64, l64 = map(np.asarray, (v32, l32, v64, l64))
+	S32 = sht_core._scale_log2(np.float32)
+	S64 = sht_core._scale_log2(np.float64)
+	t32 = np.log2(np.abs(v32) + 1e-300) + l32*S32
+	t64 = np.log2(np.abs(v64) + 1e-300) + l64*S64
+	mask = t64 > -40           # values that matter in f32
+	assert not (l32[mask] > 0).any(), "representable seed left at level>0"
+	assert np.abs(t32 - t64)[mask].max() < 1e-4
+	assert (np.sign(v32) == np.sign(v64))[mask].all()
+
+
+@pytest.mark.parametrize("s", [2, 3, 4])
+def test_wigner_pallas_matches_scan(s):
+	"""General-spin Pallas kernels (two-branch Wigner-d recurrence) vs the
+	f64 jnp wigner scan. s=2 doubles as a cross-check against a completely
+	different evaluation route (the spin2 mode derives w/x from the scalar
+	Legendre recurrence; the wigner engine recurses the d-functions
+	directly). s=3 runs at lmax 200: the seed-level canonicalization bug
+	was invisible below m ~ 61."""
+	lmax = mmax = 200 if s == 3 else LMAX
+	# plain f32 recurrence (no polar-DS): near-pole amplification ~l*eps
+	tol = 2e-4 if s == 3 else 2e-5
+	C = 4
+	theta = (np.arange(2*lmax+2)+0.5)*np.pi/(2*lmax+2)
+	nt = len(theta)
+	rng = np.random.default_rng(s)
+	A = rng.standard_normal((lmax+1, mmax+1, C)).astype(np.float32)
+	G64 = np.asarray(sht_core.wigner_synthesis_scan(jnp.asarray(A, jnp.float64),
+		jnp.asarray(theta, jnp.float64), lmax, mmax, s, dtype=np.float64))
+	G2 = np.asarray(sht_pallas.wigner_synthesis_scan_pallas(jnp.asarray(A),
+		jnp.asarray(theta), lmax, mmax, s, interpret=True))
+	scale = max(np.abs(G64).max(), 1)
+	assert np.abs(G64 - G2).max() < tol*scale, s
+	F = rng.standard_normal((2, C, mmax+1, nt)).astype(np.float32)
+	a64 = np.asarray(sht_core.wigner_analysis_scan(jnp.asarray(F, jnp.float64),
+		jnp.asarray(theta, jnp.float64), lmax, mmax, s, dtype=np.float64))
+	a2 = np.asarray(sht_pallas.wigner_analysis_scan_pallas(jnp.asarray(F),
+		jnp.asarray(theta), lmax, mmax, s, interpret=True))
+	scale = max(np.abs(a64).max(), 1)
+	assert np.abs(a64 - a2).max() < tol*scale, s
