@@ -102,7 +102,7 @@ class alm_info:
 			gidx = jnp.asarray(mv[order]*nl + lv[order])
 			rt = jnp.moveaxis(rect, -1, -2).reshape(rect.shape[:-2] + (-1,))
 			return rt[..., gidx]
-		out = jnp.zeros(rect.shape[:-2] + (self.nelem,), rect.dtype)
+		out = utils.czeros(rect.shape[:-2] + (self.nelem,), rect.dtype)
 		return out.at[..., jnp.asarray(idx)].set(rect[..., jnp.asarray(lv), jnp.asarray(mv)])
 	def transpose_alm(self, alm, out=None):
 		"""Reorder between m-major and l-major layouts (reference cmisc.transpose_alm)."""
@@ -170,6 +170,17 @@ def filter(imap, lfilter, ainfo=None, lmax=None):
 	omap = enmap.zeros(imap.shape, imap.wcs, dtype=np.asarray(imap).dtype)
 	return alm2map(alm, omap)
 
+@functools.partial(jax.jit, static_argnames=("nelem", "op"))
+def _transfer_alm_core(alm, ii, oi, nelem, op):
+	# complex zeros must be created INSIDE jit: the axon TPU runtime cannot
+	# materialize complex constants eagerly (UNIMPLEMENTED on eager dispatch)
+	res = jnp.zeros(alm.shape[:-1] + (nelem,), alm.dtype)
+	return res.at[..., oi].set(op(res[..., oi], alm[..., ii]))
+
+@functools.partial(jax.jit, static_argnames=("op",))
+def _transfer_alm_core_out(alm, ii, oi, out, op):
+	return out.at[..., oi].set(op(out[..., oi], alm[..., ii]))
+
 def transfer_alm(iainfo, alm, oainfo, out=None, op=lambda a, b: b):
 	"""Convert alm between layouts/lmax (reference cmisc.transfer_alm)."""
 	alm = utils.to_device(alm)
@@ -178,12 +189,11 @@ def transfer_alm(iainfo, alm, oainfo, out=None, op=lambda a, b: b):
 	l = np.arange(lmax+1)[:, None]; m = np.arange(mmax+1)[None, :]
 	valid = l >= m
 	lv, mv = np.where(valid)
-	ii = iainfo.mstart[mv] + lv*iainfo.stride
-	oi = oainfo.mstart[mv] + lv*oainfo.stride
-	res = jnp.zeros(alm.shape[:-1] + (oainfo.nelem,), alm.dtype)
-	if out is not None: res = jnp.asarray(out)
-	res = res.at[..., jnp.asarray(oi)].set(alm[..., jnp.asarray(ii)])
-	return res
+	ii = jnp.asarray(iainfo.mstart[mv] + lv*iainfo.stride)
+	oi = jnp.asarray(oainfo.mstart[mv] + lv*oainfo.stride)
+	if out is not None:
+		return _transfer_alm_core_out(alm, ii, oi, utils.to_device(out), op)
+	return _transfer_alm_core(alm, ii, oi, oainfo.nelem, op)
 
 
 # ---------------------------------------------------------------------------
@@ -344,7 +354,9 @@ def prepare_alm(alm=None, ainfo=None, lmax=None, pre=(), dtype=np.float64):
 		if ainfo is None:
 			if lmax is None: raise ValueError("prepare_alm needs alm, ainfo or lmax")
 			ainfo = alm_info(lmax=lmax)
-		alm = np.zeros(pre + (ainfo.nelem,), ctype)
+		# device-side allocation: results stay jax arrays (TPU-first; also,
+		# the axon runtime cannot transfer complex host arrays to the device)
+		alm = utils.czeros(tuple(pre) + (ainfo.nelem,), ctype)
 	else:
 		if ainfo is None: ainfo = alm_info(nalm=np.asarray(alm).shape[-1])
 	return alm, ainfo
@@ -419,7 +431,8 @@ def map2alm(map, alm=None, lmax=None, spin=[0, 2], deriv=False, adjoint=False,
 		resid = enmap.samewcs(jnp.asarray(map) -
 			jnp.asarray(alm2map(res, enmap.zeros(map.shape, map.wcs,
 				np.asarray(map).dtype), spin=spin, deriv=deriv, ainfo=ainfo)), map)
-		delta = _map2alm_core(resid, jnp.zeros_like(jnp.asarray(res)), ainfo,
+		delta = _map2alm_core(resid, utils.czeros(np.shape(res), np.asarray(res).dtype
+			if isinstance(res, np.ndarray) else res.dtype), ainfo,
 			minfo, spin, deriv, method, weighted=True, weights=weights,
 			epsilon=epsilon)
 		res = res + delta

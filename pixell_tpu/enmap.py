@@ -100,6 +100,10 @@ class ndmap:
 	def min(self, *a, **kw):  return self.data.min(*a, **kw)
 	def max(self, *a, **kw):  return self.data.max(*a, **kw)
 	def conj(self):           return ndmap(self.data.conj(), self.wcs)
+	def ravel(self, *a, **kw):   return self.data.ravel(*a, **kw)
+	def flatten(self, *a, **kw):
+		d = self.data
+		return d.flatten(*a, **kw) if hasattr(d, "flatten") else d.ravel(*a, **kw)
 	def fill(self, val):
 		xp = _xp_of(self.data)
 		self.data = xp.full_like(self.data, val) if _is_jax(self.data) else self.data

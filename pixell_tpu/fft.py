@@ -265,7 +265,7 @@ def _resample_jit(fa, ns, axes):
 			fa = fa2
 		elif n_new > n_old:
 			keep_lo = (n_old+1)//2
-			zeros = jnp.zeros(fa.shape[:-1] + (n_new-n_old,), fa.dtype)
+			zeros = utils.czeros(fa.shape[:-1] + (n_new-n_old,), fa.dtype)
 			fa2 = jnp.concatenate([fa[..., :keep_lo], zeros, fa[..., keep_lo:]], -1)
 			if n_old % 2 == 0:
 				# split the old Nyquist bin symmetrically between +-n_old/2
@@ -392,7 +392,7 @@ def _nu2u_2d_core(vals, py, px, nfine, w, beta):
 	iy, wy = _spread_inds_weights(py, nfine[0], w, beta)
 	ix, wx = _spread_inds_weights(px, nfine[1], w, beta)
 	contrib = jnp.einsum("p,py,px->pyx", vals, wy, wx)
-	fine = jnp.zeros(nfine, vals.dtype)
+	fine = utils.czeros(nfine, vals.dtype)
 	fine = fine.at[iy[:, :, None], ix[:, None, :]].add(contrib)
 	return fine
 

@@ -88,7 +88,10 @@ def _scaled_cumprod(fac, S, dtype):
 		av, al = a
 		bv, bl = b
 		v = av*bv
-		small = v < invband
+		# |v|: a negative factor (rounding noise in sin near a pole) must not
+		# loop the renormalizer -- v<invband is true for every negative v and
+		# the repeated *band blows up to inf (then inf*0 = NaN downstream)
+		small = jnp.abs(v) < invband
 		v = jnp.where(small, v*band, v)
 		return (v, al + bl + jnp.where(small, -1.0, 0.0))
 	return jax.lax.associative_scan(comb, (fac, lev0), axis=0)
@@ -106,10 +109,15 @@ def _prepare_geom(theta, mmax, dtype):
 	outer jits. Concrete theta gets host float64 sin/cos (exact to one
 	rounding regardless of jax_enable_x64)."""
 	S = _scale_log2(dtype)
+	# Pole detection must cover the input dtype's rounding of theta: in f32,
+	# sin(fl32(pi)) = -8.7e-8 -- negative and far above 1e-12. A ring whose
+	# |sin| is below any physically sensible ring spacing is AT the pole.
+	eps_pole = 1e-12 if np.dtype(dtype) == np.float64 else 1e-6
 	if not isinstance(theta, jax.core.Tracer):
 		th = np.asarray(theta, np.float64)
 		st64 = np.sin(th); ct64 = np.cos(th)
-		pole = np.abs(st64) < 1e-12
+		pole = np.abs(st64) < eps_pole
+		st64 = np.where(pole, 0.0, np.maximum(st64, 0.0))
 		st_safe = np.where(pole, 1.0, st64)
 		f = lambda x: jnp.asarray(np.asarray(x, np.float64).astype(dtype))
 		st = f(st64); ct = f(ct64)
@@ -128,7 +136,11 @@ def _prepare_geom(theta, mmax, dtype):
 		st = jnp.sin(theta)
 		ct = jnp.cos(theta)
 		ct_lo = jnp.zeros_like(ct)
-		pole = jnp.abs(st) < 1e-12
+		pole = jnp.abs(st) < eps_pole
+		# clamp rounding noise: sin(theta) >= 0 on [0, pi]; a negative value
+		# here would make the seed cumprod alternate sign (and before the
+		# abs() fix in _scaled_cumprod, explode to NaN)
+		st = jnp.where(pole, 0.0, jnp.maximum(st, 0.0))
 		st_safe = jnp.where(pole, 1.0, st)
 		ct_st = (ct/st_safe).astype(dtype)
 		inv_st = jnp.where(pole, 0.0, 1/st_safe).astype(dtype)
@@ -366,11 +378,15 @@ def _wigner_seeds(theta, mmax, s, dtype):
 	S = _scale_log2(dtype)
 	if not isinstance(theta, jax.core.Tracer):
 		th = np.asarray(theta, np.float64)
-		sb = jnp.asarray(np.sin(th/2).astype(dtype))
-		cb = jnp.asarray(np.cos(th/2).astype(dtype))
+		sb = jnp.asarray(np.maximum(np.sin(th/2), 0.0).astype(dtype))
+		cb = jnp.asarray(np.maximum(np.cos(th/2), 0.0).astype(dtype))
 	else:
 		th = jnp.asarray(theta, dtype)
-		sb = jnp.sin(th/2); cb = jnp.cos(th/2)
+		# sin/cos(theta/2) >= 0 on [0, pi]; clamp the f32 rounding noise at
+		# theta = pi (cos(fl32(pi)/2) = -4.4e-8) which would feed a negative
+		# base into the scaled power tables
+		sb = jnp.maximum(jnp.sin(th/2), 0.0)
+		cb = jnp.maximum(jnp.cos(th/2), 0.0)
 	m = np.arange(mmax+1)
 	a = m + s; b = np.abs(m - s)
 	Pv, Pl = _scaled_pow_table(sb, mmax + s, S, dtype)

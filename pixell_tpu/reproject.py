@@ -79,6 +79,8 @@ def alm2map_healpix(alm, healmap=None, nside=None, spin=[0, 2], deriv=False, ain
 	loc = np.stack([theta, phi], -1)
 	vals = curvedsky.synthesis_general(alm, jnp.asarray(loc), lmax=ainfo.lmax,
 		spin=spin, deriv=deriv)
+	import jax
+	if isinstance(vals, jax.core.Tracer): return vals  # stay traceable under jit
 	return np.asarray(vals)
 
 def map2alm_healpix(healmap, alm=None, lmax=None, spin=[0, 2], niter=0, ainfo=None):

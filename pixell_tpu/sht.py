@@ -215,7 +215,7 @@ def _pack_tri_scatter(S, lmax, mmax):
 		update_window_dims=(1,), inserted_window_dims=(),
 		scatter_dims_to_operand_dims=(0,))
 	def pack1(S1):
-		out = jnp.zeros((n + nl,), S1.dtype)
+		out = _utils.czeros((n + nl,), S1.dtype)
 		out = jax.lax.scatter_add(out, starts, S1, dn,
 			indices_are_sorted=True, unique_indices=False)
 		return out[:n]
@@ -302,11 +302,11 @@ def ring_synthesis(G, phi0, nphi):
 	Gt = jnp.moveaxis(Gp, -2, -1)  # [..., nt, nm]
 	if nm <= nphi//2:
 		# fast path: no aliasing -- place m directly in the rfft half-spectrum
-		g = jnp.zeros(G.shape[:-2] + (G.shape[-1], nphi//2 + 1), G.dtype)
+		g = _utils.czeros(G.shape[:-2] + (G.shape[-1], nphi//2 + 1), G.dtype)
 		g = g.at[..., :nm].set(Gt)
 		return jnp.fft.irfft(g, n=nphi, axis=-1)*nphi
 	# aliasing-safe general path: build the full complex spectrum
-	c = jnp.zeros(G.shape[:-2] + (G.shape[-1], nphi), G.dtype)
+	c = _utils.czeros(G.shape[:-2] + (G.shape[-1], nphi), G.dtype)
 	mpos = np.arange(nm) % nphi
 	mneg = (-np.arange(nm)) % nphi
 	c = c.at[..., jnp.asarray(mpos)].add(Gt)

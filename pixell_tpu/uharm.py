@@ -47,13 +47,13 @@ class UHT:
 		if self.mode == "flat":
 			return enmap.harm2map(enmap.samewcs(jnp.asarray(harm), _aswcs(harm, self)), spin=np.atleast_1d(spin), normalize="phys").real
 		omap = enmap.zeros(np.shape(harm)[:-1] + self.shape, self.wcs)
-		return curvedsky.alm2map(jnp.asarray(harm), omap, ainfo=self.ainfo,
+		return curvedsky.alm2map(utils.to_device(harm), omap, ainfo=self.ainfo,
 			spin=np.atleast_1d(spin))
 	def map2harm_adjoint(self, harm, spin=0):
 		if self.mode == "flat":
 			return enmap.map2harm_adjoint(enmap.samewcs(jnp.asarray(harm), _aswcs(harm, self)), spin=np.atleast_1d(spin), normalize="phys")
 		omap = enmap.zeros(np.shape(harm)[:-1] + self.shape, self.wcs)
-		return curvedsky.map2alm(omap, alm=np.asarray(harm).copy(), adjoint=True,
+		return curvedsky.map2alm(omap, alm=utils.to_device(harm), adjoint=True,
 			ainfo=self.ainfo, spin=np.atleast_1d(spin))
 	def harm2map_adjoint(self, map, spin=0):
 		if self.mode == "flat":
@@ -106,8 +106,8 @@ class UHT:
 			return enmap.samewcs(jnp.asarray(hprof)*jnp.asarray(harm), harm)
 		hprof = np.asarray(hprof)
 		if hprof.ndim == 1:
-			return curvedsky.almxfl(jnp.asarray(harm), hprof, ainfo=self.ainfo)
-		return curvedsky.lmul(jnp.asarray(harm), jnp.asarray(hprof), ainfo=self.ainfo)
+			return curvedsky.almxfl(utils.to_device(harm), hprof, ainfo=self.ainfo)
+		return curvedsky.lmul(utils.to_device(harm), jnp.asarray(hprof), ainfo=self.ainfo)
 	def hprof_rpow(self, hprof, pow):
 		"""Raise an l-profile to a power in REAL space: transform to a radial
 		profile, apply the power, transform back (reference uharm.hprof_rpow:191)."""

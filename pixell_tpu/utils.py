@@ -86,6 +86,20 @@ def to_device(x, dtype=None):
 	return out
 
 
+def czeros(shape, dtype):
+	"""jnp.zeros that also works EAGERLY for complex dtypes on backends whose
+	runtime lacks complex host->device transfer (see to_device): lax.full
+	transfers the complex fill-value scalar from the host, which such
+	runtimes reject (UNIMPLEMENTED); building via lax.complex stays purely
+	on-device. Real dtypes pass straight through."""
+	import jax, jax.numpy as jnp
+	dtype = np.dtype(dtype)
+	if np.issubdtype(dtype, np.complexfloating) and jax.default_backend() != "cpu":
+		r = jnp.zeros(shape, np.float32 if dtype == np.complex64 else np.float64)
+		return jax.lax.complex(r, r)
+	return jnp.zeros(shape, dtype)
+
+
 def from_device(x):
 	"""np.asarray that also works for complex *device* arrays on backends
 	whose runtime lacks complex device->host transfer (see to_device): the

@@ -196,7 +196,7 @@ class WaveletTransform:
 			prof = self.basis.kernel(i, np.arange(u.lmax+1, dtype=float))
 			if self.uht.mode == "curved":
 				from . import curvedsky
-				sub = curvedsky.transfer_alm(self.uht.ainfo, jnp.asarray(harm), u.ainfo)
+				sub = curvedsky.transfer_alm(self.uht.ainfo, utils.to_device(harm), u.ainfo)
 				sub = u.hmul(prof, sub)
 				m = u.harm2map(sub, spin=0)
 			else:
@@ -220,7 +220,7 @@ class WaveletTransform:
 				from . import curvedsky
 				sub = u.map2harm(m, spin=0)
 				sub = u.hmul(prof, sub)
-				big = curvedsky.transfer_alm(u.ainfo, jnp.asarray(sub), self.uht.ainfo)
+				big = curvedsky.transfer_alm(u.ainfo, utils.to_device(sub), self.uht.ainfo)
 			else:
 				h = enmap.map2harm(m.project(self.uht.shape, self.uht.wcs, order=3)
 					if m.shape[-2:] != tuple(self.uht.shape) else m, spin=[0])

@@ -245,3 +245,49 @@ def test_map2alm_adjoint_flag():
 	lhs2 = np.sum(m2*np.asarray(mt))
 	rhs2 = np.sum(np.asarray(A2).real*at.real + np.asarray(A2).imag*at.imag)
 	assert abs(lhs2 - rhs2) < 1e-10*abs(lhs2)
+
+
+def test_f32_synthesis_pole_rings():
+	"""Regression: f32 synthesis with a ring at exactly theta=pi NaN'd the
+	whole transform when theta reached the engine as a traced value:
+	sin(fl32(pi)) = -8.7e-8 escaped the 1e-12 pole threshold, and the
+	negative factor made _scaled_cumprod's renormalizer loop (*2^60 per
+	combine) to inf. synthesis_general always hits this (its torus grid
+	includes both exact poles)."""
+	from pixell_tpu import sht
+	lmax = 60
+	alm = oracle.rand_alm_oracle(lmax, seed=11, ncomp=3)
+	thetas = np.array([0.0, 0.4, np.pi/2, np.pi - 1e-3, np.pi])
+	g64 = np.asarray(sht.synthesis(jnp.asarray(alm), jnp.asarray(thetas), 128,
+		phi0=0.0, lmax=lmax, mmax=lmax, spin=(0, 2), map_dtype=np.float64))
+	g32 = np.asarray(sht.synthesis(jnp.asarray(alm.astype(np.complex64)),
+		jnp.asarray(thetas), 128, phi0=0.0, lmax=lmax, mmax=lmax, spin=(0, 2),
+		map_dtype=np.float32))
+	assert np.isfinite(g64).all()
+	assert np.isfinite(g32).all()
+	err = np.abs(g32 - g64)/np.abs(g64).max()
+	# ring 3 (pi - 1e-3) spin-2: plain-f32 recurrence near-pole amplification
+	# (the Pallas engine covers it with the polar-DS pass; the jnp scan does
+	# not) -- only bound it loosely there
+	assert err[:, [0, 1, 2, 4], :].max() < 1e-5
+	assert err[0].max() < 1e-5
+	assert err[:, 3, :].max() < 5e-2
+
+
+def test_f32_synthesis_general_pole_points():
+	"""f32 synthesis_general must stay finite and accurate including
+	evaluation points at/near the poles (drives f32 curved lensing)."""
+	lmax = 100
+	rng = np.random.default_rng(5)
+	nalm = (lmax+1)*(lmax+2)//2
+	alm = (rng.standard_normal((3, nalm)) + 1j*rng.standard_normal((3, nalm)))
+	alm /= np.sqrt(np.arange(1, nalm+1))
+	loc = np.stack([np.concatenate([[0.0, np.pi, 1e-7], rng.uniform(0, np.pi, 40)]),
+		np.concatenate([[0.3, 1.0, 2.0], rng.uniform(0, 2*np.pi, 40)])], -1)
+	v64 = np.asarray(curvedsky.synthesis_general(jnp.asarray(alm),
+		jnp.asarray(loc), lmax=lmax, spin=[0, 2]))
+	v32 = np.asarray(curvedsky.synthesis_general(
+		jnp.asarray(alm.astype(np.complex64)), jnp.asarray(loc), lmax=lmax,
+		spin=[0, 2]))
+	assert np.isfinite(v32).all()
+	assert np.abs(v32 - v64).max() < 2e-3*np.abs(v64).max()
