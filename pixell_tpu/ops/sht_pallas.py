@@ -125,12 +125,68 @@ def _wigner_ab_tables(nlp, nmp, s, branch):
 		jnp.where(live, c, 0.0)])
 
 
+def _wigner_ab_tables_ds(nlp, nmp, s, branch):
+	"""DS-precision Wigner recurrence tables [6, nlp, nmp]: a_hi, b_hi, a_lo,
+	b_lo, c_hi, c_lo with a = 1/v(l), b = v(l-1), c = sgn*m*s/((l-1)l) (see
+	_wigner_ab_tables). Needed by the polar double-single pass: near the
+	poles the recurrence amplifies COEFFICIENT rounding by ~l^2 as well."""
+	sf = float(s)
+	sgn = 1.0 if branch == 0 else -1.0
+	l = jnp.arange(nlp, dtype=jnp.float32)[:, None]
+	m = jnp.arange(nmp, dtype=jnp.float32)[None, :]
+	l0 = jnp.maximum(m, sf)
+	def v2_parts(lv):
+		"""num, den of v(lv)^2 = (lv^2-m^2)(lv^2-s^2) / (lv^2 (4lv^2-1)) as DS
+		pairs, with dead entries guarded to give 0/1."""
+		ok = ((lv - m)*(lv + m) > 0) & (lv > sf)
+		p1h, p1l = _two_prod_xla(lv - m, lv + m)
+		p2h, p2l = _two_prod_xla(lv - sf, lv + sf)
+		nh_, nl_ = _ds_mul_xla(p1h, p1l, p2h, p2l)
+		d1h, d1l = _two_prod_xla(lv, lv)
+		d2h, d2l = _two_prod_xla(2*lv - 1, 2*lv + 1)
+		dh_, dl_ = _ds_mul_xla(d1h, d1l, d2h, d2l)
+		nh_ = jnp.where(ok, nh_, 0.0); nl_ = jnp.where(ok, nl_, 0.0)
+		dh_ = jnp.where(ok, dh_, 1.0); dl_ = jnp.where(ok, dl_, 0.0)
+		return nh_, nl_, dh_, dl_, ok
+	# a = 1/v(l) = sqrt(den/num)
+	nh_, nl_, dh_, dl_, ok_a = v2_parts(l)
+	nh_g = jnp.where(ok_a, nh_, 1.0); nl_g = jnp.where(ok_a, nl_, 0.0)
+	a_h, a_l = _ds_sqrt_ratio(dh_, dl_, nh_g, nl_g)
+	a_h = jnp.where(ok_a, a_h, 0.0); a_l = jnp.where(ok_a, a_l, 0.0)
+	# b = v(l-1) = sqrt(num1/den1)
+	n1h, n1l, d1h_, d1l_, ok_b = v2_parts(l - 1)
+	b_h, b_l = _ds_sqrt_ratio(n1h, n1l, d1h_, d1l_)
+	b_h = jnp.where(ok_b, b_h, 0.0); b_l = jnp.where(ok_b, b_l, 0.0)
+	# c = sgn*m*s/((l-1)l); m*s is exact in f32 for the sizes in play
+	ok_c = (l - 1)*l > 0
+	ch_, cl_ = _two_prod_xla(l - 1, l)
+	ch_ = jnp.where(ok_c, ch_, 1.0); cl_ = jnp.where(ok_c, cl_, 0.0)
+	c_h, c_l = _ds_div_xla(sgn*m*sf, jnp.zeros_like(ch_), ch_, cl_)
+	c_h = jnp.where(ok_c, c_h, 0.0); c_l = jnp.where(ok_c, c_l, 0.0)
+	live = l > l0
+	z = lambda x: jnp.where(live, x, 0.0)
+	return jnp.stack([z(a_h), z(b_h), z(a_l), z(b_l), z(c_h), z(c_l)])
+
+
 def _two_prod_xla(x, y):
 	"""Exact product as (hi, lo) in XLA f32 (correctly-rounded mul + Dekker)."""
 	p = x*y
 	xh, xl = _split(x); yh, yl = _split(y)
 	e = ((xh*yh - p) + xh*yl + xl*yh) + xl*yl
 	return p, e
+
+def _ds_mul_xla(ah, al, bh, bl):
+	"""DS x DS product in XLA f32, ~2^-45."""
+	ph, pe = _two_prod_xla(ah, bh)
+	pe = pe + ah*bl + al*bh
+	return _ds_renorm(ph, pe)
+
+def _ds_div_xla(nh, nl, dh, dl):
+	"""DS / DS quotient in XLA f32, ~2^-45."""
+	q_h = nh/dh
+	ph, pe = _two_prod_xla(q_h, dh)
+	q_l = ((nh - ph) - pe + nl - q_h*dl)/dh
+	return _ds_renorm(q_h, q_l)
 
 def _ds_sqrt_ratio(num_h, num_l, den_h, den_l):
 	"""(hi, lo) of sqrt((num_h+num_l)/(den_h+den_l)) in XLA f32, ~2^-45."""
@@ -232,17 +288,26 @@ def _ds_sub(ah, al, bh, bl):
 
 
 def _step_block_ds(l, marr, m2, ct, ct_h, ct_l, seedv, seedl,
-		ph, pl, ch, cl, lev, fac_m1, a, b, ctlo=None, alo=None, blo=None):
+		ph, pl, ch, cl, lev, fac_m1, a, b, ctlo=None, alo=None, blo=None,
+		cadd=None, caddlo=None, l0col=None):
 	"""One DS-state recurrence step. Same contract as _step_block but the
 	prev/curr state is carried as (hi, lo) pairs; lam/lam1 collapse to f32.
 	a/b come from the coefficient tables; ctlo/alo/blo are true low parts
-	(polar rings amplify coefficient rounding by ~l^2 too)."""
+	(polar rings amplify coefficient rounding by ~l^2 too). cadd/caddlo is
+	the DS additive cos-theta offset and l0col the seed degree column of the
+	general-spin Wigner recurrence (default Legendre: seed at l = m)."""
 	lf = l.astype(jnp.float32)
 	a_h, a_l = _split(a)   # [MB,1]: negligible
 	b_h, b_l = _split(b)
 	th_, tl_ = _ds_mul(ct, ct_h, ct_l, ch, cl)
 	if ctlo is not None:
 		tl_ = tl_ + ctlo*ch
+	if cadd is not None:
+		# t += (cadd_h + cadd_l)*(ch + cl), keeping DS precision
+		gh_, gl_ = _ds_mul(cadd, *_split(cadd), ch, cl)
+		if caddlo is not None:
+			gl_ = gl_ + caddlo*ch
+		th_, tl_ = _ds_sub(th_, tl_, -gh_, -gl_)
 	uh_, ul_ = _ds_mul(b, b_h, b_l, ph, pl)
 	if blo is not None:
 		ul_ = ul_ + blo*ph
@@ -250,7 +315,7 @@ def _step_block_ds(l, marr, m2, ct, ct_h, ct_l, seedv, seedl,
 	nh_, nl_ = _ds_mul(a, a_h, a_l, dh_, dl_)
 	if alo is not None:
 		nl_ = nl_ + alo*dh_
-	seedmask = (marr == lf)
+	seedmask = ((marr if l0col is None else l0col) == lf)
 	nh_ = jnp.where(seedmask, seedv, nh_)
 	nl_ = jnp.where(seedmask, 0.0, nl_)
 	lev = jnp.where(seedmask, seedl, lev)
@@ -310,7 +375,7 @@ def _make_stepper(ds):
 	if not ds:
 		def prep_ct(ct, ctl): return (ct, ctl)
 		def step(l, marr, m2, th_ct, sv, sl, st, fac_m1, a, b, alo=None, blo=None,
-				cadd=None, l0col=None):
+				cadd=None, caddlo=None, l0col=None):
 			p, c, lv, lam, lam1 = _step_block(l, marr, m2, th_ct[0], sv, sl,
 				st[0], st[1], st[2], fac_m1, a=a, b=b, ctl=th_ct[1],
 				cadd=cadd, l0col=l0col)
@@ -322,13 +387,12 @@ def _make_stepper(ds):
 		h, lo = _split(ct)
 		return (ct, h, lo, ctl)
 	def step(l, marr, m2, th_ct, sv, sl, st, fac_m1, a, b, alo=None, blo=None,
-			cadd=None, l0col=None):
-		assert cadd is None and l0col is None, \
-			"the DS stepper does not support the Wigner recurrence"
+			cadd=None, caddlo=None, l0col=None):
 		czh, czl, nh, nl_, lv, lam, lam1 = _step_block_ds(l, marr, m2,
 			th_ct[0], th_ct[1], th_ct[2], sv, sl,
 			st[0], st[1], st[2], st[3], st[4], fac_m1, a, b,
-			ctlo=th_ct[3], alo=alo, blo=blo)
+			ctlo=th_ct[3], alo=alo, blo=blo, cadd=cadd, caddlo=caddlo,
+			l0col=l0col)
 		return (czh, czl, nh, nl_, lv), lam, lam1
 	def rescale(st, band, invband):
 		return _rescale_ds(st[0], st[1], st[2], st[3], st[4], band, invband)
@@ -488,14 +552,14 @@ def _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode="scalar", interpret=F
 	A = jnp.asarray(A, jnp.float32)
 	wig = None if wig_s is None else (int(wig_s), int(wig_branch))
 	assert (mode == "wigner") == (wig is not None)
-	assert not (ds and wig)
 	nfun, funcs = _make_funcs(mode)
 	C = A.shape[-1]
 	tb = _pick_tb(nfun, C, nt=int(np.shape(theta)[0]), ds=ds)
 	th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp) = _prep_inputs(theta, lmax, mmax, mode, tb=tb, cth=cth, ctl=ctl, wig=wig)
-	if wig: ab = _wigner_ab_tables(nlp, nmp, wig[0], wig[1])
+	if wig: ab = (_wigner_ab_tables_ds(nlp, nmp, wig[0], wig[1]) if ds
+		else _wigner_ab_tables(nlp, nmp, wig[0], wig[1]))
 	else: ab = _recur_ab_tables_ds(nlp, nmp) if ds else _recur_ab_tables(nlp, nmp)
-	abrows = 3 if wig else (4 if ds else 2)
+	abrows = (6 if ds else 3) if wig else (4 if ds else 2)
 	# layout: big axes minor so TPU (8,128) tiling doesn't pad the C axis
 	Ap = jnp.zeros((C, nlp, nmp), jnp.float32).at[:, :nl, :nm].set(
 		jnp.moveaxis(A, -1, 0))
@@ -532,10 +596,11 @@ def _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode="scalar", interpret=F
 				l = (il*LB + k).astype(jnp.float32)
 				ablo = (ab_ref[2, k, :][:, None], ab_ref[3, k, :][:, None]) \
 					if ds else (None, None)
-				cadd = ab_ref[2, k, :][:, None] if wig else None
+				cadd = ab_ref[4 if ds else 2, k, :][:, None] if wig else None
+				caddlo = ab_ref[5, k, :][:, None] if (wig and ds) else None
 				st, lam, lam1 = stepf(l, marr, m2, th_ct, sv_ref[:], sl_ref[:],
 					st, fac_m1, ab_ref[0, k, :][:, None], ab_ref[1, k, :][:, None],
-					alo=ablo[0], blo=ablo[1], cadd=cadd, l0col=l0col)
+					alo=ablo[0], blo=ablo[1], cadd=cadd, caddlo=caddlo, l0col=l0col)
 				us = funcs(l, marr, m2, thv, lam, lam1)
 				for f in range(nfun):
 					for ci in range(C):
@@ -852,14 +917,14 @@ def _analysis_scan_pallas_full(F, theta, lmax, mmax, mode="scalar", interpret=Fa
 	F = jnp.asarray(F, jnp.float32)
 	wig = None if wig_s is None else (int(wig_s), int(wig_branch))
 	assert (mode == "wigner") == (wig is not None)
-	assert not (ds and wig)
 	nfun, funcs = _make_funcs(mode)
 	C = F.shape[1]
 	tb = _pick_tb(nfun, C, nt=int(np.shape(theta)[0]), ds=ds)
 	th, seedv, seedl, (nt, nm, nl, ntp, nmp, nlp) = _prep_inputs(theta, lmax, mmax, mode, tb=tb, cth=cth, ctl=ctl, wig=wig)
-	if wig: ab = _wigner_ab_tables(nlp, nmp, wig[0], wig[1])
+	if wig: ab = (_wigner_ab_tables_ds(nlp, nmp, wig[0], wig[1]) if ds
+		else _wigner_ab_tables(nlp, nmp, wig[0], wig[1]))
 	else: ab = _recur_ab_tables_ds(nlp, nmp) if ds else _recur_ab_tables(nlp, nmp)
-	abrows = 3 if wig else (4 if ds else 2)
+	abrows = (6 if ds else 3) if wig else (4 if ds else 2)
 	Fp = jnp.zeros((nfun, C, nmp, ntp), jnp.float32).at[:, :, :nm, :nt].set(F)
 	ntb = ntp//tb
 	grid = (nmp//MB, ntb, nlp//LB)
@@ -896,10 +961,11 @@ def _analysis_scan_pallas_full(F, theta, lmax, mmax, mode="scalar", interpret=Fa
 				l = (il*LB + k).astype(jnp.float32)
 				ablo = (ab_ref[2, k, :][:, None], ab_ref[3, k, :][:, None]) \
 					if ds else (None, None)
-				cadd = ab_ref[2, k, :][:, None] if wig else None
+				cadd = ab_ref[4 if ds else 2, k, :][:, None] if wig else None
+				caddlo = ab_ref[5, k, :][:, None] if (wig and ds) else None
 				st, lam, lam1 = stepf(l, marr, m2, th_ct, sv_ref[:], sl_ref[:],
 					st, fac_m1, ab_ref[0, k, :][:, None], ab_ref[1, k, :][:, None],
-					alo=ablo[0], blo=ablo[1], cadd=cadd, l0col=l0col)
+					alo=ablo[0], blo=ablo[1], cadd=cadd, caddlo=caddlo, l0col=l0col)
 				us = funcs(l, marr, m2, thv, lam, lam1)
 				cols = []
 				for ci in range(C):
@@ -973,31 +1039,61 @@ def analysis_scan_pallas_chunked(F, theta, lmax, mmax, mode="scalar", interpret=
 	return out
 
 
-def wigner_synthesis_scan_pallas(A, theta, lmax, mmax, s, interpret=False):
-	"""Pallas fast path for sht_core.wigner_synthesis_scan (general spin,
-	float32): two passes of the full kernel -- one per d-function branch
-	(+s, -s) -- combined into the (w, x) mode functions
-	w = (lam_p + (-1)^s lam_m)/2, x = (lam_p - (-1)^s lam_m)/2.
-	A [nl, nm, C] -> G [2(fun), C, nm, nt]. Plain f32 recurrence (no
-	polar-DS pass): accuracy matches the "fast" Legendre kernels."""
-	A = jnp.asarray(A, jnp.float32)
+def _wigner_polar_mmax(mmax, s):
+	"""m-extent of the Wigner polar DS pass: d^l_{ms} at theta < POLAR_AMP/l
+	is exponentially small for |m - s| beyond ~lmax*theta_cut, so POLAR_MMAX
+	covers it for the usual small s (kept >= s so the pass has live modes)."""
+	return min(mmax + 1, max(POLAR_MMAX, int(s) + 1))
+
+def _wigner_synth_full(A, theta, lmax, mmax, s, interpret=False, ds=False):
+	"""Both Wigner-d branches through the full kernel, combined into the
+	(w, x) mode functions w = (lam_p + (-1)^s lam_m)/2,
+	x = (lam_p - (-1)^s lam_m)/2. A [nl, nm, C] -> G [2(fun), C, nm, nt]."""
 	cp = _ct_parts(theta)
 	cth, ctl = cp if cp is not None else (None, None)
 	Gp = _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode="wigner",
-		interpret=interpret, cth=cth, ctl=ctl, wig_s=int(s), wig_branch=0)[0]
+		interpret=interpret, ds=ds, cth=cth, ctl=ctl, wig_s=int(s), wig_branch=0)[0]
 	Gm = _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode="wigner",
-		interpret=interpret, cth=cth, ctl=ctl, wig_s=int(s), wig_branch=1)[0]
+		interpret=interpret, ds=ds, cth=cth, ctl=ctl, wig_s=int(s), wig_branch=1)[0]
 	sgs = np.float32((-1.0)**int(s))
 	return jnp.stack([0.5*(Gp + sgs*Gm), 0.5*(Gp - sgs*Gm)])
 
 
-def wigner_analysis_scan_pallas(F, theta, lmax, mmax, s, interpret=False):
-	"""Pallas fast path for sht_core.wigner_analysis_scan (general spin,
-	float32). F [2(fun), C, nm, nt] -> out [nl, nm, C]. The (w, x) data is
-	recombined per branch (w F0 + x F1 = lam_p Fp + lam_m Fm with
-	Fp = (F0+F1)/2, Fm = (-1)^s (F0-F1)/2), each branch runs the full
-	analysis kernel, theta-chunked like analysis_scan_pallas_chunked."""
-	F = jnp.asarray(F, jnp.float32)
+def wigner_synthesis_scan_pallas(A, theta, lmax, mmax, s, interpret=False,
+		ds=None):
+	"""Pallas fast path for sht_core.wigner_synthesis_scan (general spin,
+	float32): two passes of the full kernel -- one per d-function branch
+	(+s, -s). A [nl, nm, C] -> G [2(fun), C, nm, nt]. Near-pole rings are
+	overwritten by a double-single pass (module ACCURACY="high"), matching
+	the Legendre kernels' polar handling."""
+	A = jnp.asarray(A, jnp.float32)
+	ds = _use_ds(ds)
+	if _want_polar(ds, theta, interpret):
+		nn, ns = _polar_counts(theta, lmax)
+		nt_all = int(np.shape(theta)[0])
+		if nn + ns >= nt_all:
+			return _wigner_synth_full(A, theta, lmax, mmax, s,
+				interpret=interpret, ds=True)
+		if nn or ns:
+			th64 = np.asarray(theta, np.float64)
+			G = _wigner_synth_full(A, theta, lmax, mmax, s, interpret=interpret)
+			Mp = _wigner_polar_mmax(mmax, s)
+			pth = np.concatenate([th64[:nn], th64[nt_all-ns:]])
+			pol = _wigner_synth_full(A[:, :Mp], pth, lmax, Mp - 1, s,
+				interpret=interpret, ds=True)
+			if nn:
+				G = G.at[..., :Mp, :nn].set(pol[..., :nn])
+			if ns:
+				G = G.at[..., :Mp, nt_all-ns:].set(pol[..., nn:])
+			return G
+	return _wigner_synth_full(A, theta, lmax, mmax, s, interpret=interpret, ds=ds)
+
+
+def _wigner_anal_full(F, theta, lmax, mmax, s, interpret=False, ds=False):
+	"""Both Wigner-d branches through the full analysis kernel. The (w, x)
+	data is recombined per branch (w F0 + x F1 = lam_p Fp + lam_m Fm with
+	Fp = (F0+F1)/2, Fm = (-1)^s (F0-F1)/2), theta-chunked like
+	analysis_scan_pallas_chunked. F [2(fun), C, nm, nt] -> out [nl, nm, C]."""
 	sgs = np.float32((-1.0)**int(s))
 	Fb = jnp.stack([0.5*(F[0] + F[1]), 0.5*sgs*(F[0] - F[1])])
 	nt = F.shape[-1]
@@ -1010,11 +1106,40 @@ def wigner_analysis_scan_pallas(F, theta, lmax, mmax, s, interpret=False):
 		part = None
 		for br in (0, 1):
 			p = _analysis_scan_pallas_full(Fb[br][None, ..., i0:i1], theta[i0:i1],
-				lmax, mmax, mode="wigner", interpret=interpret, cth=cth, ctl=ctl,
-				wig_s=int(s), wig_branch=br)
+				lmax, mmax, mode="wigner", interpret=interpret, ds=ds, cth=cth,
+				ctl=ctl, wig_s=int(s), wig_branch=br)
 			part = p if part is None else part + p
 		out = part if out is None else out + part
 	return out
+
+
+def wigner_analysis_scan_pallas(F, theta, lmax, mmax, s, interpret=False,
+		ds=None):
+	"""Pallas fast path for sht_core.wigner_analysis_scan (general spin,
+	float32). F [2(fun), C, nm, nt] -> out [nl, nm, C]. Near-pole ring
+	contributions go through a double-single pass (module ACCURACY="high"),
+	matching the Legendre kernels' polar handling."""
+	F = jnp.asarray(F, jnp.float32)
+	ds = _use_ds(ds)
+	if _want_polar(ds, theta, interpret):
+		nn, ns = _polar_counts(theta, lmax)
+		nt_all = int(np.shape(theta)[0])
+		if nn + ns >= nt_all:
+			return _wigner_anal_full(F, theta, lmax, mmax, s,
+				interpret=interpret, ds=True)
+		if nn or ns:
+			th64 = np.asarray(theta, np.float64)
+			bulk = _wigner_anal_full(F[..., nn:nt_all-ns], th64[nn:nt_all-ns],
+				lmax, mmax, s, interpret=interpret)
+			Mp = _wigner_polar_mmax(mmax, s)
+			pth = np.concatenate([th64[:nn], th64[nt_all-ns:]])
+			Fp = jnp.concatenate([F[..., :nn], F[..., nt_all-ns:]], -1)
+			pol = _wigner_anal_full(Fp[..., :Mp, :], pth, lmax, Mp - 1, s,
+				interpret=interpret, ds=True)
+			if Mp < mmax + 1:
+				pol = jnp.pad(pol, [(0, 0), (0, mmax + 1 - Mp), (0, 0)])
+			return bulk + pol
+	return _wigner_anal_full(F, theta, lmax, mmax, s, interpret=interpret, ds=ds)
 
 
 # The former Pallas row-DMA triangular packer (pack_tri_rows) was removed:

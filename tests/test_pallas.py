@@ -109,6 +109,91 @@ def test_wigner_seed_levels():
 	assert (np.sign(v32) == np.sign(v64))[mask].all()
 
 
+def test_wigner_ab_tables_ds():
+	"""The double-single Wigner coefficient tables (a = 1/v(l), b = v(l-1),
+	c = sgn*m*s/((l-1)l)) carry ~2^-45 precision: hi+lo vs the f64 formula.
+	(The DS wigner KERNELS are gated on-chip by scripts/check_wigner_tpu.py:
+	interpret-mode execution of the DS stepper blows up the interpreter's
+	compile on a 1-core host, so they are not exercised here.)"""
+	nlp, nmp, s = 64, 40, 3
+	for branch in (0, 1):
+		T = np.asarray(sht_pallas._wigner_ab_tables_ds(nlp, nmp, s, branch),
+			np.float64)
+		a_ds = T[0] + T[2]
+		b_ds = T[1] + T[3]
+		c_ds = T[4] + T[5]
+		l = np.arange(nlp, dtype=np.float64)[:, None]
+		m = np.arange(nmp, dtype=np.float64)[None, :]
+		sgn = 1.0 if branch == 0 else -1.0
+		live = l > np.maximum(m, s)
+		with np.errstate(divide="ignore", invalid="ignore"):
+			v2 = lambda lv: (lv*lv - m*m)*(lv*lv - s*s)/(lv*lv*(4*lv*lv - 1))
+			a64 = np.where(live, 1/np.sqrt(v2(l)), 0.0)
+			okb = live & ((l-1)*(l-1) > m*m) & (l-1 > s)
+			b64 = np.where(okb, np.sqrt(np.where(okb, v2(l-1), 1.0)), 0.0)
+			c64 = np.where(live, sgn*m*s/((l-1)*l), 0.0)
+		for ds, ref, name in ((a_ds, a64, "a"), (b_ds, b64, "b"),
+				(c_ds, c64, "c")):
+			scale = np.maximum(np.abs(ref), 1.0)
+			assert (np.abs(ds - ref)/scale).max() < 1e-11, (branch, name)
+
+
+def test_wigner_polar_split(monkeypatch):
+	"""The polar-split plumbing in the public wigner entry points: stitch
+	indices, m-truncation and zero-padding. The kernel passes are replaced
+	by cheap jnp-scan fakes (f32 for the fast pass, f64 for the DS pass) so
+	the test checks the SPLIT logic, not the kernels; POLAR_AMP/POLAR_MMAX
+	are shrunk so the m-truncated pad branch runs at an affordable size.
+	The m-extent argument needs lmax*theta_cut + s + O(l^1/3) < POLAR_MMAX:
+	64*(10/64) + 3 + 4 = 17 < 32 here."""
+	calls = []
+	def fake_synth(A, theta, lmax, mmax, s, interpret=False, ds=False):
+		calls.append(("synth", bool(ds), int(np.shape(theta)[0]), mmax))
+		dt = np.float64 if ds else np.float32
+		G = sht_core.wigner_synthesis_scan(jnp.asarray(A, dt),
+			jnp.asarray(theta, jnp.float64), lmax, mmax, s, dtype=dt)
+		return jnp.asarray(G, jnp.float32)
+	def fake_anal(F, theta, lmax, mmax, s, interpret=False, ds=False):
+		calls.append(("anal", bool(ds), int(np.shape(theta)[0]), mmax))
+		dt = np.float64 if ds else np.float32
+		a = sht_core.wigner_analysis_scan(jnp.asarray(F, dt),
+			jnp.asarray(theta, jnp.float64), lmax, mmax, s, dtype=dt)
+		return jnp.asarray(a, jnp.float32)
+	monkeypatch.setattr(sht_pallas, "_want_polar",
+		lambda ds, theta, interpret=False: not ds)
+	monkeypatch.setattr(sht_pallas, "POLAR_AMP", 10.0)
+	monkeypatch.setattr(sht_pallas, "POLAR_MMAX", 32)
+	monkeypatch.setattr(sht_pallas, "_wigner_synth_full", fake_synth)
+	monkeypatch.setattr(sht_pallas, "_wigner_anal_full", fake_anal)
+	s = 3
+	lmax = mmax = 64
+	nt = 2*lmax + 2
+	theta = (np.arange(nt)+0.5)*np.pi/nt
+	nn, ns = sht_pallas._polar_counts(theta, lmax)
+	assert nn > 0 and ns > 0
+	Mp = sht_pallas._wigner_polar_mmax(mmax, s)
+	assert Mp == 32
+	rng = np.random.default_rng(0)
+	C = 2
+	A = rng.standard_normal((lmax+1, mmax+1, C)).astype(np.float32)
+	G64 = np.asarray(sht_core.wigner_synthesis_scan(jnp.asarray(A, jnp.float64),
+		jnp.asarray(theta, jnp.float64), lmax, mmax, s, dtype=np.float64))
+	G = np.asarray(sht_pallas.wigner_synthesis_scan_pallas(jnp.asarray(A),
+		jnp.asarray(theta), lmax, mmax, s))
+	scale = max(np.abs(G64).max(), 1)
+	assert np.abs(G - G64).max() < 2e-5*scale
+	assert calls == [("synth", False, nt, mmax), ("synth", True, nn+ns, Mp-1)]
+	calls.clear()
+	F = rng.standard_normal((2, C, mmax+1, nt)).astype(np.float32)
+	a64 = np.asarray(sht_core.wigner_analysis_scan(jnp.asarray(F, jnp.float64),
+		jnp.asarray(theta, jnp.float64), lmax, mmax, s, dtype=np.float64))
+	a = np.asarray(sht_pallas.wigner_analysis_scan_pallas(jnp.asarray(F),
+		jnp.asarray(theta), lmax, mmax, s))
+	scale = max(np.abs(a64).max(), 1)
+	assert np.abs(a - a64).max() < 2e-5*scale
+	assert calls == [("anal", False, nt-nn-ns, mmax), ("anal", True, nn+ns, Mp-1)]
+
+
 @pytest.mark.parametrize("s", [2, 3, 4])
 def test_wigner_pallas_matches_scan(s):
 	"""General-spin Pallas kernels (two-branch Wigner-d recurrence) vs the
