@@ -181,7 +181,6 @@ def _funcs_at_l(lf, g, marr, m2, lam, lam1, mode):
 	north = ispole*jnp.where(g["ct"] > 0, 1.0, 0.0)
 	south = ispole*jnp.where(g["ct"] < 0, 1.0, 0.0)
 	plm  = jnp.sqrt((2*lf + 1)/(4*np.pi))
-	sgl  = 1.0 - 2.0*jnp.abs(jnp.asarray(lf, jnp.float64) % 2.0 - 0.0)  # placeholder
 	sgl  = jnp.where(jnp.asarray(lf) % 2 == 0, 1.0, -1.0)
 	if mode == 1:
 		dlam = (lf*g["ct_st"][None, :]*lam - e*g["inv_st"][None, :]*lam1)*np_

@@ -84,15 +84,22 @@ def _rect_indices(lmax, mmax):
 	return idx, valid
 
 def _tri_lm(lmax, mmax):
-	"""(l, m, valid) of each triangular index, computed with jnp iota (no
+	"""(l, m) of each triangular index, computed with jnp iota (no
 	large host constants baked into jitted programs)."""
 	n = nalm(lmax, mmax)
 	i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
 	# block m occupies flat indices [s(m), s(m+1)) with
-	# s(m) = mstart(m) + m = m(2 lmax + 3 - m)/2; invert the quadratic
+	# s(m) = mstart(m) + m = m(2 lmax + 3 - m)/2; invert the quadratic.
+	# disc fits int32 exactly for lmax < 23168 (tq^2 < 2^31), so computing it
+	# in integers keeps this correct WITHOUT x64: small disc (near the
+	# triangle tip, where the sqrt is sensitive) converts to f32 exactly, and
+	# for large disc the f32 sqrt's absolute error is < tq*2^-24 << 1, both
+	# well inside the +-1 corrections below. A plain f32 evaluation of
+	# tq^2 - 8i loses up to ~8 ulps near the tip and can miss m by > 1.
 	tq = 2*lmax + 3
+	if tq >= 46341: raise ValueError("_tri_lm: lmax too large for int32 disc")
 	def sblk(mm): return mm*(tq - mm)//2
-	disc = jnp.asarray(float(tq)**2, jnp.float64) - 8.0*i.astype(jnp.float64)
+	disc = (jnp.int32(tq*tq) - 8*i).astype(jnp.float32)
 	m = jnp.floor((tq - jnp.sqrt(jnp.maximum(disc, 0.0)))/2).astype(jnp.int32)
 	m = jnp.clip(m, 0, mmax)
 	m = jnp.where((m < mmax) & (sblk(m+1) <= i), m+1, m)
@@ -482,33 +489,34 @@ def analysis_rect(maps, theta, lmax, weights, mmax=None, phi0=0.0,
 	nphi = maps.shape[-1]
 	w = jnp.asarray(weights, maps.dtype)*(2*np.pi/nphi)
 	F = ring_analysis(maps*w[:, None], phi0, mmax+1)
-	rect = adjoint_synthesis_phase(F, theta, lmax, mmax=mmax, spin=spin,
-		rect_out=True)
-	# undo the real-map m>0 degeneracy doubling of the transpose
-	fac = jnp.asarray(np.where(np.arange(mmax+1) == 0, 1.0, 0.5),
-		rect.real.dtype)
-	return rect*fac
+	# m_degeneracy=False: quadrature wants each (l, m) once (no real-map
+	# m>0 doubling), so skip it in the transpose rather than undo it here
+	return adjoint_synthesis_phase(F, theta, lmax, mmax=mmax, spin=spin,
+		rect_out=True, m_degeneracy=False)
 
 
 def adjoint_synthesis(maps, theta, lmax, mmax=None, phi0=0.0, spin=(0, 2),
-		deriv=False, alm_dtype=None):
+		deriv=False, alm_dtype=None, m_degeneracy=True):
 	"""Exact transpose of synthesis: map [..., ncomp, nt, nphi] -> alm.
 	Note: sum over pixels, no quadrature weights."""
 	maps = jnp.asarray(maps)
 	if mmax is None: mmax = lmax
 	F = ring_analysis(maps, phi0, mmax+1)
 	return adjoint_synthesis_phase(F, theta, lmax, mmax=mmax, spin=spin,
-		deriv=deriv, alm_dtype=alm_dtype)
+		deriv=deriv, alm_dtype=alm_dtype, m_degeneracy=m_degeneracy)
 
 
 def adjoint_synthesis_phase(F, theta, lmax, mmax=None, spin=(0, 2),
-		deriv=False, alm_dtype=None, rect_out=False):
+		deriv=False, alm_dtype=None, rect_out=False, m_degeneracy=True):
 	"""Like adjoint_synthesis, but takes the per-ring phase coefficients
 	F[..., ncomp, nm, nt] (ring_analysis output) instead of maps. Lets
 	callers do theta-domain work (padding, exact upsampling, quadrature
 	weighting) on the narrow m-spectrum instead of the full-width map.
 	rect_out=True returns the rectangular complex representation
-	[..., ncomp, nl, nm] (m-shardable) instead of packed triangular alm."""
+	[..., ncomp, nl, nm] (m-shardable) instead of packed triangular alm.
+	m_degeneracy=False skips the real-map m>0 doubling of the true
+	transpose (for quadrature analysis, which wants each mode once --
+	cheaper than doubling here and halving after packing)."""
 	F_in = jnp.asarray(F)
 	theta = _keep_theta(theta)
 	if mmax is None: mmax = lmax
@@ -526,7 +534,7 @@ def adjoint_synthesis_phase(F, theta, lmax, mmax=None, spin=(0, 2),
 		A = _anal_scan(Fr, theta, lmax, mmax, "deriv", ldt)
 		rect = jax.lax.complex(A[..., 0], A[..., 1])
 		# conjugate-symmetry factor: m>0 modes appear twice in a real map
-		rect = _m_degeneracy(rect, mmax)
+		if m_degeneracy: rect = _m_degeneracy(rect, mmax)
 		if rect_out: return rect.astype(cdt)
 		return rect2alm(rect, lmax, mmax).astype(cdt)
 	ncomp = F_in.shape[-3]
@@ -541,7 +549,7 @@ def adjoint_synthesis_phase(F, theta, lmax, mmax=None, spin=(0, 2),
 			A = A.reshape(A.shape[:-1] + (k, 2))
 			rect = jax.lax.complex(A[..., 0], A[..., 1])
 			rect = jnp.moveaxis(rect, -1, -3)
-			rect = _m_degeneracy(rect, mmax)
+			if m_degeneracy: rect = _m_degeneracy(rect, mmax)
 			outs.append(rect if rect_out else rect2alm(rect, lmax, mmax))
 		else:
 			Qf = Fm[..., 0, :, :]; Uf = Fm[..., 1, :, :]
@@ -559,7 +567,7 @@ def adjoint_synthesis_phase(F, theta, lmax, mmax=None, spin=(0, 2),
 			A = A.reshape(A.shape[:-1] + (2, 2))
 			rect = jax.lax.complex(A[..., 0], A[..., 1])
 			rect = jnp.moveaxis(rect, -1, -3)
-			rect = _m_degeneracy(rect, mmax)
+			if m_degeneracy: rect = _m_degeneracy(rect, mmax)
 			outs.append(rect if rect_out else rect2alm(rect, lmax, mmax))
 	return jnp.concatenate(outs, -3 if rect_out else -2).astype(cdt)
 
@@ -583,14 +591,19 @@ def analysis(maps, theta, lmax, weights, mmax=None, phi0=0.0, spin=(0, 2),
 	# real-map m>0 doubling (the integral picks each (l,m) exactly once).
 	w = jnp.asarray(weights, maps.dtype)*(2*np.pi/nphi)
 	wm = maps*w[:, None]
-	alm = adjoint_synthesis(wm, theta, lmax, mmax=mmax, phi0=phi0, spin=spin,
-		deriv=deriv, alm_dtype=alm_dtype)
-	return _undo_m_degeneracy(alm, lmax, mmax if mmax is not None else lmax)
+	# m_degeneracy=False: the quadrature integral picks each (l,m) once, so
+	# skip the transpose's m>0 doubling instead of undoing it after packing
+	return adjoint_synthesis(wm, theta, lmax, mmax=mmax, phi0=phi0, spin=spin,
+		deriv=deriv, alm_dtype=alm_dtype, m_degeneracy=False)
 
 
 def _undo_m_degeneracy(alm, lmax, mmax):
-	lv, mv = _tri_lm(lmax, mmax)
-	fac = jnp.where(mv == 0, 1.0, 0.5).astype(alm.real.dtype)
+	"""Halve m>0 modes of packed alm (undo the real-map transpose doubling).
+	The m=0 block is exactly the first lmax+1 entries of the m-major layout,
+	so no (l, m) recovery is needed."""
+	n = nalm(lmax, mmax)
+	i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+	fac = jnp.where(i <= lmax, 1.0, 0.5).astype(alm.real.dtype)
 	return alm*fac
 
 
@@ -602,9 +615,8 @@ def analysis_phase(F, theta, lmax, weights, nphi, mmax=None, spin=(0, 2),
 	F = jnp.asarray(F)
 	if mmax is None: mmax = lmax
 	w = jnp.asarray(weights, F.real.dtype)*(2*np.pi/nphi)
-	alm = adjoint_synthesis_phase(F*w, theta, lmax, mmax=mmax, spin=spin,
-		deriv=deriv, alm_dtype=alm_dtype)
-	return _undo_m_degeneracy(alm, lmax, mmax)
+	return adjoint_synthesis_phase(F*w, theta, lmax, mmax=mmax, spin=spin,
+		deriv=deriv, alm_dtype=alm_dtype, m_degeneracy=False)
 
 
 MCHUNK_RESAMPLE = 1024  # m-columns per resample chunk (bounds the ~2x-nt

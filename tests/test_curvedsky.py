@@ -291,3 +291,24 @@ def test_f32_synthesis_general_pole_points():
 		spin=[0, 2]))
 	assert np.isfinite(v32).all()
 	assert np.abs(v32 - v64).max() < 2e-3*np.abs(v64).max()
+
+
+def test_tri_lm_exact():
+	"""_tri_lm (packed index -> (l, m)) must be exact at production lmax,
+	independent of the x64 flag: the discriminant is integer-exact in int32
+	(sht.py _tri_lm), so the f32 sqrt + corrections can never miss. Run a
+	big size with x64 on (the test env) and a sweep with x64 forced off."""
+	from pixell_tpu import sht
+	import jax
+	def check(lmax):
+		l, m = sht._tri_lm(lmax, lmax)
+		l, m = np.asarray(l), np.asarray(m)
+		mt = np.concatenate([np.full(lmax+1-mm, mm) for mm in range(lmax+1)])
+		lt = np.concatenate([np.arange(mm, lmax+1) for mm in range(lmax+1)])
+		assert (m == mt).all()
+		assert (l == lt).all()
+	for lmax in (1, 7, 300, 2000):
+		check(lmax)
+	with jax.enable_x64(False):
+		for lmax in (300, 2000):
+			check(lmax)
