@@ -565,38 +565,60 @@ def calc_locinfo(shape, wcs, bsize=1000):
 	loc = np.stack([np.pi/2 - pos[0].reshape(-1), pos[1].reshape(-1) % (2*np.pi)], -1)
 	return Bunch(loc=loc, mask=np.ones(shape[-2:], bool).reshape(-1))
 
+class SynthesisPlan:
+	"""Plan-based general-position synthesis (the TPU counterpart of ducc's
+	incremental u2nu behind reference curvedsky.alm2map_raw_general:993):
+	precompute the deconvolved, oversampled fine torus grid of an alm set
+	ONCE, then evaluate at arbitrary (colat, phi) positions repeatedly with
+	only per-point work. Banded lensing builds one plan and evaluates it per
+	dec band, so the global synthesis + torus FFTs are not repeated."""
+	def __init__(self, alm, lmax=None, mmax=None, spin=(0, 2), deriv=False,
+			epsilon=None):
+		alm = utils.to_device(alm)
+		if lmax is None: lmax = nalm2lmax(alm.shape[-1])
+		if mmax is None: mmax = lmax
+		rdt = np.float32 if alm.dtype == np.complex64 else np.float64
+		if epsilon is None: epsilon = 1e-6 if rdt == np.float32 else 1e-10
+		# Torus grid: theta_k = k * 2pi/Nt covering the whole circle.
+		Nt = 2*enfft.fft_len(lmax + 2, "above")
+		Np = 2*enfft.fft_len(max(mmax + 1, 2), "above")  # even: the torus mirror needs an exact pi shift in phi
+		thetas = np.arange(Nt//2 + 1)*2*np.pi/Nt  # [0, pi] inclusive-ish
+		alm2 = alm if (deriv or alm.ndim > 1) else alm[None]
+		grid = sht.synthesis(alm2, jnp.asarray(thetas), Np, phi0=0.0, lmax=lmax,
+			mmax=mmax, spin=spin if not deriv else (0,), deriv=deriv, map_dtype=rdt)
+		# [..., ncomp, Nt//2+1, Np] -> torus [..., ncomp, Nt, Np]
+		ncomp = grid.shape[-3]
+		spins = _comp_spins(spin, ncomp) if not deriv else [1, 0]
+		mirror = grid[..., 1:(Nt - (Nt//2 + 1)) + 1, :][..., ::-1, :]
+		mirror = jnp.roll(mirror, Np//2, axis=-1)
+		sgn = jnp.asarray([(-1.0)**s for s in spins], rdt)[:, None, None]
+		torus = jnp.concatenate([grid, sgn*mirror], -2)
+		flat = torus.reshape((-1, Nt, Np))
+		fgrid = jnp.fft.fftn(flat, axes=(-2, -1))/(Nt*Np)
+		# the plan holds the deconvolved fine grid on device
+		self.uplan = enfft.u2nu_plan(fgrid, axes=(-2, -1), periodicity=2*np.pi,
+			epsilon=epsilon, complex=False)
+		self.pre = grid.shape[:-2]
+		self.rdt = rdt
+		self._flat1d = alm.ndim == 1 and not deriv
+
+	def eval(self, loc):
+		"""loc [npt, 2] = (colat, phi) in radians -> values [..., npt]."""
+		loc = jnp.asarray(loc)
+		out = self.uplan.eval(jnp.stack([loc[:, 0], loc[:, 1]], 0))
+		out = out.reshape(self.pre + (loc.shape[0],)).astype(self.rdt)
+		if self._flat1d: out = out[..., 0, :]
+		return out
+
+
 def synthesis_general(alm, loc, lmax=None, mmax=None, spin=(0, 2), deriv=False,
 		epsilon=None):
 	"""Evaluate the spherical harmonic expansion at arbitrary (colat, phi)
 	positions loc[npt, 2], via synthesis on a fine iso-lat grid extended to
-	the torus followed by a 2D NUFFT interpolation."""
-	alm = utils.to_device(alm)
-	if lmax is None: lmax = nalm2lmax(alm.shape[-1])
-	if mmax is None: mmax = lmax
-	rdt = np.float32 if alm.dtype == np.complex64 else np.float64
-	if epsilon is None: epsilon = 1e-6 if rdt == np.float32 else 1e-10
-	# Torus grid: theta_k = k * 2pi/Nt covering the whole circle.
-	Nt = 2*enfft.fft_len(lmax + 2, "above")
-	Np = 2*enfft.fft_len(max(mmax + 1, 2), "above")  # even: the torus mirror needs an exact pi shift in phi
-	thetas = np.arange(Nt//2 + 1)*2*np.pi/Nt  # [0, pi] inclusive-ish
-	alm2 = alm if (deriv or alm.ndim > 1) else alm[None]
-	grid = sht.synthesis(alm2, jnp.asarray(thetas), Np, phi0=0.0, lmax=lmax,
-		mmax=mmax, spin=spin if not deriv else (0,), deriv=deriv, map_dtype=rdt)
-	# [..., ncomp, Nt//2+1, Np] -> torus [..., ncomp, Nt, Np]
-	ncomp = grid.shape[-3]
-	spins = _comp_spins(spin, ncomp) if not deriv else [1, 0]
-	mirror = grid[..., 1:(Nt - (Nt//2 + 1)) + 1, :][..., ::-1, :]
-	mirror = jnp.roll(mirror, Np//2, axis=-1)
-	sgn = jnp.asarray([(-1.0)**s for s in spins], rdt)[:, None, None]
-	torus = jnp.concatenate([grid, sgn*mirror], -2)
-	# NUFFT evaluate at (theta, phi)
-	pts = jnp.stack([jnp.asarray(loc)[:, 0], jnp.asarray(loc)[:, 1]], -1)
-	flat = torus.reshape((-1, Nt, Np))
-	fgrid = jnp.fft.fftn(flat, axes=(-2, -1))/(Nt*Np)
-	out = enfft.u2nu(fgrid, pts, epsilon=epsilon).real  # batched over comps
-	out = out.reshape(grid.shape[:-2] + (pts.shape[0],)).astype(rdt)
-	if alm.ndim == 1 and not deriv: out = out[..., 0, :]
-	return out
+	the torus followed by a 2D NUFFT interpolation. For repeated evaluation
+	of the same alm at different point sets, build a SynthesisPlan."""
+	return SynthesisPlan(alm, lmax=lmax, mmax=mmax, spin=spin, deriv=deriv,
+		epsilon=epsilon).eval(loc)
 
 def _comp_spins(spin, ncomp):
 	res = []

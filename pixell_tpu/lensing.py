@@ -166,6 +166,10 @@ def lens_map_curved(shape=None, wcs=None, phi_alm=None, cmb_alm=None,
 	want = set(output)
 	if "k" in want:
 		kappa_alm = phi_to_kappa(phi_alm, phi_ainfo=phi_ainfo)
+	# build the general-synthesis plan ONCE: the global fine torus grid is
+	# shared by all dec bands; each band then only pays for its own points
+	splan = curvedsky.SynthesisPlan(cmb_alm, lmax=cmb_ainfo.lmax, spin=spin,
+		epsilon=epsilon) if "l" in want else None
 	parts = {c: [] for c in "lupka" if c in want}
 	for i1 in range(0, ny, bsize):
 		i2 = min(i1 + bsize, ny)
@@ -193,8 +197,7 @@ def lens_map_curved(shape=None, wcs=None, phi_alm=None, cmb_alm=None,
 			geodesic=geodesic)
 		loc = jnp.stack([jnp.pi/2 - opos[0].reshape(-1),
 			opos[1].reshape(-1) % (2*jnp.pi)], -1)
-		vals = curvedsky.synthesis_general(cmb_alm, loc,
-			lmax=cmb_ainfo.lmax, spin=spin, epsilon=epsilon)
+		vals = splan.eval(loc)
 		band = jnp.asarray(vals).reshape(pre + tuple(lshape[-2:])).astype(dtype)
 		if pol and ncomp >= 3 and opos.shape[0] >= 4:
 			gamma = jnp.arctan2(opos[3], opos[2])/2

@@ -126,3 +126,25 @@ def test_spline_orders_vs_scipy():
 	mine = np.asarray(interpol.map_coordinates(jnp.asarray(data),
 		jnp.asarray(ipts), order=5, border="cyclic"))
 	assert np.max(np.abs(mine - data[np.arange(10), np.arange(10)])) < 1e-10
+
+
+def test_shift_interp_vs_gather():
+	"""fft.shift_interp (gather-free displaced-grid ES interpolation) must be
+	numerically identical to the per-point gather NUFFT core at
+	(y + dy, x + dx)."""
+	from pixell_tpu import fft as efft
+	rng = np.random.default_rng(0)
+	C, ny, nx = 2, 32, 48
+	w, beta = efft._es_params(1e-5)
+	K = 3.0
+	fmap = rng.standard_normal((C, ny, nx))
+	dy = rng.uniform(-K, K, (ny, nx))
+	dx = rng.uniform(-K, K, (ny, nx))
+	a = np.asarray(efft.shift_interp(jnp.asarray(fmap), jnp.asarray(dy),
+		jnp.asarray(dx), K, w, float(beta)))
+	yy, xx = np.mgrid[:ny, :nx]
+	py = (yy + dy).reshape(-1)
+	px = (xx + dx).reshape(-1)
+	b = np.asarray(efft._u2nu_2d_core(jnp.asarray(fmap), jnp.asarray(py),
+		jnp.asarray(px), (ny, nx), w, float(beta))).reshape(C, ny, nx)
+	assert np.abs(a - b).max() < 1e-12*np.abs(b).max() + 1e-13
