@@ -159,9 +159,15 @@ def thumbnails(imap, coords, r=5*utils.arcmin, res=None, proj="tan", apod=2*util
 	if oshape is None:
 		oshape, owcs = enmap.thumbnail_geometry(r=r, res=res, proj=proj)
 	opos = np.asarray(enmap.posmap(oshape, owcs, safe=False))
-	res_maps = []
 	pol = (imap.ndim >= 3 and imap.shape[-3] == 3) if pol is None else pol
-	for ci in range(len(coords)):
+	# per-object recentering transforms run host-side (cheap trig), but ALL
+	# objects interpolate in ONE call: a single spline prefilter of the input
+	# map and one batched gather instead of nobj passes
+	nobj = len(coords)
+	npix = int(np.prod(oshape[-2:]))
+	pos_all = np.empty((2, nobj, npix))
+	ang_all = np.empty((nobj, npix)) if pol else None
+	for ci in range(nobj):
 		dec0, ra0 = coords[ci, 0], coords[ci, 1]
 		# rotate thumbnail positions to be centered on the object: a cel
 		# system recentered so (0,0) maps to (ra0, dec0)
@@ -169,14 +175,16 @@ def thumbnails(imap, coords, r=5*utils.arcmin, res=None, proj="tan", apod=2*util
 		ipos = coordinates.transform("cel",
 			["cel", [np.array([0, 0, ra0, dec0]), False]],
 			np.array([opos[1].reshape(-1), opos[0].reshape(-1)]), pol=pol)
-		pos = np.stack([ipos[1], ipos[0]])
-		vals = np.asarray(imap.at(pos, order=order))
-		vals = vals.reshape(imap.shape[:-2] + oshape[-2:])
-		if pol:
-			ang = np.asarray(ipos[2]).reshape(oshape[-2:])
-			vals = np.asarray(enmap.rotate_pol(enmap.ndmap(jnp.asarray(vals), owcs), -ang))
-		res_maps.append(vals)
-	res = enmap.ndmap(np.array(res_maps), owcs)
+		pos_all[0, ci] = ipos[1]
+		pos_all[1, ci] = ipos[0]
+		if pol: ang_all[ci] = ipos[2]
+	vals = imap.at(pos_all.reshape(2, -1), order=order)
+	vals = jnp.asarray(vals).reshape(imap.shape[:-2] + (nobj,) + tuple(oshape[-2:]))
+	vals = jnp.moveaxis(vals, -3, 0)               # [nobj, ..., ny, nx]
+	if pol:
+		ang = jnp.asarray(ang_all).reshape(nobj, *oshape[-2:])
+		vals = enmap.rotate_pol(vals, -ang)    # angle broadcasts over comps
+	res = enmap.ndmap(np.asarray(vals), owcs)
 	if extensive:
 		res = res*(enmap.pixsize(oshape, owcs)/enmap.pixsize(imap.shape, imap.wcs))
 	return res

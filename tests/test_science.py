@@ -208,3 +208,24 @@ def test_lens_map_curved_banded():
 		jnp.asarray(phi_alm))), enmap.zeros(shape, wcs))
 	assert np.abs(np.asarray(k) - np.asarray(kap2)).max() < 1e-8*max(
 		np.abs(np.asarray(kap2)).max(), 1e-30)
+
+
+def test_thumbnails_batched_pol():
+	"""Multi-object IQU thumbnails: the batched single-interpolation path
+	must reproduce per-object extraction exactly, including the
+	polarization parallel-transport rotation."""
+	shape, wcs = enmap.fullsky_geometry(res=1*utils.degree, variant="fejer1")
+	lmax = 90
+	cl = np.concatenate([[0, 0], 1000/np.arange(2, lmax+1.)**2])
+	alm = jnp.stack([jnp.asarray(curvedsky.rand_alm(cl, lmax=lmax, seed=i))
+		for i in range(3)])
+	lv = np.concatenate([np.arange(mm, lmax+1) for mm in range(lmax+1)])
+	alm = alm.at[1:, lv < 2].set(0)
+	m = curvedsky.alm2map(alm, enmap.zeros((3,)+shape, wcs), spin=[0, 2])
+	coords = np.array([[0.4, 1.0], [-0.6, 4.0]])
+	batch = np.asarray(reproject.thumbnails(m, coords, r=3*utils.degree,
+		res=0.5*utils.degree))
+	singles = np.array([np.asarray(reproject.thumbnails(m, coords[i:i+1],
+		r=3*utils.degree, res=0.5*utils.degree))[0] for i in range(2)])
+	assert batch.shape == singles.shape
+	assert np.abs(batch - singles).max() < 1e-12
