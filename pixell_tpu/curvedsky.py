@@ -224,9 +224,18 @@ def rand_alm(ps, ainfo=None, lmax=None, seed=None, dtype=np.complex128, m_major=
 	n = min(ps.shape[-1], ainfo.lmax+1)
 	ps_ext[:, :, :n] = ps[:, :, :n]
 	L = utils.eigpow(np.moveaxis(ps_ext, -1, 0), 0.5)  # [nl, ncomp, ncomp]
-	L = np.moveaxis(L, 0, -1)
-	alm = lmul(utils.to_device(alm)/np.sqrt(2), jnp.asarray(L), ainfo=ainfo)
-	alm = utils.from_device(alm)
+	L = np.moveaxis(L, 0, -1)                          # [ncomp, ncomp, nl]
+	# host-side scaling: the white alm is host memory already, and per-l
+	# matrix multiply is trivial on CPU. Routing this through device lmul
+	# costs a chain of large one-off eager dispatches (on remote-compile
+	# TPU runtimes each is a fresh compilation -- minutes at high lmax).
+	alm = alm/np.sqrt(2)
+	lv = np.zeros(ainfo.nelem, int)
+	for m in range(ainfo.mmax+1):
+		ls = np.arange(m, ainfo.lmax+1)
+		lv[ainfo.mstart[m] + ls*ainfo.stride] = ls
+	Ll = L[:, :, lv]                                   # [ncomp, ncomp, nalm]
+	alm = np.einsum("abi,bi->ai", Ll.astype(alm.real.dtype), alm)
 	res = alm[0] if oned else alm
 	return (res, ainfo) if return_ainfo else res
 
@@ -584,21 +593,26 @@ class SynthesisPlan:
 		Np = 2*enfft.fft_len(max(mmax + 1, 2), "above")  # even: the torus mirror needs an exact pi shift in phi
 		thetas = np.arange(Nt//2 + 1)*2*np.pi/Nt  # [0, pi] inclusive-ish
 		alm2 = alm if (deriv or alm.ndim > 1) else alm[None]
-		grid = sht.synthesis(alm2, jnp.asarray(thetas), Np, phi0=0.0, lmax=lmax,
-			mmax=mmax, spin=spin if not deriv else (0,), deriv=deriv, map_dtype=rdt)
-		# [..., ncomp, Nt//2+1, Np] -> torus [..., ncomp, Nt, Np]
-		ncomp = grid.shape[-3]
+		ncomp = 2 if deriv else alm2.shape[-2]
 		spins = _comp_spins(spin, ncomp) if not deriv else [1, 0]
-		mirror = grid[..., 1:(Nt - (Nt//2 + 1)) + 1, :][..., ::-1, :]
-		mirror = jnp.roll(mirror, Np//2, axis=-1)
-		sgn = jnp.asarray([(-1.0)**s for s in spins], rdt)[:, None, None]
-		torus = jnp.concatenate([grid, sgn*mirror], -2)
-		flat = torus.reshape((-1, Nt, Np))
-		fgrid = jnp.fft.fftn(flat, axes=(-2, -1))/(Nt*Np)
+		# one jitted program for synthesis + torus extension + spectrum: on
+		# remote-compile TPU runtimes, eager glue ops are each a fresh compile
+		def _build(a):
+			grid = sht.synthesis(a, thetas, Np, phi0=0.0, lmax=lmax,
+				mmax=mmax, spin=spin if not deriv else (0,), deriv=deriv,
+				map_dtype=rdt)
+			# [..., ncomp, Nt//2+1, Np] -> torus [..., ncomp, Nt, Np]
+			mirror = grid[..., 1:(Nt - (Nt//2 + 1)) + 1, :][..., ::-1, :]
+			mirror = jnp.roll(mirror, Np//2, axis=-1)
+			sgn = jnp.asarray([(-1.0)**s for s in spins], rdt)[:, None, None]
+			torus = jnp.concatenate([grid, sgn*mirror], -2)
+			flat = torus.reshape((-1, Nt, Np))
+			return jnp.fft.fftn(flat, axes=(-2, -1))/(Nt*Np)
+		fgrid = jax.jit(_build)(alm2)
 		# the plan holds the deconvolved fine grid on device
 		self.uplan = enfft.u2nu_plan(fgrid, axes=(-2, -1), periodicity=2*np.pi,
 			epsilon=epsilon, complex=False)
-		self.pre = grid.shape[:-2]
+		self.pre = (alm2.shape[:-1] if deriv else alm2.shape[:-2]) + (ncomp,)
 		self.rdt = rdt
 		self._flat1d = alm.ndim == 1 and not deriv
 

@@ -330,15 +330,54 @@ def _spread_inds_weights(pos, nfine, w, beta):
 	wt = _es_kernel(z, beta)
 	return inds % nfine, wt
 
+def _block_gather_eval(fgrid, iy0, ix0, wy, wx, nfine, w):
+	"""Shared TPU-shaped kernel evaluation: ONE contiguous [w, w, C] block
+	slice-gather per point instead of npt*w*w*C elementwise gathers. TPU
+	gathers are descriptor-bound (~100M rows/s), so fetching each point's
+	whole kernel footprint as a single gather row (contiguous in x and C
+	after a components-minor transpose and a w-wide torus wrap pad) is
+	~w^2*C fewer descriptors. fgrid[C, nfy, nfx]; iy0/ix0 [npt] int32 window
+	starts; wy/wx [npt, w] kernel weights. Returns [C, npt]."""
+	C = fgrid.shape[0]
+	nfy, nfx = nfine
+	fp = jnp.moveaxis(fgrid, 0, -1)
+	fp = jnp.concatenate([fp, fp[:w]], 0)
+	fp = jnp.concatenate([fp, fp[:, :w]], 1)
+	starts = jnp.stack([iy0 % nfy, ix0 % nfx], -1)
+	dn = jax.lax.GatherDimensionNumbers(offset_dims=(1, 2, 3),
+		collapsed_slice_dims=(), start_index_map=(0, 1))
+	vals = jax.lax.gather(fp, starts, dn, slice_sizes=(w, w, C), mode="clip")
+	return jnp.einsum("pyxc,py,px->cp", vals, wy.astype(vals.real.dtype),
+		wx.astype(vals.real.dtype))
+
 @functools.partial(jax.jit, static_argnames=("nfine", "w", "beta"))
 def _u2nu_2d_core(fgrid, py, px, nfine, w, beta):
-	"""fgrid[C, nfy, nfx]: all components share one set of interpolation
-	indices/weights and evaluate in a single batched gather + einsum."""
-	iy, wy = _spread_inds_weights(py, nfine[0], w, beta)
-	ix, wx = _spread_inds_weights(px, nfine[1], w, beta)
-	# gather [C, npt, w, w]
-	vals = fgrid[:, iy[:, :, None], ix[:, None, :]]
-	return jnp.einsum("cpyx,py,px->cp", vals, wy, wx)
+	"""fgrid[C, nfy, nfx] -> vals[C, npt] at fine-grid positions py/px."""
+	nfy, nfx = nfine
+	hw = w/2.0
+	iy0 = jnp.floor(py - hw).astype(jnp.int32) + 1
+	ix0 = jnp.floor(px - hw).astype(jnp.int32) + 1
+	offs = jnp.arange(w)
+	wy = _es_kernel((py[:, None] - (iy0[:, None] + offs))/hw, beta)
+	wx = _es_kernel((px[:, None] - (ix0[:, None] + offs))/hw, beta)
+	return _block_gather_eval(fgrid, iy0, ix0, wy, wx, nfine, w)
+
+@functools.partial(jax.jit, static_argnames=("nfine", "w", "beta"))
+def _u2nu_2d_core_split(fgrid, iyb, fy, ixb, fx, nfine, w, beta):
+	"""Split-position variant: the true position is iyb + fy (int32 base +
+	small float fraction/offset). A single f32 position at a large fine grid
+	quantizes to ~nfy*2^-24 (~1e-3 px at lmax 3000+), capping interpolation
+	accuracy; the split keeps the kernel offsets at full f32 resolution.
+	fy/fx may extend a few pixels beyond [0,1) (e.g. lensing displacements
+	folded into the fraction)."""
+	hw = w/2.0
+	ty = jnp.floor(fy - hw); tx = jnp.floor(fx - hw)
+	iy0 = iyb + ty.astype(jnp.int32) + 1
+	ix0 = ixb + tx.astype(jnp.int32) + 1
+	offs = jnp.arange(w, dtype=fy.dtype)
+	wy = _es_kernel((fy[:, None] - (ty[:, None] + 1 + offs))/hw, beta)
+	wx = _es_kernel((fx[:, None] - (tx[:, None] + 1 + offs))/hw, beta)
+	return _block_gather_eval(fgrid, iy0, ix0, wy, wx, nfine, w)
 
 @functools.partial(jax.jit, static_argnames=("K", "w", "beta"))
 def shift_interp(fmap, dy, dx, K, w, beta):
@@ -378,10 +417,45 @@ def shift_interp(fmap, dy, dx, K, w, beta):
 	return out
 
 
-def _u2nu_fine(grid, epsilon, forward, fft_order):
+@functools.partial(jax.jit, static_argnames=("nfine", "w", "beta", "forward",
+	"fft_order", "real_out"))
+def _u2nu_fine_jit(grid, nfine, w, beta, forward, fft_order, real_out):
+	"""Jitted core of _u2nu_fine: one device dispatch for the whole
+	deconvolve + zero-pad + inverse-FFT chain (eager ops each remote-compile
+	on tunnel-attached TPU runtimes, so the hot path must be one program).
+	real_out=True returns only the real part of the fine grid, computed
+	exactly via Hermitianization + irfft: out = Re(ifft2(S)) = ifft2((S +
+	conj(S[-k]))/2), which is Hermitian, halving fine-grid memory and the
+	downstream per-point gather traffic."""
+	nfy, nfx = nfine
+	rdt = utils.real_dtype(grid.dtype)
+	cy = _es_correction(nfy, w, beta, rdt)
+	cx = _es_correction(nfx, w, beta, rdt)
+	# place grid freqs into fine spectrum (grid in fft order if fft_order)
+	g = grid if fft_order else jnp.fft.ifftshift(grid, axes=(-2, -1))
+	spec = resample(g, (nfy, nfx), axes=(-2, -1))
+	# correction indexed by original freq: after resample, fine grid fft-order
+	spec = spec*jnp.asarray(cy)[:, None]*jnp.asarray(cx)[None, :]
+	if real_out:
+		# forward: fine = conj(ifft(conj(S)))*N; Re(conj(z)) = Re(z)
+		S = jnp.conj(spec) if forward else spec
+		# Hermitian half-spectrum H[k1,k2] = (S[k1,k2] + conj(S[-k1,-k2]))/2,
+		# built directly in half form (k2 <= nfx//2) to keep transients small
+		Sm = jnp.concatenate([S[..., :, :1],
+			S[..., :, nfx - nfx//2:][..., :, ::-1]], -1)
+		Sm = jnp.roll(Sm[..., ::-1, :], 1, axis=-2)
+		Sh = 0.5*(S[..., :, :nfx//2+1] + jnp.conj(Sm))
+		return jnp.fft.irfftn(Sh, s=(nfy, nfx), axes=(-2, -1))*(nfy*nfx)
+	if forward:
+		return jnp.conj(jnp.fft.ifftn(jnp.conj(spec), axes=(-2, -1)))*(nfy*nfx)
+	return jnp.fft.ifftn(spec, axes=(-2, -1))*(nfy*nfx)
+
+def _u2nu_fine(grid, epsilon, forward, fft_order, real_out=False, chunked=False):
 	"""Stage 1 of u2nu: deconvolve the spectrum by the ES kernel, zero-pad to
 	the oversampled size, and inverse-FFT to the fine spatial grid. This is
-	the expensive, point-independent part -- u2nu_plan caches it."""
+	the expensive, point-independent part -- u2nu_plan caches it.
+	chunked=True processes leading batch dims one field at a time, bounding
+	the transient complex spectrum/FFT workspace to one fine grid."""
 	grid = jnp.asarray(grid)
 	rdt = utils.real_dtype(grid.dtype)
 	if epsilon is None:
@@ -390,28 +464,43 @@ def _u2nu_fine(grid, epsilon, forward, fft_order):
 	ny, nx = grid.shape[-2:]
 	sigma = 2
 	nfy, nfx = fft_len(int(ny*sigma), "above"), fft_len(int(nx*sigma), "above")
-	cy = _es_correction(nfy, w, beta, rdt)
-	cx = _es_correction(nfx, w, beta, rdt)
-	# place grid freqs into fine spectrum (grid in fft order if fft_order)
-	g = grid if fft_order else jnp.fft.ifftshift(grid, axes=(-2, -1))
-	if g.dtype.kind != 'c': g = g.astype(utils.complex_dtype(g.dtype))
-	spec = resample(g, (nfy, nfx), axes=(-2, -1))
-	# correction indexed by original freq: after resample, fine grid fft-order
-	spec = spec*jnp.asarray(cy)[:, None]*jnp.asarray(cx)[None, :]
-	fine = jnp.fft.ifftn(spec, axes=(-2, -1))*(nfy*nfx)
-	if forward: fine = jnp.conj(jnp.fft.ifftn(jnp.conj(spec), axes=(-2, -1)))*(nfy*nfx)
+	if grid.dtype.kind != 'c': grid = grid.astype(utils.complex_dtype(grid.dtype))
+	args = ((nfy, nfx), w, float(beta), bool(forward), bool(fft_order),
+		bool(real_out))
+	if chunked and grid.ndim > 2 and int(np.prod(grid.shape[:-2])) > 1:
+		flat = grid.reshape((-1, ny, nx))
+		fine = jnp.stack([_u2nu_fine_jit(flat[i], *args)
+			for i in range(flat.shape[0])])
+		fine = fine.reshape(grid.shape[:-2] + (nfy, nfx))
+	else:
+		fine = _u2nu_fine_jit(grid, *args)
 	return fine, (nfy, nfx), w, float(beta)
 
 def _u2nu_points(fine, nfine, w, beta, coords, periodicity, pre):
 	"""Stage 2 of u2nu: ES-kernel interpolation of the fine grid at the
-	nonuniform points."""
-	coords = jnp.asarray(coords)
+	nonuniform points. Host-side (numpy) coords take the split-position
+	path: the int/frac split is computed in f64 so kernel offsets keep full
+	resolution even on huge fine grids in f32."""
 	per = np.broadcast_to(np.asarray(periodicity, float), (2,))
-	py = (coords[:, 0]/per[0] % 1.0)*nfine[0]
-	px = (coords[:, 1]/per[1] % 1.0)*nfine[1]
 	flat = fine.reshape((-1,) + tuple(nfine))
-	res = _u2nu_2d_core(flat, py, px, tuple(nfine), w, beta)
-	return res.reshape(tuple(pre) + (coords.shape[0],))
+	if isinstance(coords, np.ndarray):
+		co = np.asarray(coords, np.float64)
+		py = (co[:, 0]/per[0] % 1.0)*nfine[0]
+		px = (co[:, 1]/per[1] % 1.0)*nfine[1]
+		iyb = np.floor(py); ixb = np.floor(px)
+		rdt = utils.real_dtype(fine.dtype)
+		res = _u2nu_2d_core_split(flat,
+			jnp.asarray(iyb.astype(np.int32)), jnp.asarray((py - iyb).astype(rdt)),
+			jnp.asarray(ixb.astype(np.int32)), jnp.asarray((px - ixb).astype(rdt)),
+			tuple(nfine), w, beta)
+		npt = co.shape[0]
+	else:
+		coords = jnp.asarray(coords)
+		py = (coords[:, 0]/per[0] % 1.0)*nfine[0]
+		px = (coords[:, 1]/per[1] % 1.0)*nfine[1]
+		res = _u2nu_2d_core(flat, py, px, tuple(nfine), w, beta)
+		npt = coords.shape[0]
+	return res.reshape(tuple(pre) + (npt,))
 
 def u2nu(grid, coords, forward=False, epsilon=None, nthread=None, out=None,
 		periodicity=2*np.pi, fft_order=True):
@@ -725,8 +814,14 @@ class u2nu_plan:
 		self.complex = complex
 		self.normalize = normalize
 		self.norm = int(np.prod(self.gshape))
+		# real output means out = Re(sum vals*wy*wx) = sum Re(vals)*wy*wx
+		# (ES weights are real), so only the real part of the fine grid is
+		# ever read: build it real (real_out), halving plan memory AND the
+		# per-point gather traffic (the TPU-side bottleneck of eval), and
+		# build per-field (chunked) to bound the transient FFT workspace
 		self.fine, self.nfine, self.w, self.beta = _u2nu_fine(
-			fa, epsilon, forward, fft_order=True)
+			fa, epsilon, forward, fft_order=True, real_out=not complex,
+			chunked=True)
 	def eval(self, inds, out=None):
 		inds = jnp.asarray(inds)
 		ishape = inds.shape[1:]

@@ -7,10 +7,12 @@ the unlensed alm at the displaced positions with the NUFFT-based general
 synthesis (reference lens_map_curved:367, which band-loops over dec;
 here the whole sky is evaluated in one fused jax computation)."""
 from __future__ import annotations
+import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
 from . import enmap, curvedsky, interpol, utils
+from . import fft as enfft
 from .bunch import Bunch
 
 
@@ -131,6 +133,32 @@ def offset_by_grad(ipos, grad, pol=None, geodesic=True):
 	gamma = xp.where(small, 0.0, gamma)
 	return xp.stack([dec2, ra2, xp.cos(2*gamma), xp.sin(2*gamma)])
 
+@functools.partial(jax.jit, static_argnames=("nfine", "w", "beta", "pre",
+	"polrot", "pol", "geodesic"))
+def _lens_band_core(fine, grad, pos, iyb, fy, ixb, fx, nfine, w, beta, pre,
+		polrot, pol, geodesic):
+	"""One dec band of curved lensing, fused into a single program shared by
+	all bands: geodesic offset + split-position NUFFT eval + polarization
+	parallel-transport rotation. Positions enter pre-split (int fine-pixel
+	base iyb/ixb + f32 fraction fy/fx, computed host-side in f64) so the
+	kernel offsets keep full resolution on large fine grids; the band's
+	displacement is folded into the fraction on device."""
+	opos = offset_by_grad(pos, grad, pol=pol, geodesic=geodesic)
+	nfy, nfx = nfine
+	# displacement in fine pixels; colat = pi/2 - dec so dcolat = -ddec
+	dpy = (pos[0] - opos[0])*(nfy/(2*np.pi))
+	dpx = (opos[1] - pos[1])*(nfx/(2*np.pi))
+	vals = enfft._u2nu_2d_core_split(fine,
+		iyb.reshape(-1), (fy + dpy).reshape(-1),
+		ixb.reshape(-1), (fx + dpx).reshape(-1), nfine, w, beta)
+	band = vals.reshape(pre + pos.shape[-2:])
+	if polrot:
+		c2, s2 = opos[2], opos[3]
+		q = band[..., 1, :, :]; u = band[..., 2, :, :]
+		band = band.at[..., 1, :, :].set(c2*q - s2*u)
+		band = band.at[..., 2, :, :].set(s2*q + c2*u)
+	return band
+
 def lens_map_curved(shape=None, wcs=None, phi_alm=None, cmb_alm=None,
 		phi_ainfo=None, maplmax=None, dtype=np.float64, oversample=2.0,
 		spin=[0, 2], output="l", geodesic=True, verbose=False, delta_theta=None,
@@ -139,13 +167,16 @@ def lens_map_curved(shape=None, wcs=None, phi_alm=None, cmb_alm=None,
 	(reference lensing.lens_map_curved:367). output: string of maps to
 	return: "l"=lensed, "u"=unlensed, "p"=phi map, "k"=convergence, "a"=grad.
 
-	delta_theta streams the computation in dec bands (reference
-	lensing.py:450-492): only one band's posmap / displaced positions /
-	NUFFT points are alive at a time, bounding the O(npix) working set at
-	high resolution. (The band SHTs only touch the band's rings, so the
-	Legendre cost also scales with the band; the NUFFT's global torus grid
-	is the remaining lmax-scale allocation.)"""
+	TPU-shaped streaming, restructured vs the reference's band loop
+	(reference lensing.py:450-492): the gradient/unlensed/phi/kappa maps are
+	each ONE full-geometry SHT (a single compiled program -- banding the
+	Legendre work would only add dispatches), the general-synthesis plan
+	(global fine torus grid) is built once, and only the per-point work
+	(posmap, geodesic offset, NUFFT eval) streams in delta_theta dec bands
+	through ONE compiled band program (the tail band overlaps the previous
+	one so every band has identical shapes)."""
 	ctype = np.complex64 if np.dtype(dtype) == np.float32 else np.complex128
+	rdt = np.float32 if np.dtype(dtype) == np.float32 else np.float64
 	phi_alm = utils.to_device(np.asarray(phi_alm).astype(ctype) if not
 		isinstance(phi_alm, jnp.ndarray) else phi_alm)
 	if phi_ainfo is None: phi_ainfo = curvedsky.alm_info(nalm=phi_alm.shape[-1])
@@ -155,57 +186,73 @@ def lens_map_curved(shape=None, wcs=None, phi_alm=None, cmb_alm=None,
 	ncomp = cmb_alm.shape[0] if cmb_alm.ndim > 1 else 1
 	pol = ncomp > 1 if pol is None else pol
 	pre = () if cmb_alm.ndim == 1 else (ncomp,)
-	ny = shape[-2]
-	if delta_theta is None:
-		bsize = ny
-	else:
-		bsize = max(1, utils.nint(abs(delta_theta/utils.degree/wcs.wcs.cdelt[1])))
-		# avoid a tiny trailing block (reference lensing.py:455-457)
-		nblock = max(ny//bsize, 1)
-		bsize = max(int(ny/(nblock + 0.5)), 1)
+	ny, nx = int(shape[-2]), int(shape[-1])
 	want = set(output)
+	maps = {}
+	def synth(a, ainfo, pshape, **kw):
+		f = jax.jit(lambda al: jnp.asarray(curvedsky.alm2map(al,
+			enmap.zeros(tuple(pshape) + (ny, nx), wcs, dtype),
+			ainfo=ainfo, **kw)))
+		return f(a)
+	grad = None
+	if ("l" in want) or ("a" in want):
+		grad = synth(phi_alm, phi_ainfo, (2,), deriv=True)
+		if verbose: print("lens: gradient SHT done")
+	if "a" in want: maps["a"] = enmap.ndmap(grad, wcs)
+	if "p" in want: maps["p"] = enmap.ndmap(synth(phi_alm, phi_ainfo, ()), wcs)
 	if "k" in want:
-		kappa_alm = phi_to_kappa(phi_alm, phi_ainfo=phi_ainfo)
-	# build the general-synthesis plan ONCE: the global fine torus grid is
-	# shared by all dec bands; each band then only pays for its own points
-	splan = curvedsky.SynthesisPlan(cmb_alm, lmax=cmb_ainfo.lmax, spin=spin,
-		epsilon=epsilon) if "l" in want else None
-	parts = {c: [] for c in "lupka" if c in want}
-	for i1 in range(0, ny, bsize):
-		i2 = min(i1 + bsize, ny)
-		lshape, lwcs = enmap.slice_geometry(tuple(shape[-2:]), wcs,
-			(slice(i1, i2), slice(None)))
-		if verbose: print("lens band %d:%d / %d" % (i1, i2, ny))
-		grad = curvedsky.alm2map(phi_alm,
-			enmap.zeros((2,) + tuple(lshape[-2:]), lwcs, dtype),
-			deriv=True, ainfo=phi_ainfo)
-		if "a" in want: parts["a"].append(jnp.asarray(grad))
-		if "p" in want:
-			parts["p"].append(jnp.asarray(curvedsky.alm2map(phi_alm,
-				enmap.zeros(tuple(lshape[-2:]), lwcs, dtype), ainfo=phi_ainfo)))
-		if "k" in want:
-			parts["k"].append(jnp.asarray(curvedsky.alm2map(kappa_alm,
-				enmap.zeros(tuple(lshape[-2:]), lwcs, dtype), ainfo=phi_ainfo)))
-		if "u" in want:
-			parts["u"].append(jnp.asarray(curvedsky.alm2map(cmb_alm,
-				enmap.zeros(pre + tuple(lshape[-2:]), lwcs, dtype), spin=spin,
-				ainfo=cmb_ainfo)))
-		if "l" not in want:
-			continue
-		pos = jnp.asarray(enmap.posmap(lshape, lwcs, safe=False))
-		opos = offset_by_grad(pos, jnp.asarray(grad), pol=pol,
-			geodesic=geodesic)
-		loc = jnp.stack([jnp.pi/2 - opos[0].reshape(-1),
-			opos[1].reshape(-1) % (2*jnp.pi)], -1)
-		vals = splan.eval(loc)
-		band = jnp.asarray(vals).reshape(pre + tuple(lshape[-2:])).astype(dtype)
-		if pol and ncomp >= 3 and opos.shape[0] >= 4:
-			gamma = jnp.arctan2(opos[3], opos[2])/2
-			band = jnp.asarray(enmap.rotate_pol(
-				enmap.ndmap(band, lwcs), gamma))
-		parts["l"].append(band)
-	maps = {c: enmap.ndmap(jnp.concatenate(p, axis=-2), wcs)
-		for c, p in parts.items()}
+		kappa_alm = jax.jit(lambda a: phi_to_kappa(a,
+			phi_ainfo=phi_ainfo))(phi_alm)
+		maps["k"] = enmap.ndmap(synth(kappa_alm, phi_ainfo, ()), wcs)
+	if "u" in want:
+		maps["u"] = enmap.ndmap(synth(cmb_alm, cmb_ainfo, pre, spin=spin), wcs)
+	if "l" in want:
+		# build the general-synthesis plan ONCE: the global fine torus grid
+		# is shared by all dec bands
+		splan = curvedsky.SynthesisPlan(cmb_alm, lmax=cmb_ainfo.lmax,
+			spin=spin, epsilon=epsilon)
+		if verbose: print("lens: synthesis plan built")
+		if delta_theta is None:
+			bsize = ny
+		else:
+			bsize = max(1, utils.nint(abs(delta_theta/utils.degree/wcs.wcs.cdelt[1])))
+			# avoid a tiny trailing block (reference lensing.py:455-457)
+			nblock = max(ny//bsize, 1)
+			bsize = min(max(int(ny/(nblock + 0.5)), 1), ny)
+		nfine = tuple(int(x) for x in splan.uplan.nfine)
+		wk, beta = splan.uplan.w, splan.uplan.beta
+		fine = splan.uplan.fine.reshape((-1,) + nfine)
+		pre_full = tuple(int(x) for x in splan.pre)
+		polrot = bool(pol) and ncomp >= 3
+		grad_d = jnp.asarray(grad)
+		parts = []
+		done = 0
+		while done < ny:
+			# the tail band starts early (overlapping rows already emitted)
+			# so every band has exactly bsize rows -> one compiled program
+			i1 = done if done + bsize <= ny else max(ny - bsize, 0)
+			i2 = min(i1 + bsize, ny)
+			lshape, lwcs = enmap.slice_geometry((ny, nx), wcs,
+				(slice(i1, i2), slice(None)))
+			pos64 = np.asarray(enmap.posmap(lshape, lwcs, safe=False),
+				np.float64)
+			py = ((np.pi/2 - pos64[0])/(2*np.pi) % 1.0)*nfine[0]
+			px = (pos64[1]/(2*np.pi) % 1.0)*nfine[1]
+			iyb = np.floor(py); ixb = np.floor(px)
+			band = _lens_band_core(fine, grad_d[:, i1:i2, :],
+				jnp.asarray(pos64.astype(rdt)),
+				jnp.asarray(iyb.astype(np.int32)),
+				jnp.asarray((py - iyb).astype(rdt)),
+				jnp.asarray(ixb.astype(np.int32)),
+				jnp.asarray((px - ixb).astype(rdt)),
+				nfine, wk, float(beta), pre_full, polrot, bool(pol),
+				bool(geodesic))
+			parts.append(band[..., done - i1:, :].astype(dtype))
+			done = i2
+			if verbose: print("lens band %d / %d" % (done, ny))
+		lmap = jnp.concatenate(parts, -2) if len(parts) > 1 else parts[0]
+		if not pre: lmap = lmap[..., 0, :, :]
+		maps["l"] = enmap.ndmap(lmap, wcs)
 	res = [maps[c] for c in output if c in maps]
 	return res[0] if len(res) == 1 else tuple(res)
 
