@@ -11,11 +11,45 @@ scripts/tpu_smoke.py when the wigner engine changes.
 """
 import argparse
 import os
+import subprocess
 import sys
+import tempfile
 import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_ORACLE_SRC = r"""
+import sys, numpy as np, jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, sys.argv[1])
+from pixell_tpu.ops import sht_core
+d = np.load(sys.argv[2])
+lmax, mmax, s = int(d["lmax"]), int(d["mmax"]), int(d["s"])
+theta = jnp.asarray(d["theta"], jnp.float64)
+G64 = np.asarray(sht_core.wigner_synthesis_scan(
+	jnp.asarray(d["A"], jnp.float64), theta, lmax, mmax, s, dtype=np.float64))
+a64 = np.asarray(sht_core.wigner_analysis_scan(
+	jnp.asarray(d["F"], jnp.float64), theta, lmax, mmax, s, dtype=np.float64))
+np.savez(sys.argv[3], G64=G64, a64=a64)
+"""
+
+
+def oracle(repo, A, F, theta, lmax, mmax, s):
+	"""f64 jnp-scan oracle in a subprocess: x64 must be ON there (the S=850
+	scaled-Legendre representation overflows if truncated to f32), but OFF in
+	this process (x64 tracing puts i64 scalars into the Pallas kernels, which
+	Mosaic rejects)."""
+	env = dict(os.environ)
+	env["JAX_ENABLE_X64"] = "1"
+	env["JAX_PLATFORMS"] = "cpu"
+	with tempfile.TemporaryDirectory() as td:
+		fin = os.path.join(td, "in.npz"); fout = os.path.join(td, "out.npz")
+		np.savez(fin, A=A, F=F, theta=theta, lmax=lmax, mmax=mmax, s=s)
+		subprocess.run([sys.executable, "-c", _ORACLE_SRC, repo, fin, fout],
+			env=env, check=True)
+		d = np.load(fout)
+		return d["G64"], d["a64"]
 
 
 def main():
@@ -38,13 +72,10 @@ def main():
 	rng = np.random.default_rng(0)
 	C = 2
 	A = rng.standard_normal((lmax+1, mmax+1, C)).astype(np.float32)
+	F = rng.standard_normal((2, C, mmax+1, nt)).astype(np.float32)
 
-	# f64 oracle on host CPU
-	cpu = jax.devices("cpu")[0]
-	with jax.default_device(cpu):
-		G64 = np.asarray(sht_core.wigner_synthesis_scan(
-			jnp.asarray(A, jnp.float64), jnp.asarray(theta, jnp.float64),
-			lmax, mmax, s, dtype=np.float64))
+	repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+	G64, a64 = oracle(repo, A, F, theta, lmax, mmax, s)
 	t0 = time.time()
 	G = np.asarray(sht_pallas.wigner_synthesis_scan_pallas(jnp.asarray(A),
 		jnp.asarray(theta, jnp.float32), lmax, mmax, s))
@@ -57,11 +88,6 @@ def main():
 	print("synth err: %.2e total, %.2e polar  (%.1f s incl compile)"
 		% (err_syn, err_pol, dt_syn))
 
-	F = rng.standard_normal((2, C, mmax+1, nt)).astype(np.float32)
-	with jax.default_device(cpu):
-		a64 = np.asarray(sht_core.wigner_analysis_scan(
-			jnp.asarray(F, jnp.float64), jnp.asarray(theta, jnp.float64),
-			lmax, mmax, s, dtype=np.float64))
 	t0 = time.time()
 	a = np.asarray(sht_pallas.wigner_analysis_scan_pallas(jnp.asarray(F),
 		jnp.asarray(theta, jnp.float32), lmax, mmax, s))
