@@ -330,14 +330,21 @@ def _spread_inds_weights(pos, nfine, w, beta):
 	wt = _es_kernel(z, beta)
 	return inds % nfine, wt
 
+GATHER_CHUNK = 1 << 17  # points per gather block: bounds the [chunk,w,w,C]
+                        # transient (~77 MB at w=7 C=3 f32) -- unchunked, a
+                        # 1.4M-point lensing band materializes 17+ GB and OOMs
+
 def _block_gather_eval(fgrid, iy0, ix0, wy, wx, nfine, w):
 	"""Shared TPU-shaped kernel evaluation: ONE contiguous [w, w, C] block
 	slice-gather per point instead of npt*w*w*C elementwise gathers. TPU
 	gathers are descriptor-bound (~100M rows/s), so fetching each point's
 	whole kernel footprint as a single gather row (contiguous in x and C
 	after a components-minor transpose and a w-wide torus wrap pad) is
-	~w^2*C fewer descriptors. fgrid[C, nfy, nfx]; iy0/ix0 [npt] int32 window
-	starts; wy/wx [npt, w] kernel weights. Returns [C, npt]."""
+	~w^2*C fewer descriptors. The gather output is NOT fused into the
+	weight contraction by XLA, so points are processed in GATHER_CHUNK
+	blocks via lax.map to bound the transient. fgrid[C, nfy, nfx]; iy0/ix0
+	[npt] int32 window starts; wy/wx [npt, w] kernel weights.
+	Returns [C, npt]."""
 	C = fgrid.shape[0]
 	nfy, nfx = nfine
 	fp = jnp.moveaxis(fgrid, 0, -1)
@@ -346,9 +353,21 @@ def _block_gather_eval(fgrid, iy0, ix0, wy, wx, nfine, w):
 	starts = jnp.stack([iy0 % nfy, ix0 % nfx], -1)
 	dn = jax.lax.GatherDimensionNumbers(offset_dims=(1, 2, 3),
 		collapsed_slice_dims=(), start_index_map=(0, 1))
-	vals = jax.lax.gather(fp, starts, dn, slice_sizes=(w, w, C), mode="clip")
-	return jnp.einsum("pyxc,py,px->cp", vals, wy.astype(vals.real.dtype),
-		wx.astype(vals.real.dtype))
+	wdt = fp.real.dtype
+	def block(st, by, bx):
+		vals = jax.lax.gather(fp, st, dn, slice_sizes=(w, w, C), mode="clip")
+		return jnp.einsum("pyxc,py,px->pc", vals, by.astype(wdt),
+			bx.astype(wdt))
+	npt = iy0.shape[0]
+	if npt <= GATHER_CHUNK:
+		return block(starts, wy, wx).T
+	nb = -(-npt//GATHER_CHUNK)
+	pad = nb*GATHER_CHUNK - npt
+	st = jnp.pad(starts, ((0, pad), (0, 0))).reshape(nb, GATHER_CHUNK, 2)
+	by = jnp.pad(wy, ((0, pad), (0, 0))).reshape(nb, GATHER_CHUNK, w)
+	bx = jnp.pad(wx, ((0, pad), (0, 0))).reshape(nb, GATHER_CHUNK, w)
+	out = jax.lax.map(lambda a: block(*a), (st, by, bx))
+	return out.reshape(nb*GATHER_CHUNK, C)[:npt].T
 
 @functools.partial(jax.jit, static_argnames=("nfine", "w", "beta"))
 def _u2nu_2d_core(fgrid, py, px, nfine, w, beta):

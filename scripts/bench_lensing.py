@@ -23,6 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(name, fn, *args, nrep=3):
+	import time as _t
+	sys.stdout.flush()
 	import jax.numpy as jnp
 	# warmup/compile
 	out = fn(*args)
@@ -33,6 +35,7 @@ def timeit(name, fn, *args, nrep=3):
 		s += float(jnp.sum(jnp.abs(jnp.asarray(out[0] if isinstance(out, tuple) else out))))
 	dt = (time.perf_counter() - t0)/nrep
 	print("%-38s %8.1f ms" % (name, dt*1e3))
+	sys.stdout.flush()
 	assert np.isfinite(s)
 	return dt
 
@@ -43,6 +46,8 @@ def main():
 	ap.add_argument("--patch", type=float, default=10.0, help="patch size in deg")
 	ap.add_argument("--res", type=float, default=0.5, help="arcmin")
 	ap.add_argument("--ncomp", type=int, default=3)
+	ap.add_argument("--full", action="store_true",
+		help="also time the hot plan rebuild and the end-to-end pipeline")
 	args = ap.parse_args()
 
 	import jax
@@ -86,7 +91,9 @@ def main():
 		(time.perf_counter()-t0)*1e3))
 	print("  fine grid:", plan.uplan.fine.shape, plan.uplan.fine.dtype,
 		"= %.2f GB" % (plan.uplan.fine.size*plan.uplan.fine.dtype.itemsize/1e9))
-	timeit("SynthesisPlan build (hot)", build_plan)
+	sys.stdout.flush()
+	if args.full:
+		timeit("SynthesisPlan build (hot)", build_plan, nrep=1)
 
 	# --- stage 2: band gradient SHT ---
 	ny = shape[-2]
@@ -117,6 +124,8 @@ def main():
 		int(np.prod(plan.pre)), plan.uplan.w))
 
 	# --- full pipeline ---
+	if not args.full:
+		return
 	nband = ny//bsize
 	est = nband*(dt)  # eval dominates; report measured total too
 	t0 = time.perf_counter()

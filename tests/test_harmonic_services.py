@@ -167,3 +167,18 @@ def test_u2nu_plan():
 		normalize=True, complex=False)
 	got2 = np.asarray(plan2.eval(np.array([iy, ix])))
 	assert np.abs(got2 - want.real/(ny*nx)).max() < 1e-8*np.abs(want).max()
+
+
+def test_u2nu_gather_chunking(monkeypatch):
+	"""The chunked point-gather path (npt > GATHER_CHUNK, which bounds the
+	[chunk,w,w,C] transient that OOMs HBM on million-point lensing bands)
+	is bit-identical to the single-block path."""
+	rng = np.random.default_rng(3)
+	ny, nx = 12, 18
+	g = rng.standard_normal((2, ny, nx)) + 1j*rng.standard_normal((2, ny, nx))
+	npt = 101
+	pts = rng.uniform(0, 2*np.pi, (npt, 2))
+	want = np.asarray(fft.u2nu(jnp.asarray(g), jnp.asarray(pts)))
+	monkeypatch.setattr(fft, "GATHER_CHUNK", 16)  # force 7 blocks with padding
+	got = np.asarray(fft.u2nu(jnp.asarray(g), jnp.asarray(pts)))
+	assert np.array_equal(got, want)
