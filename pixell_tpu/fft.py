@@ -331,7 +331,9 @@ def _spread_inds_weights(pos, nfine, w, beta):
 	return inds % nfine, wt
 
 GATHER_CHUNK = 1 << 17  # points per gather block: bounds the [chunk,w,w,C]
-                        # transient (~77 MB at w=7 C=3 f32) -- unchunked, a
+                        # transient (~77 MB at w=7 C=3 for a real fine grid as
+                        # in lensing; 2x that for complex fine grids, since
+                        # u2nu casts the grid to complex) -- unchunked, a
                         # 1.4M-point lensing band materializes 17+ GB and OOMs
 
 def _block_gather_eval(fgrid, iy0, ix0, wy, wx, nfine, w):

@@ -171,12 +171,6 @@ def write_map(fname, data, header=None, dtype=None):
 		f.write(raw)
 		f.write(b"\x00"*dpad)
 
-def write_table(fname, columns, names):
-	"""Very small ASCII-table stand-in: writes a numpy .npy-backed FITS-like
-	binary table is out of scope; use write_map for images."""
-	raise NotImplementedError("Binary tables not supported; use hdf5 for catalogs")
-
-
 # ---------------------------------------------------------------------------
 # Native C++ fast path (cpp/fitsio_core.cpp via ctypes): header parsing and
 # threaded partial (pixel-box) reads without loading the whole image -- the

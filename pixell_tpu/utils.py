@@ -364,17 +364,30 @@ def regularize_beam(bl, cutoff=0.01, nl=None, normalize=False):
 # ---------------------------------------------------------------------------
 def eigpow(A, e, axes=[-2,-1], rlim=None, alim=None):
 	"""Raise matrix A (or stack of matrices over given axes) to power e via
-	eigen-decomposition, zeroing (for e>=0) or cutting tiny eigenvalues."""
+	eigen-decomposition. Reference semantics (reference utils.eigpow:2789):
+	negative eigenvalues are set to zero when e is not integer-valued (a
+	fractional power would be complex), and eigenvalues tiny in relative
+	(rlim) or absolute (alim) terms are set to zero when e < 0 (so noise
+	modes don't blow up). Integer nonneg e keeps negative eigenvalues."""
 	xp = _xp(A)
 	A  = xp.asarray(A)
 	ax1, ax2 = axes[0] % A.ndim, axes[1] % A.ndim
 	A  = xp.moveaxis(A, (ax1, ax2), (-2, -1))
 	E, V = xp.linalg.eigh(A)
-	if rlim is None: rlim = xp.finfo(A.dtype).eps*100 if A.dtype.kind=='f' else 1e-13
-	good = E > xp.max(xp.abs(E), -1, keepdims=True)*rlim
-	if alim is not None: good = good & (xp.abs(E) > alim)
-	Ez = xp.where(good, E, 1.0)
-	Ep = xp.where(good, xp.sign(Ez)*xp.abs(Ez)**e, 0.0)
+	fdt = E.dtype if E.dtype.kind == 'f' else np.dtype(np.float64)
+	if rlim is None: rlim = xp.finfo(fdt).resolution*100
+	if alim is None: alim = xp.finfo(fdt).tiny*1e4
+	is_int = float(e) == int(e)
+	mask = xp.zeros(E.shape, bool)
+	if not is_int: mask = mask | (E < 0)
+	if e < 0:
+		aE = xp.abs(E)
+		mask = mask | (aE < xp.max(aE, -1, keepdims=True)*rlim) | (aE < alim)
+	# pow with a possibly-negative base: handle the sign explicitly, since
+	# float pow of a negative base is nan in jax even for integer-valued e
+	sgn = xp.where(E < 0, (-1.0)**int(e) if is_int else 1.0, 1.0)
+	Ez  = xp.where(mask, 1.0, xp.abs(E))
+	Ep  = xp.where(mask, 0.0, sgn*Ez**e)
 	res = xp.einsum("...ij,...j,...kj->...ik", V, Ep, V)
 	return xp.moveaxis(res, (-2, -1), (ax1, ax2))
 

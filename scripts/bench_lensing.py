@@ -23,7 +23,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(name, fn, *args, nrep=3):
-	import time as _t
 	sys.stdout.flush()
 	import jax.numpy as jnp
 	# warmup/compile

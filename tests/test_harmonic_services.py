@@ -180,5 +180,10 @@ def test_u2nu_gather_chunking(monkeypatch):
 	pts = rng.uniform(0, 2*np.pi, (npt, 2))
 	want = np.asarray(fft.u2nu(jnp.asarray(g), jnp.asarray(pts)))
 	monkeypatch.setattr(fft, "GATHER_CHUNK", 16)  # force 7 blocks with padding
+	# GATHER_CHUNK is read at trace time inside the jitted core; the 'want'
+	# call above populated the jit cache for these avals, so the chunked
+	# path would silently never trace without clearing the caches first.
+	import jax
+	jax.clear_caches()
 	got = np.asarray(fft.u2nu(jnp.asarray(g), jnp.asarray(pts)))
 	assert np.array_equal(got, want)

@@ -275,3 +275,36 @@ def test_enplot_option_behavior(tmp_path):
 	a = np.asarray(enplot.plot(m[0], "")[0].img)
 	b = np.asarray(enplot.plot(m[0], "--reverse-color")[0].img)
 	assert not np.array_equal(a, b)
+
+
+def test_eigpow_semantics():
+	"""eigpow matches the reference's edge semantics (reference
+	utils.eigpow:2789): negative eigenvalues are zeroed for non-integer e,
+	kept for integer e; tiny eigenvalues are zeroed only for e < 0."""
+	# matrix with eigenvalues (4, -1): diagonalized by a rotation
+	th = 0.3
+	R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+	A = R @ np.diag([4.0, -1.0]) @ R.T
+	# integer e keeps the negative eigenvalue: A^2 exactly
+	got = utils.eigpow(A, 2)
+	assert np.allclose(got, A @ A)
+	got = utils.eigpow(A, 3)
+	assert np.allclose(got, A @ A @ A)
+	# non-integer e zeroes it: result = R diag(4^0.5, 0) R.T
+	got = utils.eigpow(A, 0.5)
+	want = R @ np.diag([2.0, 0.0]) @ R.T
+	assert np.allclose(got, want)
+	# negative e zeroes relatively-tiny eigenvalues (rlim)
+	B = R @ np.diag([1.0, 1e-15]) @ R.T
+	got = utils.eigpow(B, -1)
+	want = R @ np.diag([1.0, 0.0]) @ R.T
+	assert np.allclose(got, want)
+	# but keeps well-measured small ones
+	C = R @ np.diag([1.0, 1e-3]) @ R.T
+	got = utils.eigpow(C, -1)
+	want = R @ np.diag([1.0, 1e3]) @ R.T
+	assert np.allclose(got, want)
+	# stacked matrices along custom axes
+	As = np.stack([A, B])
+	got = utils.eigpow(np.moveaxis(As, 0, 1), -1, axes=[0, 2])
+	assert got.shape == (2, 2, 2)
