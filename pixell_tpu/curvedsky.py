@@ -373,10 +373,23 @@ def prepare_alm(alm=None, ainfo=None, lmax=None, pre=(), dtype=np.float64):
 
 def alm2map(alm, map, spin=[0, 2], deriv=False, adjoint=False, copy=False,
 		method="auto", ainfo=None, verbose=False, nthread=None, epsilon=None,
-		pix_tol=1e-6, locinfo=None, tweak=False):
+		pix_tol=1e-6, locinfo=None, tweak=False, accuracy=None):
 	"""Spherical harmonic synthesis onto map's geometry
 	(reference curvedsky.alm2map:83). See that docstring for semantics; this
-	implementation is jit-compatible for fixed geometry."""
+	implementation is jit-compatible for fixed geometry.
+	accuracy: None/"fast" = default kernels; "high" = full double-single
+	recurrence (~10x Legendre cost; f32 roundtrip <= ~1e-5 at lmax 5000).
+	The reference's analogue is its epsilon/niter ladder
+	(reference curvedsky.py:262-265, 1001-1003)."""
+	with sht.accuracy(accuracy):
+		return _alm2map_impl(alm, map, spin=spin, deriv=deriv, adjoint=adjoint,
+			copy=copy, method=method, ainfo=ainfo, verbose=verbose,
+			nthread=nthread, epsilon=epsilon, pix_tol=pix_tol,
+			locinfo=locinfo, tweak=tweak)
+
+def _alm2map_impl(alm, map, spin=[0, 2], deriv=False, adjoint=False, copy=False,
+		method="auto", ainfo=None, verbose=False, nthread=None, epsilon=None,
+		pix_tol=1e-6, locinfo=None, tweak=False):
 	alm = utils.to_device(alm)
 	if ainfo is None: ainfo = alm_info(nalm=alm.shape[-1])
 	minfo = analyse_geometry(map.shape, map.wcs, tol=pix_tol)
@@ -413,17 +426,30 @@ def alm2map(alm, map, spin=[0, 2], deriv=False, adjoint=False, copy=False,
 
 def alm2map_adjoint(map, alm=None, spin=[0, 2], deriv=False, copy=False,
 		method="auto", ainfo=None, verbose=False, nthread=None, epsilon=None,
-		pix_tol=1e-6, locinfo=None):
+		pix_tol=1e-6, locinfo=None, accuracy=None):
 	"""Adjoint of alm2map: map -> alm, no quadrature weights."""
 	alm, ainfo = prepare_alm(alm, ainfo, lmax=get_lmax_from_map(map),
 		pre=map.shape[:-2], dtype=np.asarray(map).dtype)
-	return _map2alm_core(map, alm, ainfo, analyse_geometry(map.shape, map.wcs),
-		spin, deriv, method, weighted=False, epsilon=epsilon)
+	with sht.accuracy(accuracy):
+		return _map2alm_core(map, alm, ainfo, analyse_geometry(map.shape, map.wcs),
+			spin, deriv, method, weighted=False, epsilon=epsilon)
 
 def map2alm(map, alm=None, lmax=None, spin=[0, 2], deriv=False, adjoint=False,
 		copy=False, method="auto", ainfo=None, verbose=False, nthread=None,
+		niter=0, epsilon=None, pix_tol=1e-6, weights=None, locinfo=None,
+		tweak=False, accuracy=None):
+	"""Spherical harmonic analysis (reference curvedsky.map2alm:209).
+	accuracy: None/"fast" = default kernels; "high" = full double-single
+	recurrence (see alm2map)."""
+	with sht.accuracy(accuracy):
+		return _map2alm_impl(map, alm=alm, lmax=lmax, spin=spin, deriv=deriv,
+			adjoint=adjoint, copy=copy, method=method, ainfo=ainfo,
+			verbose=verbose, nthread=nthread, niter=niter, epsilon=epsilon,
+			pix_tol=pix_tol, weights=weights, locinfo=locinfo, tweak=tweak)
+
+def _map2alm_impl(map, alm=None, lmax=None, spin=[0, 2], deriv=False, adjoint=False,
+		copy=False, method="auto", ainfo=None, verbose=False, nthread=None,
 		niter=0, epsilon=None, pix_tol=1e-6, weights=None, locinfo=None, tweak=False):
-	"""Spherical harmonic analysis (reference curvedsky.map2alm:209)."""
 	if adjoint:
 		# adjoint of map2alm: alm -> map with weights in synthesis direction
 		minfo = analyse_geometry(map.shape, map.wcs, tol=pix_tol)
@@ -447,11 +473,13 @@ def map2alm(map, alm=None, lmax=None, spin=[0, 2], deriv=False, adjoint=False,
 		res = res + delta
 	return res
 
-def map2alm_adjoint(alm, map, lmax=None, spin=[0, 2], deriv=False, **kw):
+def map2alm_adjoint(alm, map, lmax=None, spin=[0, 2], deriv=False,
+		accuracy=None, **kw):
 	minfo = analyse_geometry(map.shape, map.wcs)
 	if lmax is not None and alm is None: alm, _ = prepare_alm(None, None, lmax=lmax)
 	ainfo = kw.get("ainfo") or alm_info(nalm=np.asarray(alm).shape[-1])
-	return _adjoint_map2alm(alm, map, ainfo, minfo, spin, deriv)
+	with sht.accuracy(accuracy):
+		return _adjoint_map2alm(alm, map, ainfo, minfo, spin, deriv)
 
 
 def _map2alm_core(map, alm, ainfo, minfo, spin, deriv, method, weighted=True,

@@ -16,6 +16,7 @@ layouts are computed analytically via DCTs (reference relies on
 ducc0.sht.experimental.get_gridweights, curvedsky.py:501).
 """
 from __future__ import annotations
+import contextlib
 import functools
 import numpy as np
 import jax
@@ -35,29 +36,65 @@ def _pallas_ok(dtype):
 	if USE_PALLAS is True: return np.dtype(dtype) == np.float32
 	return np.dtype(dtype) == np.float32 and on_accel
 
+# Accuracy tier, scoped by the accuracy() context manager (set from the
+# public curvedsky.alm2map/map2alm accuracy= keyword). False = default
+# kernels (f32: fast recurrence + polar double-single pass, bulk error
+# ~l*eps); True = FULL double-single recurrence (~10x the Legendre cost,
+# f32 roundtrip error <= ~1e-5 even at lmax 5000). Read at trace time,
+# so jit caching is keyed correctly through the explicit ds= kernel arg.
+DS_ACCURACY = False
+
+@contextlib.contextmanager
+def accuracy(mode):
+	"""Scope the SHT engine accuracy tier. mode: None (keep current),
+	"fast"/"default" (standard kernels), or "high" (full double-single
+	recurrence; on the f32 jnp-scan path this upgrades the Legendre
+	recurrence to float64). Counterpart of the reference's accuracy
+	ladder (reference curvedsky.py:262-265 niter, :1001-1003 epsilon)."""
+	global DS_ACCURACY
+	if mode not in (None, "fast", "default", "high"):
+		raise ValueError("accuracy must be None, 'fast', 'default' or 'high'")
+	old = DS_ACCURACY
+	DS_ACCURACY = old if mode is None else (mode == "high")
+	try: yield
+	finally: DS_ACCURACY = old
+
+def _core_dtype(dtype):
+	"""jnp-scan recurrence dtype honoring the accuracy tier."""
+	if DS_ACCURACY and np.dtype(dtype) == np.float32: return np.float64
+	return dtype
+
 def _synth_scan(A, theta, lmax, mmax, mode, dtype):
 	if _pallas_ok(dtype):
 		from .ops import sht_pallas
-		return sht_pallas.synthesis_scan_pallas(A, theta, lmax, mmax, mode=mode)
-	return sht_core.synthesis_scan(A, theta, lmax, mmax, mode=mode, dtype=dtype)
+		return sht_pallas.synthesis_scan_pallas(A, theta, lmax, mmax, mode=mode,
+			ds=True if DS_ACCURACY else None)
+	return sht_core.synthesis_scan(A, theta, lmax, mmax, mode=mode,
+		dtype=_core_dtype(dtype))
 
 def _anal_scan(F, theta, lmax, mmax, mode, dtype):
 	if _pallas_ok(dtype):
 		from .ops import sht_pallas
-		return sht_pallas.analysis_scan_pallas_chunked(F, theta, lmax, mmax, mode=mode)
-	return sht_core.analysis_scan(F, theta, lmax, mmax, mode=mode, dtype=dtype)
+		return sht_pallas.analysis_scan_pallas_chunked(F, theta, lmax, mmax,
+			mode=mode, ds=True if DS_ACCURACY else None)
+	return sht_core.analysis_scan(F, theta, lmax, mmax, mode=mode,
+		dtype=_core_dtype(dtype))
 
 def _wigner_synth_scan(A, theta, lmax, mmax, s, dtype):
 	if _pallas_ok(dtype):
 		from .ops import sht_pallas
-		return sht_pallas.wigner_synthesis_scan_pallas(A, theta, lmax, mmax, s)
-	return sht_core.wigner_synthesis_scan(A, theta, lmax, mmax, s, dtype=dtype)
+		return sht_pallas.wigner_synthesis_scan_pallas(A, theta, lmax, mmax, s,
+			ds=True if DS_ACCURACY else None)
+	return sht_core.wigner_synthesis_scan(A, theta, lmax, mmax, s,
+		dtype=_core_dtype(dtype))
 
 def _wigner_anal_scan(F, theta, lmax, mmax, s, dtype):
 	if _pallas_ok(dtype):
 		from .ops import sht_pallas
-		return sht_pallas.wigner_analysis_scan_pallas(F, theta, lmax, mmax, s)
-	return sht_core.wigner_analysis_scan(F, theta, lmax, mmax, s, dtype=dtype)
+		return sht_pallas.wigner_analysis_scan_pallas(F, theta, lmax, mmax, s,
+			ds=True if DS_ACCURACY else None)
+	return sht_core.wigner_analysis_scan(F, theta, lmax, mmax, s,
+		dtype=_core_dtype(dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -304,7 +341,10 @@ def ring_synthesis(G, phi0, nphi):
 	G = jnp.asarray(G)
 	nm = G.shape[-2]
 	m = jnp.arange(nm)
-	phase = jnp.exp(1j*m.astype(G.real.dtype)*phi0)
+	# cast phi0 to the working precision: a strong np.float64 scalar would
+	# promote the phase (and the whole spectrum scatter) to complex128
+	phase = jnp.exp(1j*m.astype(G.real.dtype)
+		*jnp.asarray(phi0, G.real.dtype)).astype(G.dtype)
 	Gp = G*phase[:, None]
 	Gt = jnp.moveaxis(Gp, -2, -1)  # [..., nt, nm]
 	if nm <= nphi//2:
@@ -336,7 +376,7 @@ def ring_analysis(maps, phi0, nm):
 		midx = np.arange(nm) % nphi
 		F = spec[..., jnp.asarray(midx)]
 	m = jnp.arange(nm, dtype=maps.dtype)
-	F = F*jnp.exp(-1j*m*phi0)
+	F = F*jnp.exp(-1j*m*jnp.asarray(phi0, maps.dtype)).astype(F.dtype)
 	return jnp.moveaxis(F, -1, -2)
 
 

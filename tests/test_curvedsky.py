@@ -312,3 +312,34 @@ def test_tri_lm_exact():
 	with jax.enable_x64(False):
 		for lmax in (300, 2000):
 			check(lmax)
+
+
+def test_accuracy_tier():
+	"""The public accuracy="high" knob threads full double-single / f64
+	recurrences through the engine: an f32 roundtrip at a resolution where
+	the plain f32 recurrence has visibly accumulated error must improve."""
+	from pixell_tpu import sht
+	lmax = 200
+	shape, wcs = enmap.fullsky_geometry(res=0.45*utils.degree,
+		variant="fejer1")
+	cl = np.concatenate([[0, 0], 1.0/np.arange(2, lmax+1)**2])
+	alm = np.asarray(curvedsky.rand_alm(cl, lmax=lmax, seed=7)).astype(np.complex64)
+	m_fast = curvedsky.alm2map(jnp.asarray(alm),
+		enmap.zeros(shape, wcs, np.float32), spin=[0], accuracy="fast")
+	m_high = curvedsky.alm2map(jnp.asarray(alm),
+		enmap.zeros(shape, wcs, np.float32), spin=[0], accuracy="high")
+	a_fast = np.asarray(curvedsky.map2alm(m_fast, lmax=lmax, spin=[0],
+		accuracy="fast"))
+	a_high = np.asarray(curvedsky.map2alm(m_high, lmax=lmax, spin=[0],
+		accuracy="high"))
+	scale = np.abs(alm).max()
+	e_fast = np.abs(a_fast - alm).max()/scale
+	e_high = np.abs(a_high - alm).max()/scale
+	# f64-recurrence roundtrip should be near f32 representation accuracy
+	assert e_high < 3e-6
+	assert e_high <= e_fast
+	# the context manager restores the module default
+	assert sht.DS_ACCURACY is False
+	with pytest.raises(ValueError):
+		curvedsky.alm2map(jnp.asarray(alm),
+			enmap.zeros(shape, wcs, np.float32), spin=[0], accuracy="bogus")
