@@ -373,23 +373,28 @@ def prepare_alm(alm=None, ainfo=None, lmax=None, pre=(), dtype=np.float64):
 
 def alm2map(alm, map, spin=[0, 2], deriv=False, adjoint=False, copy=False,
 		method="auto", ainfo=None, verbose=False, nthread=None, epsilon=None,
-		pix_tol=1e-6, locinfo=None, tweak=False, accuracy=None):
+		pix_tol=1e-6, locinfo=None, tweak=False, accuracy=None, mesh=None):
 	"""Spherical harmonic synthesis onto map's geometry
 	(reference curvedsky.alm2map:83). See that docstring for semantics; this
 	implementation is jit-compatible for fixed geometry.
 	accuracy: None/"fast" = default kernels; "high" = full double-single
 	recurrence (~10x Legendre cost; f32 roundtrip <= ~1e-5 at lmax 5000).
 	The reference's analogue is its epsilon/niter ladder
-	(reference curvedsky.py:262-265, 1001-1003)."""
+	(reference curvedsky.py:262-265, 1001-1003).
+	mesh: a jax.sharding.Mesh to run the transform multi-chip: the alm stays
+	replicated and the map comes out sharded over rings (rows) on the
+	mesh's first axis, with the Legendre/FFT work ring-parallel via
+	shard_map (the TPU equivalent of the reference's tilemap+MPI domain
+	decomposition). Only the 2d/cyl methods dispatch distributed."""
 	with sht.accuracy(accuracy):
 		return _alm2map_impl(alm, map, spin=spin, deriv=deriv, adjoint=adjoint,
 			copy=copy, method=method, ainfo=ainfo, verbose=verbose,
 			nthread=nthread, epsilon=epsilon, pix_tol=pix_tol,
-			locinfo=locinfo, tweak=tweak)
+			locinfo=locinfo, tweak=tweak, mesh=mesh)
 
 def _alm2map_impl(alm, map, spin=[0, 2], deriv=False, adjoint=False, copy=False,
 		method="auto", ainfo=None, verbose=False, nthread=None, epsilon=None,
-		pix_tol=1e-6, locinfo=None, tweak=False):
+		pix_tol=1e-6, locinfo=None, tweak=False, mesh=None):
 	alm = utils.to_device(alm)
 	if ainfo is None: ainfo = alm_info(nalm=alm.shape[-1])
 	minfo = analyse_geometry(map.shape, map.wcs, tol=pix_tol)
@@ -401,14 +406,21 @@ def _alm2map_impl(alm, map, spin=[0, 2], deriv=False, adjoint=False, copy=False,
 		pre = alm.shape[:-1]
 		theta = np.asarray(minfo.theta)
 		alm2 = alm if (deriv or alm.ndim > 1) else alm[None]
+		if mesh is not None:
+			from .parallel import sht_dist
+			row_axis = tuple(mesh.shape.keys())[0]
+			synth = functools.partial(sht_dist.synthesis_dist, mesh=mesh,
+				row_axis=row_axis)
+		else:
+			synth = sht.synthesis
 		if deriv:
-			d = sht.synthesis(alm2, theta, minfo.nphi, phi0=_ring_phi0(minfo),
+			d = synth(alm2, theta, minfo.nphi, phi0=_ring_phi0(minfo),
 				lmax=ainfo.lmax, mmax=ainfo.mmax, deriv=True,
 				map_dtype=map.dtype)
 			# engine gives (d/dtheta, d/dphi); reference returns (d/ddec, d/dra)
 			d = jnp.stack([-d[..., 0, :, :], d[..., 1, :, :]], -3)
 		else:
-			d = sht.synthesis(alm2, theta, minfo.nphi, phi0=_ring_phi0(minfo),
+			d = synth(alm2, theta, minfo.nphi, phi0=_ring_phi0(minfo),
 				lmax=ainfo.lmax, mmax=ainfo.mmax, spin=spin,
 				map_dtype=map.dtype)
 			if alm.ndim == 1: d = d[..., 0, :, :]
@@ -437,19 +449,27 @@ def alm2map_adjoint(map, alm=None, spin=[0, 2], deriv=False, copy=False,
 def map2alm(map, alm=None, lmax=None, spin=[0, 2], deriv=False, adjoint=False,
 		copy=False, method="auto", ainfo=None, verbose=False, nthread=None,
 		niter=0, epsilon=None, pix_tol=1e-6, weights=None, locinfo=None,
-		tweak=False, accuracy=None):
+		tweak=False, accuracy=None, mesh=None):
 	"""Spherical harmonic analysis (reference curvedsky.map2alm:209).
 	accuracy: None/"fast" = default kernels; "high" = full double-single
-	recurrence (see alm2map)."""
+	recurrence (see alm2map).
+	mesh: a jax.sharding.Mesh for a multi-chip transform: the map rows
+	shard over the mesh's first axis; when quadrature is native to the
+	map's rings, the transform runs ring-parallel via shard_map with one
+	psum; the 2d theta-upsampled path instead reshards the per-ring phase
+	spectrum over m (one all-to-all) so the Legendre/quadrature work is
+	m-parallel. Output alm is replicated."""
 	with sht.accuracy(accuracy):
 		return _map2alm_impl(map, alm=alm, lmax=lmax, spin=spin, deriv=deriv,
 			adjoint=adjoint, copy=copy, method=method, ainfo=ainfo,
 			verbose=verbose, nthread=nthread, niter=niter, epsilon=epsilon,
-			pix_tol=pix_tol, weights=weights, locinfo=locinfo, tweak=tweak)
+			pix_tol=pix_tol, weights=weights, locinfo=locinfo, tweak=tweak,
+			mesh=mesh)
 
 def _map2alm_impl(map, alm=None, lmax=None, spin=[0, 2], deriv=False, adjoint=False,
 		copy=False, method="auto", ainfo=None, verbose=False, nthread=None,
-		niter=0, epsilon=None, pix_tol=1e-6, weights=None, locinfo=None, tweak=False):
+		niter=0, epsilon=None, pix_tol=1e-6, weights=None, locinfo=None,
+		tweak=False, mesh=None):
 	if adjoint:
 		# adjoint of map2alm: alm -> map with weights in synthesis direction
 		minfo = analyse_geometry(map.shape, map.wcs, tol=pix_tol)
@@ -460,7 +480,7 @@ def _map2alm_impl(map, alm=None, lmax=None, spin=[0, 2], deriv=False, adjoint=Fa
 	minfo = analyse_geometry(map.shape, map.wcs, tol=pix_tol)
 	if method == "auto": method = get_method(map.shape, map.wcs, minfo=minfo)
 	res = _map2alm_core(map, alm, ainfo, minfo, spin, deriv, method,
-		weighted=True, weights=weights, epsilon=epsilon)
+		weighted=True, weights=weights, epsilon=epsilon, mesh=mesh)
 	# Jacobi iterations to refine non-exact quadrature (reference niter)
 	for it in range(niter):
 		resid = enmap.samewcs(jnp.asarray(map) -
@@ -483,12 +503,13 @@ def map2alm_adjoint(alm, map, lmax=None, spin=[0, 2], deriv=False,
 
 
 def _map2alm_core(map, alm, ainfo, minfo, spin, deriv, method, weighted=True,
-		weights=None, epsilon=None):
+		weights=None, epsilon=None, mesh=None):
 	if method == "auto": method = minfo.case
 	arr = jnp.asarray(map)
 	if method in ["2d", "cyl"]:
 		res = _analysis_linear(arr, ainfo, minfo, tuple(np.atleast_1d(spin)),
-			deriv, weighted, None if weights is None else jnp.asarray(weights))
+			deriv, weighted, None if weights is None else jnp.asarray(weights),
+			mesh=mesh)
 		if isinstance(alm, np.ndarray) and not isinstance(res, jax.core.Tracer):
 			alm[...] = utils.from_device(res)
 			return alm
@@ -497,54 +518,94 @@ def _map2alm_core(map, alm, ainfo, minfo, spin, deriv, method, weighted=True,
 		return _map2alm_general(map, alm, ainfo, spin, deriv, weighted, epsilon)
 
 
-def _analysis_linear(arr, ainfo, minfo, spin, deriv, weighted, weights):
+def _analysis_linear(arr, ainfo, minfo, spin, deriv, weighted, weights,
+		mesh=None):
 	"""Pure linear map pixel-array -> alm for the 2d/cyl cases. For 2d grids
 	that are too coarse for exact simple quadrature (2 lmax + 1 > nrings),
 	the full-sky map is first theta-upsampled exactly on the torus, keeping
-	analysis exact up to lmax ~ nrings - 1 (like ducc's analysis_2d)."""
+	analysis exact up to lmax ~ nrings - 1 (like ducc's analysis_2d).
+	mesh: run multi-chip -- ring-sharded shard_map + psum when quadrature
+	is native to the map's rings; the 2d phase path instead reshards the
+	ring spectrum over m (GSPMD all-to-all) so the theta-upsample,
+	quadrature and Legendre transpose run m-parallel."""
 	d = _to_rings(arr, minfo)
 	flat2d = (not deriv) and d.ndim == 2
 	if flat2d: d = d[None]
 	theta = np.asarray(minfo.theta)
+	if mesh is not None:
+		from .parallel import sht_dist
+		row_axis = tuple(mesh.shape.keys())[0]
 	if not weighted:
 		d2 = alm2_pre(d, deriv)
-		a = sht.adjoint_synthesis(d2, theta, ainfo.lmax, mmax=ainfo.mmax,
-			phi0=_ring_phi0(minfo), spin=spin, deriv=deriv)
+		if mesh is not None:
+			a = sht_dist.analysis_dist(d2, theta, None, mesh, ainfo.lmax,
+				mmax=ainfo.mmax, phi0=_ring_phi0(minfo), spin=spin,
+				deriv=deriv, row_axis=row_axis)
+		else:
+			a = sht.adjoint_synthesis(d2, theta, ainfo.lmax, mmax=ainfo.mmax,
+				phi0=_ring_phi0(minfo), spin=spin, deriv=deriv)
 		return a[..., 0, :] if flat2d else a
 	if weights is not None:
 		w = weights[::-1] if minfo.flip[0] else weights
 		d2 = alm2_pre(d, deriv)
-		a = sht.analysis(d2, theta, ainfo.lmax, jnp.asarray(w), mmax=ainfo.mmax,
-			phi0=_ring_phi0(minfo), spin=spin, deriv=deriv)
+		if mesh is not None:
+			a = sht_dist.analysis_dist(d2, theta, jnp.asarray(w), mesh,
+				ainfo.lmax, mmax=ainfo.mmax, phi0=_ring_phi0(minfo),
+				spin=spin, deriv=deriv, row_axis=row_axis)
+		else:
+			a = sht.analysis(d2, theta, ainfo.lmax, jnp.asarray(w), mmax=ainfo.mmax,
+				phi0=_ring_phi0(minfo), spin=spin, deriv=deriv)
 		return a[..., 0, :] if flat2d else a
 	if minfo.case == "2d":
 		d2 = alm2_pre(d, deriv)
-		ny = d2.shape[-2]
-		nphi = d2.shape[-1]
-		ntfull = ny + minfo.ypad[0] + minfo.ypad[1]
-		need = 2*ainfo.lmax + 1
-		# go to per-ring phase coefficients FIRST: theta-domain work
-		# (padding, exact upsampling, quadrature) then runs on the narrow
-		# m-spectrum [nm] instead of full-width rings [nphi], and the ring
-		# FFT happens exactly once
-		F = sht.ring_analysis(d2, _ring_phi0(minfo), ainfo.mmax+1)
-		if minfo.ypad[0] or minfo.ypad[1]:
-			pad = [(0, 0)]*(F.ndim-1) + [(int(minfo.ypad[0]), int(minfo.ypad[1]))]
-			F = jnp.pad(F, pad)
-		if need > ntfull:
-			# round the upsampled ring count to a 2-3-5-7-smooth size: the
-			# torus FFT length is 2*ntu, and an unlucky ntu (e.g. 2 lmax + 3
-			# containing a large prime) forces a Bluestein FFT that is ~10x
-			# slower at lmax 5000
-			from . import fft as enfft
-			ntu = enfft.fft_len(need + 2, direction="above")
-			spins = [1, 0] if deriv else _comp_spins(spin, d2.shape[-3])
-			F = sht.resample_theta_phase(F, minfo.variant, ntu, spins)
-			ntfull = ntu
-		theta_f = sht.ring_theta(minfo.variant, ntfull)
-		w = jnp.asarray(sht.ring_weights(minfo.variant, ntfull))
-		a = sht.analysis_phase(F, theta_f, ainfo.lmax, w, nphi,
-			mmax=ainfo.mmax, spin=spin, deriv=deriv)
+		def phase_path(d2):
+			ny = d2.shape[-2]
+			nphi = d2.shape[-1]
+			ntfull = ny + minfo.ypad[0] + minfo.ypad[1]
+			need = 2*ainfo.lmax + 1
+			# go to per-ring phase coefficients FIRST: theta-domain work
+			# (padding, exact upsampling, quadrature) then runs on the narrow
+			# m-spectrum [nm] instead of full-width rings [nphi], and the ring
+			# FFT happens exactly once
+			if mesh is not None:
+				# shard the ring FFT over rows; everything after the reshard
+				# below is elementwise (or a theta-local FFT) in m
+				from jax.sharding import NamedSharding, PartitionSpec as _P
+				d2 = jax.lax.with_sharding_constraint(d2, NamedSharding(mesh,
+					_P(*([None]*(d2.ndim-2) + [row_axis, None]))))
+			F = sht.ring_analysis(d2, _ring_phi0(minfo), ainfo.mmax+1)
+			if mesh is not None:
+				# one all-to-all: ring-sharded [.., nm, nt] -> m-sharded; the
+				# theta upsample (torus FFT along nt), quadrature weighting and
+				# Legendre transpose then run fully m-parallel under GSPMD
+				m_axis = tuple(mesh.shape.keys())[-1]
+				F = jax.lax.with_sharding_constraint(F, NamedSharding(mesh,
+					_P(*([None]*(F.ndim-2) + [m_axis, None]))))
+			if minfo.ypad[0] or minfo.ypad[1]:
+				pad = [(0, 0)]*(F.ndim-1) + [(int(minfo.ypad[0]), int(minfo.ypad[1]))]
+				F = jnp.pad(F, pad)
+			if need > ntfull:
+				# round the upsampled ring count to a 2-3-5-7-smooth size: the
+				# torus FFT length is 2*ntu, and an unlucky ntu (e.g. 2 lmax + 3
+				# containing a large prime) forces a Bluestein FFT that is ~10x
+				# slower at lmax 5000
+				from . import fft as enfft
+				ntu = enfft.fft_len(need + 2, direction="above")
+				spins = [1, 0] if deriv else _comp_spins(spin, d2.shape[-3])
+				F = sht.resample_theta_phase(F, minfo.variant, ntu, spins)
+				ntfull = ntu
+			theta_f = sht.ring_theta(minfo.variant, ntfull)
+			w = jnp.asarray(sht.ring_weights(minfo.variant, ntfull))
+			a = sht.analysis_phase(F, theta_f, ainfo.lmax, w, nphi,
+				mmax=ainfo.mmax, spin=spin, deriv=deriv)
+			if mesh is not None:
+				a = jax.lax.with_sharding_constraint(a,
+					NamedSharding(mesh, _P()))
+			return a
+		# under a mesh the constraints need GSPMD's padding-tolerant
+		# partitioner, which only runs under jit (eager resharding requires
+		# divisible axis sizes); nested jit is fine when already tracing
+		a = jax.jit(phase_path)(d2) if mesh is not None else phase_path(d2)
 	else:
 		th = np.asarray(minfo.theta)
 		if len(th) > 1:
@@ -554,8 +615,13 @@ def _analysis_linear(arr, ainfo, minfo, spin, deriv, weighted, weights):
 			edges = np.array([0, np.pi])
 		w = np.abs(np.cos(edges[:-1]) - np.cos(edges[1:]))
 		d2 = alm2_pre(d, deriv)
-		a = sht.analysis(d2, theta, ainfo.lmax, jnp.asarray(w), mmax=ainfo.mmax,
-			phi0=_ring_phi0(minfo), spin=spin, deriv=deriv)
+		if mesh is not None:
+			a = sht_dist.analysis_dist(d2, theta, jnp.asarray(w), mesh,
+				ainfo.lmax, mmax=ainfo.mmax, phi0=_ring_phi0(minfo),
+				spin=spin, deriv=deriv, row_axis=row_axis)
+		else:
+			a = sht.analysis(d2, theta, ainfo.lmax, jnp.asarray(w), mmax=ainfo.mmax,
+				phi0=_ring_phi0(minfo), spin=spin, deriv=deriv)
 	return a[..., 0, :] if flat2d else a
 
 def alm2_pre(d, deriv):

@@ -134,15 +134,26 @@ def offset_by_grad(ipos, grad, pol=None, geodesic=True):
 	return xp.stack([dec2, ra2, xp.cos(2*gamma), xp.sin(2*gamma)])
 
 @functools.partial(jax.jit, static_argnames=("nfine", "w", "beta", "pre",
-	"polrot", "pol", "geodesic"))
+	"polrot", "pol", "geodesic", "mesh"))
 def _lens_band_core(fine, grad, pos, iyb, fy, ixb, fx, nfine, w, beta, pre,
-		polrot, pol, geodesic):
+		polrot, pol, geodesic, mesh=None):
 	"""One dec band of curved lensing, fused into a single program shared by
 	all bands: geodesic offset + split-position NUFFT eval + polarization
 	parallel-transport rotation. Positions enter pre-split (int fine-pixel
 	base iyb/ixb + f32 fraction fy/fx, computed host-side in f64) so the
 	kernel offsets keep full resolution on large fine grids; the band's
-	displacement is folded into the fraction on device."""
+	displacement is folded into the fraction on device.
+	mesh (static): shard the band's per-point work over its rows on the
+	mesh's first axis (the fine grid stays replicated); constraints sit
+	inside the jit so GSPMD's padding-tolerant partitioner handles bands
+	whose row count does not divide the mesh."""
+	if mesh is not None:
+		from jax.sharding import NamedSharding, PartitionSpec as _P
+		_raxis = tuple(mesh.shape.keys())[0]
+		def _rows(x):
+			return jax.lax.with_sharding_constraint(x, NamedSharding(
+				mesh, _P(*([None]*(x.ndim-2) + [_raxis, None]))))
+		grad, pos, iyb, fy, ixb, fx = map(_rows, (grad, pos, iyb, fy, ixb, fx))
 	opos = offset_by_grad(pos, grad, pol=pol, geodesic=geodesic)
 	nfy, nfx = nfine
 	# displacement in fine pixels; colat = pi/2 - dec so dcolat = -ddec
@@ -162,7 +173,7 @@ def _lens_band_core(fine, grad, pos, iyb, fy, ixb, fx, nfine, w, beta, pre,
 def lens_map_curved(shape=None, wcs=None, phi_alm=None, cmb_alm=None,
 		phi_ainfo=None, maplmax=None, dtype=np.float64, oversample=2.0,
 		spin=[0, 2], output="l", geodesic=True, verbose=False, delta_theta=None,
-		epsilon=None, pol=None):
+		epsilon=None, pol=None, mesh=None):
 	"""Lens cmb_alm by the potential phi_alm onto the geometry (shape, wcs)
 	(reference lensing.lens_map_curved:367). output: string of maps to
 	return: "l"=lensed, "u"=unlensed, "p"=phi map, "k"=convergence, "a"=grad.
@@ -174,7 +185,14 @@ def lens_map_curved(shape=None, wcs=None, phi_alm=None, cmb_alm=None,
 	(global fine torus grid) is built once, and only the per-point work
 	(posmap, geodesic offset, NUFFT eval) streams in delta_theta dec bands
 	through ONE compiled band program (the tail band overlaps the previous
-	one so every band has identical shapes)."""
+	one so every band has identical shapes).
+
+	mesh: a jax.sharding.Mesh to run multi-chip: the full-geometry SHTs
+	(gradient/phi/kappa/unlensed) dispatch ring-sharded through
+	curvedsky.alm2map(mesh=...), and each dec band's per-point work
+	(geodesic offset + NUFFT point eval) is sharded over the band's rows
+	with the fine torus grid replicated (each chip gathers only its own
+	rows' kernel footprints)."""
 	ctype = np.complex64 if np.dtype(dtype) == np.float32 else np.complex128
 	rdt = np.float32 if np.dtype(dtype) == np.float32 else np.float64
 	phi_alm = utils.to_device(np.asarray(phi_alm).astype(ctype) if not
@@ -192,7 +210,7 @@ def lens_map_curved(shape=None, wcs=None, phi_alm=None, cmb_alm=None,
 	def synth(a, ainfo, pshape, **kw):
 		f = jax.jit(lambda al: jnp.asarray(curvedsky.alm2map(al,
 			enmap.zeros(tuple(pshape) + (ny, nx), wcs, dtype),
-			ainfo=ainfo, **kw)))
+			ainfo=ainfo, mesh=mesh, **kw)))
 		return f(a)
 	grad = None
 	if ("l" in want) or ("a" in want):
@@ -246,7 +264,7 @@ def lens_map_curved(shape=None, wcs=None, phi_alm=None, cmb_alm=None,
 				jnp.asarray(ixb.astype(np.int32)),
 				jnp.asarray((px - ixb).astype(rdt)),
 				nfine, wk, float(beta), pre_full, polrot, bool(pol),
-				bool(geodesic))
+				bool(geodesic), mesh=mesh)
 			parts.append(band[..., done - i1:, :].astype(dtype))
 			done = i2
 			if verbose: print("lens band %d / %d" % (done, ny))

@@ -32,9 +32,11 @@ def _pad_rings(theta, weights, maps, ndev):
 
 
 def synthesis_dist(alm, theta, nphi, mesh, phi0=0.0, lmax=None, mmax=None,
-		spin=(0, 2), row_axis="rows"):
+		spin=(0, 2), deriv=False, map_dtype=None, row_axis="rows"):
 	"""Ring-sharded synthesis: alm [..., ncomp, nalm] (replicated) ->
-	map [..., ncomp, nt, nphi] sharded over rings. No collectives needed."""
+	map [..., ncomp, nt, nphi] sharded over rings. No collectives needed.
+	deriv=True takes alm [..., nalm] and returns [..., 2, nt, nphi]
+	(d/dtheta, d/dphi) like sht.synthesis."""
 	alm = jnp.asarray(alm)
 	theta = jnp.asarray(theta)
 	ndev = mesh.shape[row_axis]
@@ -42,9 +44,10 @@ def synthesis_dist(alm, theta, nphi, mesh, phi0=0.0, lmax=None, mmax=None,
 	spin = tuple(np.atleast_1d(spin))
 	def work(alm_l, theta_l):
 		return sht.synthesis(alm_l, theta_l, nphi, phi0=phi0, lmax=lmax,
-			mmax=mmax, spin=spin)
-	nd_map = alm.ndim  # output dims: alm pre + (nt, nphi) -> pre has ncomp
-	out_spec = P(*([None]*(alm.ndim - 1) + [row_axis, None]))
+			mmax=mmax, spin=spin, deriv=deriv, map_dtype=map_dtype)
+	# output dims: alm batch dims + (ncomp or 2 if deriv) + (nt, nphi)
+	out_ndim = alm.ndim + (2 if deriv else 1)
+	out_spec = P(*([None]*(out_ndim - 2) + [row_axis, None]))
 	fun = shard_map(work, mesh=mesh,
 		in_specs=(P(), P(row_axis)), out_specs=out_spec, check_vma=False)
 	res = fun(alm, theta_p)
@@ -52,25 +55,40 @@ def synthesis_dist(alm, theta, nphi, mesh, phi0=0.0, lmax=None, mmax=None,
 
 
 def analysis_dist(maps, theta, weights, mesh, lmax, mmax=None, phi0=0.0,
-		spin=(0, 2), row_axis="rows"):
+		spin=(0, 2), deriv=False, row_axis="rows"):
 	"""Ring-sharded analysis: map sharded over rings -> alm (replicated),
-	with one psum over the ring axis."""
+	with one psum over the ring axis. weights=None gives the pure adjoint
+	of synthesis (no quadrature weights)."""
 	maps = jnp.asarray(maps)
 	theta = jnp.asarray(theta)
-	weights = jnp.asarray(weights, maps.dtype)
+	if weights is not None:
+		weights = jnp.asarray(weights, _rdt(maps.dtype))
 	ndev = mesh.shape[row_axis]
 	theta_p, weights_p, maps_p, nt = _pad_rings(theta, weights, maps, ndev)
 	spin = tuple(np.atleast_1d(spin))
 	if mmax is None: mmax = lmax
-	def work(m_l, th_l, w_l):
-		a = sht.analysis(m_l, th_l, lmax, w_l, mmax=mmax, phi0=phi0, spin=spin)
+	def psum_c(a):
 		ar = jax.lax.psum(a.real, row_axis)
 		ai = jax.lax.psum(a.imag, row_axis)
 		return jax.lax.complex(ar, ai)
-	in_specs = (P(*([None]*(maps.ndim - 2) + [row_axis, None])), P(row_axis), P(row_axis))
-	fun = shard_map(work, mesh=mesh, in_specs=in_specs, out_specs=P(),
-		check_vma=False)
+	map_spec = P(*([None]*(maps.ndim - 2) + [row_axis, None]))
+	if weights is None:
+		def work(m_l, th_l):
+			return psum_c(sht.adjoint_synthesis(m_l, th_l, lmax, mmax=mmax,
+				phi0=phi0, spin=spin, deriv=deriv))
+		fun = shard_map(work, mesh=mesh, in_specs=(map_spec, P(row_axis)),
+			out_specs=P(), check_vma=False)
+		return fun(maps_p, theta_p)
+	def work(m_l, th_l, w_l):
+		return psum_c(sht.analysis(m_l, th_l, lmax, w_l, mmax=mmax,
+			phi0=phi0, spin=spin, deriv=deriv))
+	fun = shard_map(work, mesh=mesh, in_specs=(map_spec, P(row_axis),
+		P(row_axis)), out_specs=P(), check_vma=False)
 	return fun(maps_p, theta_p, weights_p)
+
+def _rdt(dtype):
+	return np.float32 if np.dtype(dtype) in (np.float32, np.complex64) \
+		else np.float64
 
 
 # ---------------------------------------------------------------------------
