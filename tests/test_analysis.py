@@ -98,6 +98,7 @@ def test_matched_filter_white():
 	assert abs(fhat - 20.0) < 4.0
 
 
+@pytest.mark.slow
 def test_finder_multi_safe():
 	"""FinderMultiSafe picks the right profile case and measures each object
 	over its own circle (reference analysis.FinderMultiSafe:692)."""

@@ -314,6 +314,7 @@ def test_tri_lm_exact():
 			check(lmax)
 
 
+@pytest.mark.slow
 def test_accuracy_tier():
 	"""The public accuracy="high" knob threads full double-single / f64
 	recurrences through the engine: an f32 roundtrip at a resolution where

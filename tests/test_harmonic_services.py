@@ -113,6 +113,7 @@ def test_wavelet_transform_flat_roundtrip():
 	err = np.abs(np.asarray(m2) - np.asarray(m))
 	assert np.median(err) < 0.05
 
+@pytest.mark.slow
 def test_wavelet_transform_curved_roundtrip():
 	shape, wcs = enmap.fullsky_geometry(res=3*utils.degree)
 	wt = wavelets.WaveletTransform(uharm.UHT(shape, wcs, mode="curved", lmax=50),

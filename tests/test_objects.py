@@ -30,6 +30,7 @@ def test_distance_from_many_points_jfa():
 		np.array([ra[i], dec[i]]), axis=0) for i in range(n)], 0)
 	assert np.abs(d - want).max() < 1e-10
 
+@pytest.mark.slow
 def test_distance_transform():
 	shape, wcs = patch()
 	mask = enmap.zeros(shape, wcs).astype(bool)
@@ -182,6 +183,7 @@ def test_healpix_info_structure():
 	assert (distances.ravel_healpix(info, yx) == pix).all()
 	assert (yx[1] < info.nx[yx[0]]).all()
 
+@pytest.mark.slow
 def test_healpix_distance_from_points():
 	"""Grid (JFA) method vs exact brute force on nside 64 (reference
 	distances.distance_from_points_healpix semantics)."""

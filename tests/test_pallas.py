@@ -39,6 +39,7 @@ def _check(mode, C, theta, tol_syn=None, tol_ana=None):
 	assert np.abs(a64 - a2).max() < tol_ana*scale, (mode, nt)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode,C", [("scalar", 2), ("deriv", 2), ("spin2", 4)])
 def test_pallas_matches_scan(mode, C):
 	theta = sht.ring_theta("F1", 2*LMAX+2)
@@ -48,6 +49,7 @@ def test_pallas_matches_scan(mode, C):
 
 @pytest.mark.parametrize("mode,C", [("scalar", 1), ("deriv", 1),
 	("spin1", 2), ("spin2", 3)])
+@pytest.mark.slow
 def test_pallas_sym_paths(mode, C):
 	"""Half-sky kernels on even and odd symmetric ring counts, plus the full
 	kernels on an asymmetric grid."""
@@ -61,6 +63,7 @@ def test_pallas_sym_paths(mode, C):
 	_check(mode, C, theta)
 
 
+@pytest.mark.slow
 def test_polar_ds_kernels():
 	"""The double-single polar kernels against the f64 scan on a tiny
 	near-pole ring set, where the plain f32 recurrence loses accuracy
@@ -86,6 +89,7 @@ def test_polar_ds_kernels():
 	assert np.abs(a - a64).max() < 2e-6*np.abs(a64).max()
 
 
+@pytest.mark.slow
 def test_wigner_seed_levels():
 	"""The wigner seed tables must canonicalize scaled levels to <= 0
 	wherever the value is representable: the recurrence emits only at
@@ -138,6 +142,7 @@ def test_wigner_ab_tables_ds():
 			assert (np.abs(ds - ref)/scale).max() < 1e-11, (branch, name)
 
 
+@pytest.mark.slow
 def test_wigner_polar_split(monkeypatch):
 	"""The polar-split plumbing in the public wigner entry points: stitch
 	indices, m-truncation and zero-padding. The kernel passes are replaced
@@ -194,6 +199,7 @@ def test_wigner_polar_split(monkeypatch):
 	assert calls == [("anal", False, nt-nn-ns, mmax), ("anal", True, nn+ns, Mp-1)]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("s", [2, 3, 4])
 def test_wigner_pallas_matches_scan(s):
 	"""General-spin Pallas kernels (two-branch Wigner-d recurrence) vs the

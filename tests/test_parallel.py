@@ -106,6 +106,7 @@ def test_fake_communicator():
 	assert comm.allreduce(5) == 5
 	assert dist.COMM_WORLD.size >= 1
 
+@pytest.mark.slow
 def test_m_sharded_roundtrip_matches_ring():
 	"""m-sharded (2D mesh) SHT roundtrip == ring-sharded roundtrip, and the
 	harmonic representation is genuinely sharded over m (per-device alm
@@ -131,6 +132,7 @@ def test_m_sharded_roundtrip_matches_ring():
 	got = np.asarray(rect)[..., :lmax+1]
 	assert np.abs(got - rect_ref).max() < 1e-10
 
+@pytest.mark.slow
 def test_rect_transforms_match_packed():
 	"""synthesis_rect/analysis_rect agree with the packed-alm transforms."""
 	lmax = 30

@@ -85,6 +85,7 @@ def test_lens_map_curved_zero_phi():
 		phi_alm=phi_alm, cmb_alm=cmb_alm, output="lu", spin=[0])
 	assert np.abs(np.asarray(lensed) - np.asarray(unlensed)).max() < 1e-6
 
+@pytest.mark.slow
 def test_lens_map_curved_firstorder():
 	# small phi: lensed - unlensed ~ grad(phi) . grad(T)
 	shape, wcs = enmap.band_geometry(30*utils.degree, res=1.5*utils.degree)
@@ -117,6 +118,7 @@ def test_healpix_geometry():
 	assert np.allclose(info["theta"][0], np.arccos(1-1/(3*64)))
 	assert np.allclose(np.cos(info["theta"]) + np.cos(info["theta"][::-1]), 0, atol=1e-12)
 
+@pytest.mark.slow
 def test_healpix_roundtrip_alm():
 	nside = 16
 	lmax = 20
@@ -127,6 +129,7 @@ def test_healpix_roundtrip_alm():
 	err = np.abs(np.asarray(alm2) - np.asarray(alm))
 	assert err.max() < 2e-2*np.abs(np.asarray(alm)).max()
 
+@pytest.mark.slow
 def test_map2healpix_and_back():
 	shape, wcs = enmap.fullsky_geometry(res=3*utils.degree)
 	lmax = 30
@@ -185,6 +188,7 @@ def test_aberration_deflection():
 	assert abs(abs(shift[0]) - beta) < beta*0.01
 
 
+@pytest.mark.slow
 def test_lens_map_curved_banded():
 	"""delta_theta banding must reproduce the unbanded result, and all five
 	outputs (l, u, p, k, a) must be produced with matching geometry
@@ -210,6 +214,7 @@ def test_lens_map_curved_banded():
 		np.abs(np.asarray(kap2)).max(), 1e-30)
 
 
+@pytest.mark.slow
 def test_thumbnails_batched_pol():
 	"""Multi-object IQU thumbnails: the batched single-interpolation path
 	must reproduce per-object extraction exactly, including the
