@@ -11,7 +11,7 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
-from . import enmap, curvedsky, interpol, utils
+from . import enmap, curvedsky, interpol, utils, wcsutils
 from . import fft as enfft
 from .bunch import Bunch
 
@@ -143,10 +143,23 @@ def _lens_band_core(fine, grad, pos, iyb, fy, ixb, fx, nfine, w, beta, pre,
 	base iyb/ixb + f32 fraction fy/fx, computed host-side in f64) so the
 	kernel offsets keep full resolution on large fine grids; the band's
 	displacement is folded into the fraction on device.
+	Separable (cylindrical) geometries pass 1D per-row arrays (pos=(dec[ny],
+	ra[nx]), iyb/fy [ny], ixb/fx [nx]) which broadcast ON DEVICE -- the
+	host then ships O(ny+nx) scalars per band instead of six [ny,nx]
+	arrays through the (slow) host->device link. 2D arrays still work for
+	non-separable geometries.
 	mesh (static): shard the band's per-point work over its rows on the
 	mesh's first axis (the fine grid stays replicated); constraints sit
 	inside the jit so GSPMD's padding-tolerant partitioner handles bands
 	whose row count does not divide the mesh."""
+	if iyb.ndim == 1:
+		bshape = (iyb.shape[0], ixb.shape[0])
+		pos = jnp.stack([jnp.broadcast_to(pos[0][:, None], bshape),
+			jnp.broadcast_to(pos[1][None, :], bshape)])
+		iyb = jnp.broadcast_to(iyb[:, None], bshape)
+		fy  = jnp.broadcast_to(fy[:, None], bshape)
+		ixb = jnp.broadcast_to(ixb[None, :], bshape)
+		fx  = jnp.broadcast_to(fx[None, :], bshape)
 	if mesh is not None:
 		from jax.sharding import NamedSharding, PartitionSpec as _P
 		_raxis = tuple(mesh.shape.keys())[0]
@@ -245,26 +258,45 @@ def lens_map_curved(shape=None, wcs=None, phi_alm=None, cmb_alm=None,
 		grad_d = jnp.asarray(grad)
 		parts = []
 		done = 0
+		separable = wcsutils.is_separable(wcs)
+		if separable:
+			# positions are separable on cylindrical grids: ship 1D axes
+			# (O(ny+nx) floats) and broadcast on device
+			dec_ax, ra_ax = enmap.posaxes((ny, nx), wcs, safe=False)
+			px_ax = (np.asarray(ra_ax, np.float64)/(2*np.pi) % 1.0)*nfine[1]
+			ixb_ax = np.floor(px_ax)
+			ixb_d = jnp.asarray(ixb_ax.astype(np.int32))
+			fx_d = jnp.asarray((px_ax - ixb_ax).astype(rdt))
+			ra_d = jnp.asarray(np.asarray(ra_ax).astype(rdt))
 		while done < ny:
 			# the tail band starts early (overlapping rows already emitted)
 			# so every band has exactly bsize rows -> one compiled program
 			i1 = done if done + bsize <= ny else max(ny - bsize, 0)
 			i2 = min(i1 + bsize, ny)
-			lshape, lwcs = enmap.slice_geometry((ny, nx), wcs,
-				(slice(i1, i2), slice(None)))
-			pos64 = np.asarray(enmap.posmap(lshape, lwcs, safe=False),
-				np.float64)
-			py = ((np.pi/2 - pos64[0])/(2*np.pi) % 1.0)*nfine[0]
-			px = (pos64[1]/(2*np.pi) % 1.0)*nfine[1]
-			iyb = np.floor(py); ixb = np.floor(px)
-			band = _lens_band_core(fine, grad_d[:, i1:i2, :],
-				jnp.asarray(pos64.astype(rdt)),
-				jnp.asarray(iyb.astype(np.int32)),
-				jnp.asarray((py - iyb).astype(rdt)),
-				jnp.asarray(ixb.astype(np.int32)),
-				jnp.asarray((px - ixb).astype(rdt)),
-				nfine, wk, float(beta), pre_full, polrot, bool(pol),
-				bool(geodesic), mesh=mesh)
+			if separable:
+				dec64 = np.asarray(dec_ax[i1:i2], np.float64)
+				py = ((np.pi/2 - dec64)/(2*np.pi) % 1.0)*nfine[0]
+				iyb = np.floor(py)
+				args = ((jnp.asarray(dec64.astype(rdt)), ra_d),
+					jnp.asarray(iyb.astype(np.int32)),
+					jnp.asarray((py - iyb).astype(rdt)), ixb_d, fx_d)
+			else:
+				lshape, lwcs = enmap.slice_geometry((ny, nx), wcs,
+					(slice(i1, i2), slice(None)))
+				pos64 = np.asarray(enmap.posmap(lshape, lwcs, safe=False),
+					np.float64)
+				py = ((np.pi/2 - pos64[0])/(2*np.pi) % 1.0)*nfine[0]
+				px = (pos64[1]/(2*np.pi) % 1.0)*nfine[1]
+				iyb = np.floor(py); ixb = np.floor(px)
+				args = (jnp.asarray(pos64.astype(rdt)),
+					jnp.asarray(iyb.astype(np.int32)),
+					jnp.asarray((py - iyb).astype(rdt)),
+					jnp.asarray(ixb.astype(np.int32)),
+					jnp.asarray((px - ixb).astype(rdt)))
+			band = _lens_band_core(fine, grad_d[:, i1:i2, :], *args,
+				nfine=nfine, w=wk, beta=float(beta), pre=pre_full,
+				polrot=polrot, pol=bool(pol), geodesic=bool(geodesic),
+				mesh=mesh)
 			parts.append(band[..., done - i1:, :].astype(dtype))
 			done = i2
 			if verbose: print("lens band %d / %d" % (done, ny))
