@@ -605,7 +605,15 @@ def _analysis_linear(arr, ainfo, minfo, spin, deriv, weighted, weights,
 		# under a mesh the constraints need GSPMD's padding-tolerant
 		# partitioner, which only runs under jit (eager resharding requires
 		# divisible axis sizes); nested jit is fine when already tracing
-		a = jax.jit(phase_path)(d2) if mesh is not None else phase_path(d2)
+		if mesh is not None:
+			mkey = (minfo.case, minfo.variant, tuple(minfo.ypad),
+				tuple(minfo.flip), minfo.nphi,
+				np.asarray(minfo.theta).tobytes())
+			a = utils.cached_jit(("curvedsky._analysis_phase_path", mkey,
+				ainfo.lmax, ainfo.mmax, spin, deriv, mesh, d2.shape,
+				str(d2.dtype)), lambda: phase_path)(d2)
+		else:
+			a = phase_path(d2)
 	else:
 		th = np.asarray(minfo.theta)
 		if len(th) > 1:
@@ -691,18 +699,22 @@ class SynthesisPlan:
 		spins = _comp_spins(spin, ncomp) if not deriv else [1, 0]
 		# one jitted program for synthesis + torus extension + spectrum: on
 		# remote-compile TPU runtimes, eager glue ops are each a fresh compile
-		def _build(a):
-			grid = sht.synthesis(a, thetas, Np, phi0=0.0, lmax=lmax,
-				mmax=mmax, spin=spin if not deriv else (0,), deriv=deriv,
-				map_dtype=rdt)
-			# [..., ncomp, Nt//2+1, Np] -> torus [..., ncomp, Nt, Np]
-			mirror = grid[..., 1:(Nt - (Nt//2 + 1)) + 1, :][..., ::-1, :]
-			mirror = jnp.roll(mirror, Np//2, axis=-1)
-			sgn = jnp.asarray([(-1.0)**s for s in spins], rdt)[:, None, None]
-			torus = jnp.concatenate([grid, sgn*mirror], -2)
-			flat = torus.reshape((-1, Nt, Np))
-			return jnp.fft.fftn(flat, axes=(-2, -1))/(Nt*Np)
-		fgrid = jax.jit(_build)(alm2)
+		def _make_build():
+			def _build(a):
+				grid = sht.synthesis(a, thetas, Np, phi0=0.0, lmax=lmax,
+					mmax=mmax, spin=spin if not deriv else (0,), deriv=deriv,
+					map_dtype=rdt)
+				# [..., ncomp, Nt//2+1, Np] -> torus [..., ncomp, Nt, Np]
+				mirror = grid[..., 1:(Nt - (Nt//2 + 1)) + 1, :][..., ::-1, :]
+				mirror = jnp.roll(mirror, Np//2, axis=-1)
+				sgn = jnp.asarray([(-1.0)**s for s in spins], rdt)[:, None, None]
+				torus = jnp.concatenate([grid, sgn*mirror], -2)
+				flat = torus.reshape((-1, Nt, Np))
+				return jnp.fft.fftn(flat, axes=(-2, -1))/(Nt*Np)
+			return _build
+		fgrid = utils.cached_jit(("SynthesisPlan._build", Nt, Np, lmax, mmax,
+			tuple(np.atleast_1d(spin)), deriv, tuple(spins), rdt,
+			alm2.shape, str(alm2.dtype)), _make_build)(alm2)
 		# the plan holds the deconvolved fine grid on device
 		self.uplan = enfft.u2nu_plan(fgrid, axes=(-2, -1), periodicity=2*np.pi,
 			epsilon=epsilon, complex=False)

@@ -221,10 +221,15 @@ def lens_map_curved(shape=None, wcs=None, phi_alm=None, cmb_alm=None,
 	want = set(output)
 	maps = {}
 	def synth(a, ainfo, pshape, **kw):
-		f = jax.jit(lambda al: jnp.asarray(curvedsky.alm2map(al,
-			enmap.zeros(tuple(pshape) + (ny, nx), wcs, dtype),
-			ainfo=ainfo, mesh=mesh, **kw)))
-		return f(a)
+		def make():
+			return lambda al: jnp.asarray(curvedsky.alm2map(al,
+				enmap.zeros(tuple(pshape) + (ny, nx), wcs, dtype),
+				ainfo=ainfo, mesh=mesh, **kw))
+		key = ("lensing.synth", tuple(pshape), ny, nx, wcsutils.describe(wcs),
+			np.dtype(dtype).str, ainfo.lmax, ainfo.mmax, mesh,
+			tuple(sorted((k, str(v)) for k, v in kw.items())),
+			a.shape, str(a.dtype))
+		return utils.cached_jit(key, make)(a)
 	grad = None
 	if ("l" in want) or ("a" in want):
 		grad = synth(phi_alm, phi_ainfo, (2,), deriv=True)
@@ -232,8 +237,10 @@ def lens_map_curved(shape=None, wcs=None, phi_alm=None, cmb_alm=None,
 	if "a" in want: maps["a"] = enmap.ndmap(grad, wcs)
 	if "p" in want: maps["p"] = enmap.ndmap(synth(phi_alm, phi_ainfo, ()), wcs)
 	if "k" in want:
-		kappa_alm = jax.jit(lambda a: phi_to_kappa(a,
-			phi_ainfo=phi_ainfo))(phi_alm)
+		kappa_alm = utils.cached_jit(("lensing.phi_to_kappa",
+			phi_ainfo.lmax, phi_ainfo.mmax, phi_alm.shape,
+			str(phi_alm.dtype)),
+			lambda: lambda a: phi_to_kappa(a, phi_ainfo=phi_ainfo))(phi_alm)
 		maps["k"] = enmap.ndmap(synth(kappa_alm, phi_ainfo, ()), wcs)
 	if "u" in want:
 		maps["u"] = enmap.ndmap(synth(cmb_alm, cmb_ainfo, pre, spin=spin), wcs)

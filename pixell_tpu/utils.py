@@ -69,6 +69,21 @@ def _xp(*args):
 	return np
 
 
+_JIT_CACHE = {}
+def cached_jit(key, make_fn, **jit_kw):
+	"""jit a locally-built closure ONCE per key and reuse the wrapper.
+	jax.jit caches on function identity, so `jax.jit(lambda ...)` inside a
+	function retraces AND recompiles on every call -- ruinous on
+	remote-compile runtimes (~25 s per recompile of a big SHT program).
+	make_fn is only called on a cache miss; key must capture everything the
+	closure closes over (shapes, geometry, static parameters)."""
+	import jax
+	f = _JIT_CACHE.get(key)
+	if f is None:
+		f = _JIT_CACHE[key] = jax.jit(make_fn(), **jit_kw)
+	return f
+
+
 def to_device(x, dtype=None):
 	"""jnp.asarray that also works for *host* complex arrays on backends
 	whose runtime lacks complex host->device transfer (seen on some TPU
