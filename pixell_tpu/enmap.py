@@ -596,8 +596,8 @@ def area(shape, wcs, nsamp=1000, method="auto"):
 	if wcsutils.is_cyl(wcs) and wcs.wcs.crval[1] == 0:
 		# exact for separable cylindrical projections
 		return float(np.sum(pixsizemap_cyl(shape, wcs)[:, 0])*shape[-1])
-	ext = extent(shape, wcs, method=method)
-	return float(np.prod(ext))
+	# non-separable: exact boundary contour integral (Green's theorem)
+	return area_contour(shape, wcs, nsamp=nsamp)
 
 def pixsize(shape, wcs):
 	"""Average pixel area in steradians."""
@@ -651,14 +651,22 @@ def pixsizemap(shape, wcs, separable="auto", broadcastable=False):
 		else: res = np.broadcast_to(col, shape[-2:]).copy()
 		return ndmap(res, wcs)
 	else:
-		# generic: use the jacobian of pix2sky evaluated by finite differences
+		# generic: jacobian of pix2sky by centered corner differences
 		pix = np.mgrid[:shape[-2], :shape[-1]].astype(float)
 		p00 = np.asarray(pix2sky(shape, wcs, pix + np.array([-0.5, -0.5])[:, None, None], safe=False))
 		p10 = np.asarray(pix2sky(shape, wcs, pix + np.array([+0.5, -0.5])[:, None, None], safe=False))
 		p01 = np.asarray(pix2sky(shape, wcs, pix + np.array([-0.5, +0.5])[:, None, None], safe=False))
-		dy  = p10 - p00
-		dx  = p01 - p00
-		cosdec = np.cos(0.5*(p00[0] + p10[0]))
+		p11 = np.asarray(pix2sky(shape, wcs, pix + np.array([+0.5, +0.5])[:, None, None], safe=False))
+		dy  = 0.5*((p10 + p11) - (p00 + p01))
+		dx  = 0.5*((p01 + p11) - (p00 + p10))
+		# rewind the ra deltas: the projection's longitude branch cut can
+		# run through the map (e.g. cylindrical crval_dec != 0), making a
+		# raw difference jump by 2pi
+		dy[1] = utils.rewind(dy[1])
+		dx[1] = utils.rewind(dx[1])
+		# metric factor at the pixel-center dec (a half-pixel-offset cosdec
+		# biases the area by ~tan(dec)*cdelt/2, ~1e-3 at dec 30)
+		cosdec = np.cos(p00[0] + 0.5*(dy[0] + dx[0]))
 		jac = np.abs(dy[0]*dx[1] - dy[1]*dx[0])*cosdec
 		return ndmap(jac, wcs)
 
@@ -1978,7 +1986,9 @@ def area_contour(shape, wcs, nsamp=1000):
 		dec = np.clip(pos[0], -np.pi/2, np.pi/2)
 		ra = pos[1]
 		msin = 1 - np.sin(dec)
-		total += np.sum((ra[1:] - ra[:-1])*(msin[1:] + msin[:-1])/2)
+		# rewind ra steps: the longitude branch cut may cross the boundary
+		dra = utils.rewind(ra[1:] - ra[:-1])
+		total += np.sum(dra*(msin[1:] + msin[:-1])/2)
 	return abs(total)
 
 def pixsizemap_contour(shape, wcs, bsize=1000, bcheck=False):

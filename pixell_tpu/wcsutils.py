@@ -8,6 +8,10 @@ Design notes (TPU-first):
 - For the cylindrical projections with crval_dec = 0 (CAR/CEA/MER — the
   workhorses), pixel<->world is closed-form separable trig/affine math and is
   implemented so it can trace under jit (works on numpy or jax arrays).
+  crval_dec != 0 headers go through the general native<->celestial rotation
+  with the native pole solved per Calabretta & Greisen paper II section 2.4
+  (non-separable; is_separable() reports False so geometry code uses 2D
+  paths).
 - Zenithal projections (TAN/SIN/ZEA/ARC) use the standard native<->celestial
   spherical rotation (Calabretta & Greisen 2002, paper II) and are also pure
   array math.
@@ -188,14 +192,50 @@ def _proj2native(system, u, v, xp, pv):
 	else:
 		raise ValueError("Unsupported projection '%s'" % system)
 
-def _rot_native2cel(phi, theta, crval, lonpole, xp, zenithal):
+def _native_pole(wcs, system):
+	"""Celestial coordinates (ap, dp) of the NATIVE POLE plus the native
+	longitude phip of the celestial pole, all in degrees. Zenithal
+	projections put the fiducial point (crval) at the native pole directly;
+	cylindrical projections have fiducial native coords (phi0,theta0)=(0,0)
+	and the pole must be solved for (Calabretta & Greisen 2002 paper II
+	section 2.4; the reference delegates this to wcslib via astropy,
+	pixell/wcsutils.py:415-516)."""
+	a0, d0 = float(wcs.wcs.crval[0]), float(wcs.wcs.crval[1])
+	if is_azimuthal(system):
+		return a0, d0, float(wcs.wcs.lonpole)
+	# Cylindrical (theta0 = 0): the FITS default LONPOLE is 0 for
+	# d0 >= theta0 else 180. Our headers store 180 (the zenithal default)
+	# when unset, which admits no valid pole for d0 != 0, so treat the
+	# stored default as unset.
+	phip = float(wcs.wcs.lonpole)
+	if phip == 180.0: phip = 0.0 if d0 >= 0 else 180.0
+	cphip = np.cos(phip*deg2rad)
+	sd0 = np.sin(d0*deg2rad)
+	if abs(cphip) < 1e-12 or abs(sd0) > abs(cphip) + 1e-12:
+		raise ValueError("No valid native pole for cylindrical wcs with "
+			"crval_dec=%g, lonpole=%g" % (d0, phip))
+	# solutions of cos(dp) = sin(d0)/cos(phip); pick the one closest to
+	# LATPOLE (FITS default +90; our stored default 0.0 means unset)
+	dp0 = np.arccos(np.clip(sd0/cphip, -1, 1))*rad2deg
+	cands = [d for d in (dp0, -dp0) if abs(d) <= 90 + 1e-9]
+	latp = float(wcs.wcs.latpole)
+	if latp == 0.0: latp = 90.0
+	dp = min(cands, key=lambda d: abs(d - latp))
+	ap = a0 - np.arctan2(np.sin(phip*deg2rad),
+		-np.sin(dp*deg2rad)*cphip)*rad2deg
+	return ap, dp, phip
+
+def _rot_native2cel(phi, theta, crval, lonpole, xp, zenithal, pole=None):
 	"""Rotate native (phi,theta) [deg] to celestial (lon,lat) [deg].
-	Standard spherical rotation, Calabretta & Greisen paper II eq (2)."""
-	ap, dp = crval[0]*deg2rad, crval[1]*deg2rad  # celestial coords of native pole
-	if not zenithal:
-		# For cylindrical with crval_lat==0 the rotation is a simple shift
-		return phi + crval[0], theta
-	phip = lonpole*deg2rad
+	Standard spherical rotation, Calabretta & Greisen paper II eq (2).
+	pole=(ap, dp, phip) overrides the zenithal assumption that crval is
+	the native pole (used for cylindrical crval_dec != 0)."""
+	if pole is None:
+		if not zenithal:
+			# For cylindrical with crval_lat==0 the rotation is a simple shift
+			return phi + crval[0], theta
+		pole = (crval[0], crval[1], lonpole)
+	ap, dp, phip = pole[0]*deg2rad, pole[1]*deg2rad, pole[2]*deg2rad
 	p, t = phi*deg2rad, theta*deg2rad
 	st, ct = xp.sin(t), xp.cos(t)
 	sdp, cdp = np.sin(dp), np.cos(dp)
@@ -204,11 +244,12 @@ def _rot_native2cel(phi, theta, crval, lonpole, xp, zenithal):
 	lon = ap + xp.arctan2(-ct*xp.sin(dphi), st*cdp - ct*sdp*xp.cos(dphi))
 	return lon*rad2deg, lat*rad2deg
 
-def _rot_cel2native(lon, lat, crval, lonpole, xp, zenithal):
-	ap, dp = crval[0]*deg2rad, crval[1]*deg2rad
-	if not zenithal:
-		return lon - crval[0], lat
-	phip = lonpole*deg2rad
+def _rot_cel2native(lon, lat, crval, lonpole, xp, zenithal, pole=None):
+	if pole is None:
+		if not zenithal:
+			return lon - crval[0], lat
+		pole = (crval[0], crval[1], lonpole)
+	ap, dp, phip = pole[0]*deg2rad, pole[1]*deg2rad, pole[2]*deg2rad
 	a, d = lon*deg2rad, lat*deg2rad
 	sd, cd = xp.sin(d), xp.cos(d)
 	sdp, cdp = np.sin(dp), np.cos(dp)
@@ -229,10 +270,11 @@ def pix2world(wcs, x, y, origin=0):
 	if system in ["", "plain"]:
 		return u + wcs.wcs.crval[0], v + wcs.wcs.crval[1]
 	zen = is_azimuthal(system)
-	if not zen and wcs.wcs.crval[1] != 0:
-		raise NotImplementedError("Cylindrical projection with crval_dec != 0")
+	pole = _native_pole(wcs, system) if (not zen and wcs.wcs.crval[1] != 0) \
+		else None
 	phi, theta = _proj2native(system, u, v, xp, wcs.wcs._pv)
-	return _rot_native2cel(phi, theta, wcs.wcs.crval, wcs.wcs.lonpole, xp, zen)
+	return _rot_native2cel(phi, theta, wcs.wcs.crval, wcs.wcs.lonpole, xp, zen,
+		pole=pole)
 
 def world2pix(wcs, lon, lat, origin=0):
 	xp = utils._xp(lon, lat)
@@ -243,9 +285,10 @@ def world2pix(wcs, lon, lat, origin=0):
 		u = lon - wcs.wcs.crval[0]; v = lat - wcs.wcs.crval[1]
 	else:
 		zen = is_azimuthal(system)
-		if not zen and wcs.wcs.crval[1] != 0:
-			raise NotImplementedError("Cylindrical projection with crval_dec != 0")
-		phi, theta = _rot_cel2native(lon, lat, wcs.wcs.crval, wcs.wcs.lonpole, xp, zen)
+		pole = _native_pole(wcs, system) if (not zen and wcs.wcs.crval[1] != 0) \
+			else None
+		phi, theta = _rot_cel2native(lon, lat, wcs.wcs.crval, wcs.wcs.lonpole,
+			xp, zen, pole=pole)
 		u, v = _native2proj(system, phi, theta, xp, wcs.wcs._pv)
 	x = u/wcs.wcs.cdelt[0] + wcs.wcs.crpix[0] - off
 	y = v/wcs.wcs.cdelt[1] + wcs.wcs.crpix[1] - off

@@ -156,6 +156,32 @@ def main():
 		checks.append(("roundtrip lmax5000 f1",
 			lambda: mk_roundtrip(5000, 180*60/5004)))
 
+		# --- spin-2 IQU at lmax 5000: spin modes + VMEM-shrunken theta
+		#     tiles (_pick_tb) at an extent the fast tests never reach ---
+		def mk_spin2_5000():
+			lmax = 5000
+			nt, nphi = 2*lmax+2, 2*lmax+4
+			theta = jnp.asarray(sht.ring_theta("F1", nt), f32)
+			w = jnp.asarray(sht.ring_weights("F1", nt), f32)
+			def fn(maps):
+				alm = sht.analysis(maps, theta, lmax, w, spin=(0, 2))
+				return sht.synthesis(alm, theta, nphi, lmax=lmax, spin=(0, 2),
+					map_dtype=f32)
+			return fn, (jnp.zeros((3, nt, nphi), f32),)
+		checks.append(("spin0+2 lmax5000", mk_spin2_5000))
+
+		# --- config-5-sized wavelet scale: the lmax-10000 synthesis that the
+		#     largest ButterTrim band dispatches (wave2map's heaviest kernel) ---
+		def mk_wavelet_scale():
+			lmax = 10000
+			nt, nphi = 2*lmax+2, 2*lmax+4
+			theta = jnp.asarray(sht.ring_theta("F1", nt), f32)
+			def fn(a):
+				return sht.synthesis(a, theta, nphi, lmax=lmax, spin=(0,),
+					map_dtype=f32)
+			return fn, (jnp.zeros((1, sht.nalm(lmax)), np.complex64),)
+		checks.append(("wavelet-scale synthesis lmax10000", mk_wavelet_scale))
+
 	nfail = 0
 	for name, make in checks:
 		if not compile_ok(name, make):

@@ -104,3 +104,73 @@ def test_downgrade_geometry():
 	p_big = np.asarray(enmap.pix2sky(shape2, wcs2, np.array([[3.0], [4.0]])))
 	p_sub = np.asarray(enmap.pix2sky(shape, wcs, np.array([[6.5], [8.5]])))
 	assert np.allclose(p_big, p_sub)
+
+def _angdist_deg(lon1, lat1, lon2, lat2):
+	"""Great-circle distance [deg] between (lon,lat) points [deg]."""
+	d2r = np.pi/180
+	v1 = np.array([np.cos(lat1*d2r)*np.cos(lon1*d2r),
+		np.cos(lat1*d2r)*np.sin(lon1*d2r), np.sin(lat1*d2r)])
+	v2 = np.array([np.cos(lat2*d2r)*np.cos(lon2*d2r),
+		np.cos(lat2*d2r)*np.sin(lon2*d2r), np.sin(lat2*d2r)])
+	return np.arccos(np.clip((v1*v2).sum(0), -1, 1))/d2r
+
+def test_cyl_offcenter_crval():
+	"""Cylindrical projections with crval_dec != 0 must apply the general
+	native<->celestial rotation (Calabretta & Greisen paper II sec 2.4;
+	reference delegates to wcslib, pixell/wcsutils.py:415-516). The rotation
+	is pinned by three invariants: it is rigid (preserves angular
+	distances computed from the native coordinates), it anchors the
+	fiducial pixel at crval, and it puts the celestial pole at native
+	longitude LONPOLE."""
+	from pixell_tpu import wcsutils
+	for proj, d0 in [("car", 30.0), ("car", -47.5), ("cea", 30.0), ("mer", 12.0)]:
+		w = wcsutils.WCS(naxis=2)
+		w.wcs.ctype = ["RA---" + proj.upper(), "DEC--" + proj.upper()]
+		w.wcs.crval = np.array([15.0, d0])
+		w.wcs.crpix = np.array([20.0, 10.0])
+		w.wcs.cdelt = np.array([-0.5, 0.5])
+		assert not wcsutils.is_separable(w)
+		# 1. fiducial pixel -> crval (crpix is 1-based)
+		lon0, lat0 = w.wcs_pix2world(19.0, 9.0)
+		assert np.allclose([lon0 % 360, lat0], [15.0, d0], atol=1e-10)
+		# 2. rigid rotation: native angular distances are preserved.
+		# Native coords of a pixel are the projection-plane inverse, which
+		# for these projections we obtain from a crval_dec=0 twin.
+		w0 = w.deepcopy(); w0.wcs.crval = np.array([0.0, 0.0])
+		rng = np.random.default_rng(0)
+		x = rng.uniform(0, 40, 20); y = rng.uniform(0, 20, 20)
+		nlon, nlat = w0.wcs_pix2world(x, y)
+		clon, clat = w.wcs_pix2world(x, y)
+		d_nat = _angdist_deg(nlon[:10], nlat[:10], nlon[10:], nlat[10:])
+		d_cel = _angdist_deg(clon[:10], clat[:10], clon[10:], clat[10:])
+		assert np.allclose(d_nat, d_cel, atol=1e-8)
+		# 3. north celestial pole at native longitude phip (0 for d0>=0
+		# else 180)
+		xpole, ypole = w.wcs_world2pix(123.0, 90.0)
+		u = (xpole + 1 - w.wcs.crpix[0])*w.wcs.cdelt[0]
+		phip = 0.0 if d0 >= 0 else 180.0
+		assert np.allclose(((u - phip + 180) % 360) - 180, 0, atol=1e-8)
+		# 4. world2pix inverts pix2world, modulo the 360-deg longitude
+		# branch of the rotated frame (wcslib has the same cut)
+		x2, y2 = w.wcs_world2pix(clon, clat)
+		xper = 360.0/abs(w.wcs.cdelt[0])
+		assert np.allclose((x2 - x + xper/2) % xper - xper/2, 0, atol=1e-8)
+		assert np.allclose(y2, y, atol=1e-8)
+
+def test_cyl_offcenter_area():
+	"""pixsizemap/area on an off-center cylindrical geometry: pixel solid
+	angles are uniform-in-native-frame, so the exact total is the native
+	row sum. Also guards the ra-branch-cut rewind in the generic jacobian
+	(the cut runs through the map when crval_dec != 0)."""
+	from pixell_tpu import wcsutils
+	hdr = {"CTYPE1": "RA---CAR", "CTYPE2": "DEC--CAR",
+		"CRVAL1": 15.0, "CRVAL2": 30.0, "CRPIX1": 61.0, "CRPIX2": 31.0,
+		"CDELT1": -0.25, "CDELT2": 0.25}
+	wcs = wcsutils.WCS(header=hdr)
+	shape = (60, 120)
+	v = (np.arange(60) - 30)*0.25  # native latitude of each row [deg]
+	exact = np.deg2rad(0.25)**2*np.cos(np.deg2rad(v)).sum()*120
+	a = float(np.asarray(enmap.pixsizemap(shape, wcs)).sum())
+	assert abs(a/exact - 1) < 1e-4, (a, exact)
+	ar = enmap.area(shape, wcs)
+	assert abs(ar/exact - 1) < 1e-4, (ar, exact)
