@@ -956,15 +956,17 @@ def rotate_alm(alm, psi, theta, phi, ainfo=None, lmax=None, method="auto",
 # map2alm_healpix:353) -- implemented in reproject, re-exported here to match
 # the reference's module layout.
 # ---------------------------------------------------------------------------
-def alm2map_healpix(alm, healmap=None, nside=None, spin=[0, 2], deriv=False, ainfo=None, **kw):
+def alm2map_healpix(alm, healmap=None, nside=None, spin=[0, 2], deriv=False,
+		ainfo=None, method="ring", **kw):
 	from . import reproject
 	return reproject.alm2map_healpix(alm, healmap=healmap, nside=nside,
-		spin=spin, deriv=deriv, ainfo=ainfo)
+		spin=spin, deriv=deriv, ainfo=ainfo, method=method)
 
-def map2alm_healpix(healmap, alm=None, lmax=None, spin=[0, 2], niter=0, ainfo=None, **kw):
+def map2alm_healpix(healmap, alm=None, lmax=None, spin=[0, 2], niter=0,
+		ainfo=None, method="ring", **kw):
 	from . import reproject
 	return reproject.map2alm_healpix(healmap, alm=alm, lmax=lmax, spin=spin,
-		niter=niter, ainfo=ainfo)
+		niter=niter, ainfo=ainfo, method=method)
 
 def get_ring_info(theta_or_shape, wcs=None):
 	"""Ring structure of a cylindrical map or explicit colatitudes

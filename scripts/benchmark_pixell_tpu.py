@@ -2,6 +2,8 @@
 """SHT benchmark sweep (the reference ships benchmark-pixell /
 benchmark-pixell-runner console scripts, scripts/benchmark_pixell*.py;
 this is the TPU equivalent: a sweep over lmax and spin instead of threads)."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import time
 import numpy as np

@@ -234,3 +234,37 @@ def test_thumbnails_batched_pol():
 		r=3*utils.degree, res=0.5*utils.degree))[0] for i in range(2)])
 	assert batch.shape == singles.shape
 	assert np.abs(batch - singles).max() < 1e-12
+
+def test_healpix_ring_vs_general():
+	"""The ring-structured healpix synthesis (spectral belt sampling + 1D
+	cap interpolation) must agree with the unstructured 2D-NUFFT general
+	path within the combined kernel/f32-SHT tolerance, for scalar and IQU,
+	and its analysis must be the exact transpose."""
+	nside, lmax = 16, 40
+	rng = np.random.default_rng(1)
+	ainfo = curvedsky.alm_info(lmax=lmax)
+	n = ainfo.nelem
+	alm = (rng.standard_normal((3, n))
+		+ 1j*rng.standard_normal((3, n))).astype(np.complex64)
+	alm[..., :lmax+1] = alm[..., :lmax+1].real
+	va = reproject.alm2map_healpix(jnp.asarray(alm), nside=nside,
+		spin=[0, 2], method="ring")
+	vb = reproject.alm2map_healpix(jnp.asarray(alm), nside=nside,
+		spin=[0, 2], method="general")
+	assert va.shape == (3, healpix.npix(nside))
+	err = np.max(np.abs(va - vb))/np.max(np.abs(vb))
+	assert err < 2e-4, err
+	# adjointness of the ring path: <synth(a), v> == <a, adj(v)>
+	ar = rng.standard_normal(n).astype(np.float32)
+	ai = rng.standard_normal(n).astype(np.float32)
+	ai[:lmax+1] = 0
+	a1 = (ar + 1j*ai).astype(np.complex64)
+	v = rng.standard_normal(healpix.npix(nside)).astype(np.float32)
+	synth = reproject._alm2map_healpix_ring(jnp.asarray(a1[None]), nside,
+		lmax=lmax, mmax=lmax, spin=(0,))
+	adj = reproject._healpix_ring_adjoint(jnp.asarray(v[None]), nside,
+		lmax=lmax, mmax=lmax, spin=(0,))
+	lhs = float(np.sum(np.asarray(synth)[0]*v))
+	a2 = np.asarray(adj)[0]
+	rhs = float(np.sum(ar*a2.real) + np.sum(ai*a2.imag))
+	assert abs(lhs - rhs) < 1e-5*abs(lhs)
