@@ -202,7 +202,12 @@ def transfer_alm(iainfo, alm, oainfo, out=None, op=lambda a, b: b):
 def rand_alm_white(ainfo, pre=None, seed=None, m_major=True, return_ainfo=False, dtype=np.complex128):
 	rng = np.random.default_rng(seed)
 	shape = (tuple(pre) if pre else ()) + (ainfo.nelem,)
-	alm = (rng.standard_normal(shape) + 1j*rng.standard_normal(shape)).astype(dtype)
+	# draw at the target real precision: f32 draws are ~2x faster and half
+	# the memory, and the f64 path keeps the historical stream bit-exact
+	rdt = np.float32 if np.dtype(dtype) == np.complex64 else np.float64
+	alm = np.empty(shape, dtype)
+	alm.real = rng.standard_normal(shape, dtype=rdt)
+	alm.imag = rng.standard_normal(shape, dtype=rdt)
 	# m=0 must be real, and scaled so all modes have consistent variance
 	l = np.arange(ainfo.lmax+1)
 	i0 = ainfo.lm2ind(l, 0*l)
@@ -234,8 +239,14 @@ def rand_alm(ps, ainfo=None, lmax=None, seed=None, dtype=np.complex128, m_major=
 	for m in range(ainfo.mmax+1):
 		ls = np.arange(m, ainfo.lmax+1)
 		lv[ainfo.mstart[m] + ls*ainfo.stride] = ls
-	Ll = L[:, :, lv]                                   # [ncomp, ncomp, nalm]
-	alm = np.einsum("abi,bi->ai", Ll.astype(alm.real.dtype), alm)
+	Ll = L[:, :, lv].astype(alm.real.dtype)            # [ncomp, ncomp, nalm]
+	# contract on a real float view of the complex alm: a complex einsum
+	# would upcast the real mixing matrix to complex (2x flops, and numpy
+	# materializes the 1 GB+ upcast copy at high lmax)
+	av = np.ascontiguousarray(alm).view(alm.real.dtype)
+	av = av.reshape(alm.shape[0], -1, 2)
+	out = np.einsum("abi,bik->aik", Ll, av)
+	alm = np.ascontiguousarray(out).view(alm.dtype)[..., 0]
 	res = alm[0] if oned else alm
 	return (res, ainfo) if return_ainfo else res
 

@@ -91,8 +91,9 @@ def main():
 	print("  fine grid:", plan.uplan.fine.shape, plan.uplan.fine.dtype,
 		"= %.2f GB" % (plan.uplan.fine.size*plan.uplan.fine.dtype.itemsize/1e9))
 	sys.stdout.flush()
-	if args.full:
-		timeit("SynthesisPlan build (hot)", build_plan, nrep=1)
+	# (no hot plan-rebuild stage: a second plan + its c64 torus transient
+	# would double-book HBM at lmax 4000; the rebuild recompile issue it
+	# probed is fixed by utils.cached_jit)
 
 	# --- stage 2: band gradient SHT ---
 	ny = shape[-2]
