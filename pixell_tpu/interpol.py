@@ -152,27 +152,31 @@ def _spline_filter_fwd(data, order, axes, border):
 	return data
 
 
-def _gather2d(data, iy, ix, border, cval):
-	"""data [..., ny, nx], integer taps iy [npt, ky], ix [npt, kx] ->
-	[..., npt, ky, kx] with border handling."""
+def _norm_inds2d(data, iy, ix, border):
+	"""Normalize integer tap indices iy [npt, ky], ix [npt, kx] for the
+	border mode. Returns (vy, vx, good) with good a [npt, ky, kx] validity
+	mask for zero/constant borders, else None."""
 	ny, nx = data.shape[-2:]
 	if border in ["cyclic", "wrap"]:
-		vy, vx = iy % ny, ix % nx
-		vals = data[..., vy[:, :, None], vx[:, None, :]]
+		return iy % ny, ix % nx, None
 	elif border in ["nearest", "edge"]:
-		vy = jnp.clip(iy, 0, ny-1); vx = jnp.clip(ix, 0, nx-1)
-		vals = data[..., vy[:, :, None], vx[:, None, :]]
+		return jnp.clip(iy, 0, ny-1), jnp.clip(ix, 0, nx-1), None
 	elif border in ["mirror", "reflect"]:
 		def refl(i, n):
 			period = 2*n - 2 if n > 1 else 1
 			i = i % period
 			return jnp.where(i >= n, period - i, i)
-		vy, vx = refl(iy, ny), refl(ix, nx)
-		vals = data[..., vy[:, :, None], vx[:, None, :]]
+		return refl(iy, ny), refl(ix, nx), None
 	else:  # zero / constant
 		good = ((iy >= 0) & (iy < ny))[:, :, None] & ((ix >= 0) & (ix < nx))[:, None, :]
-		vy = jnp.clip(iy, 0, ny-1); vx = jnp.clip(ix, 0, nx-1)
-		vals = data[..., vy[:, :, None], vx[:, None, :]]
+		return jnp.clip(iy, 0, ny-1), jnp.clip(ix, 0, nx-1), good
+
+def _gather2d(data, iy, ix, border, cval):
+	"""data [..., ny, nx], integer taps iy [npt, ky], ix [npt, kx] ->
+	[..., npt, ky, kx] with border handling."""
+	vy, vx, good = _norm_inds2d(data, iy, ix, border)
+	vals = data[..., vy[:, :, None], vx[:, None, :]]
+	if good is not None:
 		vals = jnp.where(good, vals, cval)
 	return vals
 
@@ -258,14 +262,29 @@ def _interp2d(data, pts, mode, order, border, deriv, prefilter, cval):
 	taps = jnp.arange(-off, ntap-off)
 	iy = i0y[:, None] + taps[None, :] + padded
 	ix = i0x[:, None] + taps[None, :] + padded
-	vals = _gather2d(data, iy, ix, border, cval)  # [..., npt, ky, kx]
+	# Contract per (ky, kx) tap with an immediate accumulate instead of
+	# materializing the [..., npt, ky, kx] gather tensor: on TPU the
+	# minor ntap axis gets tile-padded to 128 lanes (a 32x memory blowup
+	# for cubic -- 17.7 GB and a compile-time OOM at 2.9M points x 3
+	# comps), while per-tap gathers keep npt minor and add nothing.
+	vy, vx, good = _norm_inds2d(data, iy, ix, border)
 	wy = wfun(ty); wx = wfun(tx)
+	if deriv:
+		dwy = dwfun(ty); dwx = dwfun(tx)
+	acc = dy = dx = 0
+	for j in range(iy.shape[-1]):
+		for k in range(ix.shape[-1]):
+			v = data[..., vy[:, j], vx[:, k]]
+			if good is not None:
+				v = jnp.where(good[:, j, k], v, cval)
+			if not deriv:
+				acc = acc + v*(wy[:, j]*wx[:, k])
+			else:
+				dy = dy + v*(dwy[:, j]*wx[:, k])
+				dx = dx + v*(wy[:, j]*dwx[:, k])
 	if not deriv:
-		return jnp.einsum("...pyx,py,px->...p", vals, wy, wx)
-	dwy = dwfun(ty); dwx = dwfun(tx)
-	gy = jnp.einsum("...pyx,py,px->...p", vals, dwy, wx)
-	gx = jnp.einsum("...pyx,py,px->...p", vals, wy, dwx)
-	return jnp.stack([gy, gx], -2)
+		return acc
+	return jnp.stack([dy, dx], -2)
 
 
 # ---------------------------------------------------------------------------

@@ -188,10 +188,16 @@ class WaveletTransform:
 		transform maps data (reference WaveletTransform.get_variance_transform:391)."""
 		return WaveletTransform(self.uht, basis=self.basis.get_variance_basis())
 	def map2wave(self, map, owave=None):
-		"""Decompose map into wavelet maps (an ndmaps)."""
+		"""Decompose map into wavelet maps (an ndmaps).
+
+		Scales are computed in descending-bandlimit order (results returned
+		in basis order): the largest scale's synthesis has the biggest
+		transient, and running it first means it peaks before the other
+		scale outputs accumulate -- at lmax 10000 that ordering is the
+		difference between fitting in 16 GB HBM and OOMing."""
 		harm = self.uht.map2harm(map, spin=0)
-		outs = []
-		for i in range(self.basis.n):
+		outs = [None]*self.basis.n
+		for i in reversed(range(self.basis.n)):
 			u = self.uhts[i]
 			prof = self.basis.kernel(i, np.arange(u.lmax+1, dtype=float))
 			if self.uht.mode == "curved":
@@ -207,7 +213,7 @@ class WaveletTransform:
 				full = enmap.harm2map(filt, spin=[0]).real
 				m = full.project(u.shape, u.wcs, order=3) if u.shape != self.uht.shape \
 					else full
-			outs.append(m)
+			outs[i] = m
 		return multimap.ndmaps(outs)
 	def wave2map(self, wave, omap=None):
 		"""Adjoint-inverse: reassemble the map from wavelet maps."""

@@ -126,8 +126,10 @@ def main():
 	# --- full pipeline ---
 	if not args.full:
 		return
+	# free the standalone plan: lens_map_curved builds its own, and two
+	# resident fine grids + the c64 build transient exceed 16 GB at lmax 4000
+	del plan, evalf
 	nband = ny//bsize
-	est = nband*(dt)  # eval dominates; report measured total too
 	t0 = time.perf_counter()
 	omap = lensing.lens_map_curved(shape=shape, wcs=wcs, phi_alm=phi_alm,
 		cmb_alm=cmb_alm, dtype=dtype, spin=[0, 2], output="l",

@@ -193,6 +193,7 @@ def config5(quick):
 		wave = wt.map2wave(omap)
 		float(jnp.sum(jnp.abs(wave.flat())))
 		t_parts["map2wave"] = time.perf_counter() - t0
+		omap = None  # free the 3.2 GB source before the reconstruction
 		t0 = time.perf_counter()
 		rec = wt.wave2map(wave)
 		float(jnp.sum(jnp.abs(jnp.asarray(rec))))
