@@ -56,10 +56,12 @@ def main():
 	args = ap.parse_args()
 	import jax
 	import jax.numpy as jnp
+	from pixell_tpu import utils
 	print("# device:", jax.devices()[0], file=sys.stderr)
 	rng = np.random.default_rng(0)
 	for n in [int(t) for t in args.sizes.split(",")]:
-		x = jnp.asarray((rng.standard_normal((n, n))
+		# complex arrays cannot cross the axon host<->device link directly
+		x = utils.to_device((rng.standard_normal((n, n))
 			+ 1j*rng.standard_normal((n, n))).astype(np.complex64))
 		nbytes = x.size*8
 		dt_fft = timed_loop(lambda c: jnp.fft.fft2(c)/c.shape[-1], x, args.nrep)
@@ -73,7 +75,7 @@ def main():
 	if args.ring:
 		# the SHT ring-FFT shape at lmax 5000: batched c2c over the last axis
 		nt, nphi = 10002, 10004
-		x = jnp.asarray((rng.standard_normal((nt, nphi))
+		x = utils.to_device((rng.standard_normal((nt, nphi))
 			+ 1j*rng.standard_normal((nt, nphi))).astype(np.complex64))
 		nbytes = x.size*8
 		dt = timed_loop(lambda c: jnp.fft.fft(c, axis=-1)/c.shape[-1], x,
