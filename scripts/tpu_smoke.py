@@ -176,10 +176,14 @@ def main():
 			lmax = 10000
 			nt, nphi = 2*lmax+2, 2*lmax+4
 			theta = jnp.asarray(sht.ring_theta("F1", nt), f32)
-			def fn(a):
+			n = sht.nalm(lmax)
+			def fn(ar, ai):
+				# split re/im args: complex arrays cannot cross the axon
+				# host<->device boundary
+				a = jax.lax.complex(ar, ai)
 				return sht.synthesis(a, theta, nphi, lmax=lmax, spin=(0,),
 					map_dtype=f32)
-			return fn, (jnp.zeros((1, sht.nalm(lmax)), np.complex64),)
+			return fn, (jnp.zeros((1, n), f32), jnp.zeros((1, n), f32))
 		checks.append(("wavelet-scale synthesis lmax10000", mk_wavelet_scale))
 
 	nfail = 0
