@@ -268,3 +268,19 @@ def test_healpix_ring_vs_general():
 	a2 = np.asarray(adj)[0]
 	rhs = float(np.sum(ar*a2.real) + np.sum(ai*a2.imag))
 	assert abs(lhs - rhs) < 1e-5*abs(lhs)
+
+def test_healpix_ring_deriv():
+	"""deriv=True through the ring-structured healpix synthesis matches the
+	general NUFFT path."""
+	nside, lmax = 16, 24
+	rng = np.random.default_rng(3)
+	ainfo = curvedsky.alm_info(lmax=lmax)
+	n = ainfo.nelem
+	alm = (rng.standard_normal(n) + 1j*rng.standard_normal(n)).astype(np.complex64)
+	alm[:lmax+1] = alm[:lmax+1].real
+	va = reproject.alm2map_healpix(jnp.asarray(alm), nside=nside, spin=[0],
+		deriv=True, method="ring")
+	vb = reproject.alm2map_healpix(jnp.asarray(alm), nside=nside, spin=[0],
+		deriv=True, method="general")
+	assert va.shape == (2, healpix.npix(nside))
+	assert np.max(np.abs(va - vb)) < 2e-4*np.max(np.abs(vb))
