@@ -24,6 +24,11 @@ from . import enmap, wcsutils, utils, sht
 from . import fft as enfft
 from .bunch import Bunch
 
+# theta-band the direct synthesis once its phase-spectrum working set
+# exceeds this many bytes (see _alm2map_impl); 2 GiB keeps lmax <= 5000
+# single-band (no change to measured perf) and streams lmax-10000 maps
+SYNTH_BAND_BYTES = float(2 << 30)
+
 
 # ---------------------------------------------------------------------------
 # alm_info (reference curvedsky.py:409-474)
@@ -424,16 +429,42 @@ def _alm2map_impl(alm, map, spin=[0, 2], deriv=False, adjoint=False, copy=False,
 				row_axis=row_axis)
 		else:
 			synth = sht.synthesis
-		if deriv:
-			d = synth(alm2, theta, minfo.nphi, phi0=_ring_phi0(minfo),
-				lmax=ainfo.lmax, mmax=ainfo.mmax, deriv=True,
+		def run_synth(a, th):
+			if deriv:
+				return synth(a, th, minfo.nphi, phi0=_ring_phi0(minfo),
+					lmax=ainfo.lmax, mmax=ainfo.mmax, deriv=True,
+					map_dtype=map.dtype)
+			return synth(a, th, minfo.nphi, phi0=_ring_phi0(minfo),
+				lmax=ainfo.lmax, mmax=ainfo.mmax, spin=spin,
 				map_dtype=map.dtype)
+		# Theta-banded streaming for big single-chip transforms: the full
+		# synthesis holds ~2-3 copies of the [nm, nt] c64 phase spectrum
+		# (9.6 GB for one component at lmax 10000), which OOMs a 16 GB chip
+		# once the output map and the caller's buffers are resident. Bands
+		# are independent row groups of the same program family; each band
+		# is jitted once (cached) and streams its own bounded transient.
+		ncomp_eff = 2 if deriv else alm2.shape[-2]
+		nt = len(theta)
+		est = float(ainfo.mmax + 1)*nt*16.0*ncomp_eff
+		if mesh is None and est > SYNTH_BAND_BYTES and nt >= 64:
+			nb = int(np.ceil(est/SYNTH_BAND_BYTES))
+			bsize = -(-nt//nb)
+			parts = []
+			for i0 in range(0, nt, bsize):
+				th_b = np.asarray(theta[i0:i0+bsize], np.float64)
+				key = ("curvedsky._synth_band", th_b.tobytes(), minfo.nphi,
+					float(_ring_phi0(minfo)), ainfo.lmax, ainfo.mmax,
+					tuple(np.atleast_1d(spin)), bool(deriv),
+					np.dtype(map.dtype).str, alm2.shape, str(alm2.dtype))
+				parts.append(utils.cached_jit(key,
+					lambda th_b=th_b: lambda a: run_synth(a, th_b))(alm2))
+			d = jnp.concatenate(parts, -2)
+		else:
+			d = run_synth(alm2, theta)
+		if deriv:
 			# engine gives (d/dtheta, d/dphi); reference returns (d/ddec, d/dra)
 			d = jnp.stack([-d[..., 0, :, :], d[..., 1, :, :]], -3)
 		else:
-			d = synth(alm2, theta, minfo.nphi, phi0=_ring_phi0(minfo),
-				lmax=ainfo.lmax, mmax=ainfo.mmax, spin=spin,
-				map_dtype=map.dtype)
 			if alm.ndim == 1: d = d[..., 0, :, :]
 		d = _from_rings(d, minfo, map.shape[-1])
 		res = enmap.ndmap(d, map.wcs)

@@ -344,3 +344,30 @@ def test_accuracy_tier():
 	with pytest.raises(ValueError):
 		curvedsky.alm2map(jnp.asarray(alm),
 			enmap.zeros(shape, wcs, np.float32), spin=[0], accuracy="bogus")
+
+def test_banded_synthesis_identical():
+	"""Theta-banded synthesis streaming (big-map HBM bound) must be
+	bit-identical to the single-program path: bands are plain row groups
+	of the same per-ring computation."""
+	from pixell_tpu import utils
+	lmax = 40
+	shape, wcs = enmap.fullsky_geometry(res=180.0/(lmax+2)*utils.degree,
+		variant="fejer1")
+	ainfo = curvedsky.alm_info(lmax=lmax)
+	rng = np.random.default_rng(0)
+	n = ainfo.nelem
+	alm = (rng.standard_normal((3, n))
+		+ 1j*rng.standard_normal((3, n))).astype(np.complex64)
+	alm[..., :lmax+1] = alm[..., :lmax+1].real
+	ref = np.asarray(curvedsky.alm2map(jnp.asarray(alm),
+		enmap.zeros((3,)+shape, wcs, np.float32), spin=[0, 2], ainfo=ainfo))
+	old = curvedsky.SYNTH_BAND_BYTES
+	try:
+		curvedsky.SYNTH_BAND_BYTES = 1.0  # force banding
+		utils._JIT_CACHE.clear()
+		band = np.asarray(curvedsky.alm2map(jnp.asarray(alm),
+			enmap.zeros((3,)+shape, wcs, np.float32), spin=[0, 2], ainfo=ainfo))
+	finally:
+		curvedsky.SYNTH_BAND_BYTES = old
+		utils._JIT_CACHE.clear()
+	assert np.array_equal(ref, band)
