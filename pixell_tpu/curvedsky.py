@@ -449,16 +449,24 @@ def _alm2map_impl(alm, map, spin=[0, 2], deriv=False, adjoint=False, copy=False,
 		if mesh is None and est > SYNTH_BAND_BYTES and nt >= 64:
 			nb = int(np.ceil(est/SYNTH_BAND_BYTES))
 			bsize = -(-nt//nb)
-			parts = []
+			# Preallocate the full output and write each band into it with a
+			# DONATED update jit: a concatenate of the band results would hold
+			# output twice (6.4 GB at lmax 10000) right when HBM is tightest.
+			oshape = alm2.shape[:-1] + ((2,) if deriv else ()) \
+				+ (nt, minfo.nphi)
+			d = jnp.zeros(oshape, map.dtype)
 			for i0 in range(0, nt, bsize):
 				th_b = np.asarray(theta[i0:i0+bsize], np.float64)
 				key = ("curvedsky._synth_band", th_b.tobytes(), minfo.nphi,
 					float(_ring_phi0(minfo)), ainfo.lmax, ainfo.mmax,
 					tuple(np.atleast_1d(spin)), bool(deriv),
-					np.dtype(map.dtype).str, alm2.shape, str(alm2.dtype))
-				parts.append(utils.cached_jit(key,
-					lambda th_b=th_b: lambda a: run_synth(a, th_b))(alm2))
-			d = jnp.concatenate(parts, -2)
+					np.dtype(map.dtype).str, alm2.shape, str(alm2.dtype),
+					i0, oshape)
+				d = utils.cached_jit(key,
+					lambda th_b=th_b, i0=i0: lambda o, a:
+						jax.lax.dynamic_update_slice_in_dim(
+							o, run_synth(a, th_b), i0, axis=-2),
+					donate_argnums=(0,))(d, alm2)
 		else:
 			d = run_synth(alm2, theta)
 		if deriv:

@@ -400,6 +400,73 @@ def _u2nu_2d_core_split(fgrid, iyb, fy, ixb, fx, nfine, w, beta):
 	wx = _es_kernel((fx[:, None] - (tx[:, None] + 1 + offs))/hw, beta)
 	return _block_gather_eval(fgrid, iy0, ix0, wy, wx, nfine, w)
 
+@functools.partial(jax.jit, static_argnames=("S", "ndx", "dxlo", "R", "w",
+	"beta"))
+def _u2nu_rowband_core(fine_x, E, iyb_r, pyf, pxf, sy0, S, ndx, dxlo, R, w,
+		beta):
+	"""Gather-free NUFFT point evaluation for ROW-STRUCTURED point sets
+	(separable output grids with bounded displacements, e.g. curved lensing
+	of a cylindrical patch). Point (r, c) sits at fine-grid position
+	(iyb_r[r] + pyf[r, c], ixb[c] + pxf[r, c]) with |pyf|, |pxf| bounded.
+
+	TPU rationale: the generic per-point evaluation is a [w, w, C] block
+	gather per point, and TPU gathers move ~1e8 elements/s (measured; the
+	2.4 s hot spot of the lensing band eval at config-4 scale). Here the
+	structure removes every gather:
+	  * rows: points in a chunk of R consecutive output rows touch a
+	    contiguous slab of S fine rows -> ONE dynamic_slice (DMA) per chunk;
+	    the y-taps become a dense ES-weight contraction over the S slab rows
+	    (the kernel's compact support zeroes the others exactly).
+	  * columns: the column base map c -> ixb[c] is static and monotone, so
+	    it is a 0/1 expansion matrix E[c, X] -- the per-point x-access
+	    becomes an MXU matmul  Y[c, s, j] = sum_X E[c, X] slab[s, X + j]
+	    over the ndx static tap offsets j, followed by dense ES-weight
+	    contractions in x then y.
+	All sums include only exact zeros beyond each point's true w-wide
+	support, so the result matches _u2nu_2d_core_split up to summation
+	order (~eps).
+
+	fine_x [C, nfy, nXs]: fine grid restricted to the band's column range
+	  (nXs >= E.shape[1] + ndx - 1), REAL dtype.
+	E [nx, nXe] f32: E[c, X] = 1 iff X == ixb[c] + dxlo - xr0 (xr0 = the
+	  absolute fine column of fine_x[..., 0]).
+	iyb_r [nrow] int32, pyf/pxf [nrow, nx]: split positions (base + bounded
+	  offset; the caller folds displacements into pyf/pxf).
+	sy0 [nchunk] int32: per-chunk slab row starts (host-clipped to
+	  [0, nfy - S]; the caller guarantees every point's true y-support lies
+	  inside its chunk's slab).
+	Returns [C, nrow, nx]."""
+	C, nfy, nXs = fine_x.shape
+	nXe = E.shape[1]
+	nrow, nx = pyf.shape
+	nchunk = sy0.shape[0]
+	hw = w/2.0
+	rdt = pyf.dtype
+	pad = nchunk*R - nrow
+	iyb_p = jnp.pad(iyb_r, (0, pad), mode="edge").reshape(nchunk, R)
+	pyf_p = jnp.pad(pyf, ((0, pad), (0, 0)), mode="edge").reshape(nchunk, R, nx)
+	pxf_p = jnp.pad(pxf, ((0, pad), (0, 0)), mode="edge").reshape(nchunk, R, nx)
+	soff = jnp.arange(S, dtype=rdt)
+	joff = jnp.arange(ndx, dtype=rdt)
+	def chunk(args):
+		s0, iyb_c, pyc, pxc = args
+		z0 = jnp.zeros((), s0.dtype)
+		slab = jax.lax.dynamic_slice(fine_x, (z0, s0, z0), (C, S, nXs))
+		X17 = jnp.stack([jax.lax.slice_in_dim(slab, j, j + nXe, axis=2)
+			for j in range(ndx)], 2)                      # [C, S, ndx, nXe]
+		# the expansion matmul: E is 0/1 so HIGHEST precision reproduces the
+		# f32 slab values exactly (single-pass bf16 would lose 16 bits)
+		Y = jnp.einsum("aX,CSjX->aSjC", E, X17,
+			precision=jax.lax.Precision.HIGHEST)          # [nx, S, ndx, C]
+		pyrel = (iyb_c - s0).astype(rdt)[:, None] + pyc   # [R, nx]
+		wy = _es_kernel((pyrel[..., None] - soff)/hw, beta)       # [R, nx, S]
+		wx = _es_kernel((pxc[..., None] - (dxlo + joff))/hw, beta)  # [R,nx,ndx]
+		Z = jnp.einsum("raj,aSjC->raSC", wx, Y)
+		return jnp.einsum("raS,raSC->Cra", wy, Z)         # [C, R, nx]
+	out = jax.lax.map(chunk, (sy0, iyb_p, pyf_p, pxf_p))  # [nchunk, C, R, nx]
+	return jnp.moveaxis(out, 1, 0).reshape(C, nchunk*R, nx)[:, :nrow]
+
+
 @functools.partial(jax.jit, static_argnames=("K", "w", "beta"))
 def shift_interp(fmap, dy, dx, K, w, beta):
 	"""Gather-free ES interpolation at displaced grid positions:

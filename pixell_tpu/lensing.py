@@ -183,10 +183,44 @@ def _lens_band_core(fine, grad, pos, iyb, fy, ixb, fx, nfine, w, beta, pre,
 		band = band.at[..., 2, :, :].set(s2*q + c2*u)
 	return band
 
+@functools.partial(jax.jit, static_argnames=("nfine", "w", "beta", "pre",
+	"polrot", "pol", "geodesic", "S", "ndx", "dxlo", "R"))
+def _lens_band_rowband(fine_x, E, grad, pos, iyb, fy, fx, sy0, nfine, w,
+		beta, pre, polrot, pol, geodesic, S, ndx, dxlo, R):
+	"""Row-structured variant of _lens_band_core for separable geometries:
+	the NUFFT point eval goes through fft._u2nu_rowband_core (slab DMA +
+	expansion matmul + dense ES-weight contractions) instead of the
+	per-point block gather -- the gather moved ~1e8 elements/s on TPU and
+	was the 2.4 s hot spot of each config-4 band. Positions are 1D axes
+	(pos=(dec[ny], ra[nx]), iyb/fy [ny], fx [nx]); the column bases ixb are
+	folded into the static expansion matrix E by the caller."""
+	bshape = (iyb.shape[0], fx.shape[0])
+	pos2 = jnp.stack([jnp.broadcast_to(pos[0][:, None], bshape),
+		jnp.broadcast_to(pos[1][None, :], bshape)])
+	opos = offset_by_grad(pos2, grad, pol=pol, geodesic=geodesic)
+	nfy, nfx = nfine
+	dpy = (pos2[0] - opos[0])*(nfy/(2*np.pi))
+	dpx = (opos[1] - pos2[1])*(nfx/(2*np.pi))
+	pyf = fy[:, None] + dpy
+	pxf = fx[None, :] + dpx
+	vals = enfft._u2nu_rowband_core(fine_x, E, iyb, pyf, pxf, sy0,
+		S=S, ndx=ndx, dxlo=dxlo, R=R, w=w, beta=beta)
+	band = vals.reshape(pre + bshape)
+	if polrot:
+		c2, s2 = opos[2], opos[3]
+		q = band[..., 1, :, :]; u = band[..., 2, :, :]
+		band = band.at[..., 1, :, :].set(c2*q - s2*u)
+		band = band.at[..., 2, :, :].set(s2*q + c2*u)
+	return band
+
+ROWBAND_MAX_NXS = 6144  # max restricted-column width for the rowband point
+# eval: the expansion matrix E is [nx_out, nXe] dense f32, so full-sky
+# outputs (nXe ~ nfx) must fall back to the gather path
+
 def lens_map_curved(shape=None, wcs=None, phi_alm=None, cmb_alm=None,
 		phi_ainfo=None, maplmax=None, dtype=np.float64, oversample=2.0,
 		spin=[0, 2], output="l", geodesic=True, verbose=False, delta_theta=None,
-		epsilon=None, pol=None, mesh=None):
+		epsilon=None, pol=None, mesh=None, point_eval="auto"):
 	"""Lens cmb_alm by the potential phi_alm onto the geometry (shape, wcs)
 	(reference lensing.lens_map_curved:367). output: string of maps to
 	return: "l"=lensed, "u"=unlensed, "p"=phi map, "k"=convergence, "a"=grad.
@@ -275,11 +309,86 @@ def lens_map_curved(shape=None, wcs=None, phi_alm=None, cmb_alm=None,
 			ixb_d = jnp.asarray(ixb_ax.astype(np.int32))
 			fx_d = jnp.asarray((px_ax - ixb_ax).astype(rdt))
 			ra_d = jnp.asarray(np.asarray(ra_ax).astype(rdt))
+		# Gather-free rowband point eval (see _lens_band_rowband): valid for
+		# separable single-device patches away from the poles, with real
+		# fine grids and a bounded deflection field.
+		rowband = (separable and mesh is None and point_eval != "gather"
+			and fine.dtype.kind == "f")
+		if rowband:
+			# static kernel extents from the actual deflection bound (one
+			# scalar fetch; the ES weights are exactly zero outside each
+			# point's true support, so only the bound must be safe)
+			maxa = float(utils.cached_jit(("lensing.maxgrad", grad_d.shape,
+				str(grad_d.dtype)), lambda: lambda g: jnp.max(
+				jnp.sqrt(g[0]**2 + g[1]**2)))(grad_d))
+			dec_all = np.asarray(dec_ax, np.float64)
+			mincos = max(float(np.min(np.cos(np.minimum(
+				np.abs(dec_all) + maxa, np.pi/2)))), 1e-3)
+			Kpix = int(np.ceil(max(maxa*nfine[0], maxa*nfine[1]/mincos)
+				/(2*np.pi))) + 1
+			hwc = int(np.ceil(wk/2.0))
+			dxlo = -(Kpix + hwc)
+			ndx = (Kpix + 1 + hwc) - dxlo + 1
+			# unwrap the column bases across the ra = 0 torus seam so the
+			# restricted column range stays contiguous
+			ixb_i = ixb_ax.astype(np.int64)
+			if nx > 1:
+				dj = np.diff(ixb_i)
+				dj = np.where(dj < -nfine[1]//2, dj + nfine[1],
+					np.where(dj > nfine[1]//2, dj - nfine[1], dj))
+				ixb_i = np.concatenate([[ixb_i[0]], ixb_i[0] + np.cumsum(dj)])
+			base = (ixb_i - ixb_i.min()).astype(np.int64)
+			nXe = int(base.max()) + 1
+			nXs = nXe + ndx - 1
+			py_all = ((np.pi/2 - dec_all)/(2*np.pi) % 1.0)*nfine[0]
+			iyb_all = np.floor(py_all).astype(np.int64)
+			Kym = Kpix + hwc + 1
+			RB_R = 64
+			ystep = int(np.max(np.abs(np.diff(iyb_all)))) if ny > 1 else 1
+			S = RB_R*max(ystep, 1) + 2*Kym + 2
+			rowband = (nXs <= ROWBAND_MAX_NXS and Kpix <= 64
+				and S < nfine[0]
+				and int(iyb_all.min()) - Kym >= 0
+				and int(iyb_all.max()) - Kym + S <= nfine[0])
+			if point_eval == "rowband" and not rowband:
+				raise ValueError("rowband point eval not applicable to this "
+					"geometry (wide/full-sky, polar, or huge deflections)")
+		if rowband:
+			E_h = np.zeros((nx, nXe), np.float32)
+			E_h[np.arange(nx), base] = 1.0
+			E_d = jnp.asarray(E_h)
+			a0 = int((ixb_i.min() + dxlo) % nfine[1])
+			def _mk_finex(a0=a0, nXs=nXs, nfx=int(nfine[1])):
+				def f(fi):
+					if a0 + nXs <= nfx:
+						return jax.lax.slice_in_dim(fi, a0, a0 + nXs, axis=2)
+					return jnp.concatenate([fi[:, :, a0:],
+						fi[:, :, :a0 + nXs - nfx]], 2)
+				return f
+			fine_x = utils.cached_jit(("lensing.finex", fine.shape,
+				str(fine.dtype), a0, nXs), _mk_finex)(fine)
 		while done < ny:
 			# the tail band starts early (overlapping rows already emitted)
 			# so every band has exactly bsize rows -> one compiled program
 			i1 = done if done + bsize <= ny else max(ny - bsize, 0)
 			i2 = min(i1 + bsize, ny)
+			if rowband:
+				iyb_band = iyb_all[i1:i2]
+				nchunk = -(-(i2 - i1)//RB_R)
+				sy0 = np.array([int(iyb_band[k*RB_R:(k+1)*RB_R].min()) - Kym
+					for k in range(nchunk)], np.int32)
+				band = _lens_band_rowband(fine_x, E_d, grad_d[:, i1:i2, :],
+					(jnp.asarray(dec_all[i1:i2].astype(rdt)), ra_d),
+					jnp.asarray((iyb_all[i1:i2]).astype(np.int32)),
+					jnp.asarray((py_all[i1:i2] - iyb_band).astype(rdt)),
+					fx_d, jnp.asarray(sy0),
+					nfine=nfine, w=wk, beta=float(beta), pre=pre_full,
+					polrot=polrot, pol=bool(pol), geodesic=bool(geodesic),
+					S=S, ndx=ndx, dxlo=dxlo, R=RB_R)
+				parts.append(band[..., done - i1:, :].astype(dtype))
+				done = i2
+				if verbose: print("lens band %d / %d" % (done, ny))
+				continue
 			if separable:
 				dec64 = np.asarray(dec_ax[i1:i2], np.float64)
 				py = ((np.pi/2 - dec64)/(2*np.pi) % 1.0)*nfine[0]

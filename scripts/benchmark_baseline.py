@@ -191,7 +191,10 @@ def config5(quick):
 		t_parts["srcsim"] = time.perf_counter() - t0
 		t0 = time.perf_counter()
 		wave = wt.map2wave(omap)
-		float(jnp.sum(jnp.abs(wave.flat())))
+		# sum per scale: wave.flat() would CONCATENATE every wavelet map into
+		# a second multi-GB buffer right at the HBM peak
+		for m in wave.maps:
+			float(jnp.sum(jnp.abs(jnp.asarray(m))))
 		t_parts["map2wave"] = time.perf_counter() - t0
 		omap = None  # free the 3.2 GB source before the reconstruction
 		t0 = time.perf_counter()

@@ -284,3 +284,25 @@ def test_healpix_ring_deriv():
 		deriv=True, method="general")
 	assert va.shape == (2, healpix.npix(nside))
 	assert np.max(np.abs(va - vb)) < 2e-4*np.max(np.abs(vb))
+
+
+def test_lens_rowband_matches_gather():
+	"""The gather-free rowband point eval (fft._u2nu_rowband_core via
+	lensing._lens_band_rowband) must reproduce the per-point block-gather
+	eval: identical ES taps, only the summation order differs."""
+	shape, wcs = enmap.band_geometry(20*utils.degree, res=2*utils.degree)
+	cmb_alm = cmb_like_alm(LMAX, seed=21, ncomp=3)
+	phi_alm = cmb_like_alm(LMAX, seed=22)*2e-3
+	g = lensing.lens_map_curved(shape=shape, wcs=wcs, phi_alm=phi_alm,
+		cmb_alm=cmb_alm, output="l", point_eval="gather")
+	r = lensing.lens_map_curved(shape=shape, wcs=wcs, phi_alm=phi_alm,
+		cmb_alm=cmb_alm, output="l", point_eval="rowband")
+	d = np.abs(np.asarray(r) - np.asarray(g)).max()
+	s = np.abs(np.asarray(g)).max()
+	assert d < 1e-5*s, (d, s)
+	# banding through the rowband path must agree with the whole-sky program
+	rb = lensing.lens_map_curved(shape=shape, wcs=wcs, phi_alm=phi_alm,
+		cmb_alm=cmb_alm, output="l", point_eval="rowband",
+		delta_theta=5*utils.degree)
+	d2 = np.abs(np.asarray(rb) - np.asarray(r)).max()
+	assert d2 < 1e-5*s, (d2, s)
