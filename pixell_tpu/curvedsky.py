@@ -368,6 +368,64 @@ def _from_rings(d, minfo, nx):
 	if minfo.flip[0]: d = d[..., ::-1, :]
 	return d
 
+def _to_rings_slice(arr, minfo, i0, i1):
+	"""Ring-ordered rows [i0, i1) sliced from the ORIGINAL map array: the
+	flips ride the slice inside jit instead of materializing a full flipped
+	copy of the map (3.2 GB at lmax 10000)."""
+	ny = arr.shape[-2]
+	if minfo.flip[0]:
+		d = arr[..., ny - i1:ny - i0, :][..., ::-1, :]
+	else:
+		d = arr[..., i0:i1, :]
+	if minfo.flip[1]: d = d[..., :, ::-1]
+	padx = minfo.xpad[1]
+	if padx:
+		d = jnp.pad(d, [(0, 0)]*(d.ndim - 1) + [(0, padx)])
+	return d
+
+def _analysis_phase_banded(arr, ainfo, minfo, spin, deriv, flat2d, nb):
+	"""Big-map analysis: produce the [.., nm, ntfull] phase spectrum in nb
+	theta bands (each band = slice + flip + ring rfft in ONE cached jit,
+	accumulated into a DONATED buffer -- the ypad zeros come for free), then
+	run the usual phase-domain tail (exact theta upsample, quadrature,
+	Legendre transpose)."""
+	from . import fft as enfft
+	theta = np.asarray(minfo.theta)
+	nt = len(theta)
+	nm = ainfo.mmax + 1
+	ypad0 = int(minfo.ypad[0])
+	ntfull = nt + ypad0 + int(minfo.ypad[1])
+	cdt = np.complex64 if np.dtype(arr.dtype) == np.float32 else np.complex128
+	lead = ((1,) if flat2d else arr.shape[:-2])
+	mkey = (tuple(minfo.flip), tuple(minfo.xpad), minfo.nphi,
+		float(_ring_phi0(minfo)), arr.shape, str(arr.dtype))
+	F = utils.czeros(tuple(lead) + (nm, ntfull), cdt)
+	bsize = -(-nt//nb)
+	for i0 in range(0, nt, bsize):
+		i1 = min(i0 + bsize, nt)
+		key = ("curvedsky._anal_band", mkey, nm, i0, i1, bool(deriv),
+			bool(flat2d), F.shape)
+		def make(i0=i0, i1=i1):
+			def f(Fa, a):
+				d = _to_rings_slice(a, minfo, i0, i1)
+				if flat2d: d = d[None]
+				d2 = alm2_pre(d, deriv)
+				Fb = sht.ring_analysis(d2, _ring_phi0(minfo), nm)
+				return jax.lax.dynamic_update_slice_in_dim(
+					Fa, Fb.astype(Fa.dtype), ypad0 + i0, axis=-1)
+			return f
+		F = utils.cached_jit(key, make, donate_argnums=(0,))(F, arr)
+	need = 2*ainfo.lmax + 1
+	if need > ntfull:
+		ntu = enfft.fft_len(need + 2, direction="above")
+		spins = [1, 0] if deriv else _comp_spins(spin, lead[-1])
+		F = sht.resample_theta_phase(F, minfo.variant, ntu, spins)
+		ntfull = ntu
+	theta_f = sht.ring_theta(minfo.variant, ntfull)
+	w = jnp.asarray(sht.ring_weights(minfo.variant, ntfull))
+	return sht.analysis_phase(F, theta_f, ainfo.lmax, w, minfo.nphi,
+		mmax=ainfo.mmax, spin=spin, deriv=deriv)
+
 def _ring_phi0(minfo):
 	"""phi0 of the ring grid after flips: the first (ascending-phi) column."""
 	return minfo.phi0
@@ -578,10 +636,26 @@ def _analysis_linear(arr, ainfo, minfo, spin, deriv, weighted, weights,
 	is native to the map's rings; the 2d phase path instead reshards the
 	ring spectrum over m (GSPMD all-to-all) so the theta-upsample,
 	quadrature and Legendre transpose run m-parallel."""
+	theta = np.asarray(minfo.theta)
+	# Theta-banded streaming for big single-chip analysis (the mirror of the
+	# synthesis banding): the full-width ring rfft holds a
+	# [nt, nphi/2 + 1] complex transient (6.4 GB at lmax 10000) ON TOP of
+	# the eager _to_rings flip copy of the 3.2 GB input. Bands slice rows
+	# from the ORIGINAL array inside jit (flip fused, no full copy) and
+	# accumulate the narrow [nm, nt] phase spectrum into a donated buffer.
+	if (mesh is None and weighted and weights is None and minfo.case == "2d"
+			and len(theta) >= 64):
+		flat2d_a = (not deriv) and arr.ndim == 2
+		ncomp_eff = 2 if deriv else (1 if flat2d_a else arr.shape[-3])
+		est = float(ncomp_eff)*len(theta)*(minfo.nphi//2 + 1) \
+			*(8 if np.dtype(arr.dtype) == np.float32 else 16)
+		if est > SYNTH_BAND_BYTES:
+			a = _analysis_phase_banded(arr, ainfo, minfo, spin, deriv,
+				flat2d_a, int(np.ceil(est/SYNTH_BAND_BYTES)))
+			return a[..., 0, :] if flat2d_a else a
 	d = _to_rings(arr, minfo)
 	flat2d = (not deriv) and d.ndim == 2
 	if flat2d: d = d[None]
-	theta = np.asarray(minfo.theta)
 	if mesh is not None:
 		from .parallel import sht_dist
 		row_axis = tuple(mesh.shape.keys())[0]
