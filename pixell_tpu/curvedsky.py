@@ -397,8 +397,14 @@ def _analysis_phase_banded(arr, ainfo, minfo, spin, deriv, flat2d, nb):
 	ntfull = nt + ypad0 + int(minfo.ypad[1])
 	cdt = np.complex64 if np.dtype(arr.dtype) == np.float32 else np.complex128
 	lead = ((1,) if flat2d else arr.shape[:-2])
-	mkey = (tuple(minfo.flip), tuple(minfo.xpad), minfo.nphi,
-		float(_ring_phi0(minfo)), arr.shape, str(arr.dtype))
+	# ypad0 is baked into each band program as the dynamic_update_slice
+	# offset, so it MUST be part of the key: two same-shape geometries that
+	# differ only in y placement would otherwise reuse each other's program
+	# and write rings at the wrong theta offset. variant pins the ring
+	# layout the offsets are relative to.
+	mkey = (tuple(minfo.flip), tuple(minfo.xpad), tuple(minfo.ypad),
+		minfo.variant, minfo.nphi, float(_ring_phi0(minfo)), arr.shape,
+		str(arr.dtype))
 	F = utils.czeros(tuple(lead) + (nm, ntfull), cdt)
 	bsize = -(-nt//nb)
 	for i0 in range(0, nt, bsize):

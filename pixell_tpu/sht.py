@@ -333,19 +333,28 @@ def _mul_i(z):
 	runtimes; under jit this fuses to the same HLO as 1j*z)."""
 	return jax.lax.complex(-z.imag, z.real)
 
-@functools.partial(jax.jit, static_argnames=("nphi",))
+def _phase_ramp(nm, phi0, rdt, sign):
+	"""exp(sign*i*m*phi0) for m = 0..nm-1, evaluated host-side in float64
+	and embedded as two REAL constant tables. At m ~ 1e4 a
+	working-precision m*phi0 product carries ~1e-3 rad of phase error --
+	it cancels in roundtrips but is a genuine one-way azimuthal pointing
+	error. phi0 is static (a Python float) at every call site; the f64
+	cos/sin keep full phase accuracy without promoting the spectrum to
+	complex128, and the lax.complex recombine avoids materializing a
+	complex host constant (untransferable on some TPU runtimes)."""
+	ph = sign*np.arange(nm)*float(phi0)
+	return jax.lax.complex(jnp.asarray(np.cos(ph), rdt),
+		jnp.asarray(np.sin(ph), rdt))
+
+@functools.partial(jax.jit, static_argnames=("phi0", "nphi"))
 def ring_synthesis(G, phi0, nphi):
 	"""G[..., nm, nt] complex -> map [..., nt, nphi]:
 	map(t, j) = sum_{m=0}^{mmax} eps_m Re[G[m,t] e^{i m (phi0 + 2 pi j/nphi)}].
-	Handles mmax >= nphi by aliasing m onto m mod nphi."""
+	Handles mmax >= nphi by aliasing m onto m mod nphi. phi0 is static."""
 	G = jnp.asarray(G)
 	nm = G.shape[-2]
-	m = jnp.arange(nm)
-	# cast phi0 to the working precision: a strong np.float64 scalar would
-	# promote the phase (and the whole spectrum scatter) to complex128
-	phase = jnp.exp(1j*m.astype(G.real.dtype)
-		*jnp.asarray(phi0, G.real.dtype)).astype(G.dtype)
-	Gp = G*phase[:, None]
+	Gp = G if float(phi0) == 0.0 else \
+		G*_phase_ramp(nm, phi0, G.real.dtype, +1)[:, None]
 	Gt = jnp.moveaxis(Gp, -2, -1)  # [..., nt, nm]
 	if nm <= nphi//2:
 		# fast path: no aliasing -- place m directly in the rfft half-spectrum
@@ -362,10 +371,10 @@ def ring_synthesis(G, phi0, nphi):
 	c = c.at[..., jnp.asarray(mneg)].add(jnp.conj(Gt)*scale)
 	return jnp.fft.ifft(c, axis=-1).real*nphi
 
-@functools.partial(jax.jit, static_argnames=("nm",))
+@functools.partial(jax.jit, static_argnames=("phi0", "nm"))
 def ring_analysis(maps, phi0, nm):
 	"""map [..., nt, nphi] -> F[..., nm, nt] with
-	F[m, t] = sum_j map(t,j) e^{-i m phi_j}."""
+	F[m, t] = sum_j map(t,j) e^{-i m phi_j}. phi0 is static."""
 	maps = jnp.asarray(maps)
 	nphi = maps.shape[-1]
 	if nm <= nphi//2 + 1:
@@ -375,8 +384,8 @@ def ring_analysis(maps, phi0, nm):
 		spec = jnp.fft.fft(maps, axis=-1)  # sum_j map e^{-2pi i jk/nphi}
 		midx = np.arange(nm) % nphi
 		F = spec[..., jnp.asarray(midx)]
-	m = jnp.arange(nm, dtype=maps.dtype)
-	F = F*jnp.exp(-1j*m*jnp.asarray(phi0, maps.dtype)).astype(F.dtype)
+	if float(phi0) != 0.0:
+		F = F*_phase_ramp(nm, phi0, maps.dtype, -1)
 	return jnp.moveaxis(F, -1, -2)
 
 

@@ -37,8 +37,12 @@ class _WCSParams:
 		self.crval  = np.zeros(2)
 		self.crpix  = np.zeros(2)
 		self.cdelt  = np.ones(2)
-		self.lonpole = 180.0
-		self.latpole = 0.0
+		# None = unset: the FITS defaults depend on the projection and
+		# crval (Calabretta & Greisen 2002 II sec 2.4), and an EXPLICIT
+		# LONPOLE=180 on a cylindrical header is valid and must not be
+		# confused with "defaulted" -- see _eff_lonpole/_eff_latpole.
+		self.lonpole = None
+		self.latpole = None
 		self._pv = {}
 	def set_pv(self, pvs):
 		self._pv = {(int(i), int(m)): float(v) for i, m, v in pvs}
@@ -89,8 +93,11 @@ class WCS:
 			hdr["CRPIX%d" % (i+1)] = float(self.wcs.crpix[i])
 			hdr["CDELT%d" % (i+1)] = float(self.wcs.cdelt[i])
 		if get_proj(self) not in ["", "plain"]:
-			hdr["LONPOLE"] = float(self.wcs.lonpole)
-			hdr["LATPOLE"] = float(self.wcs.latpole)
+			# unset (None) keys are omitted: readers apply the FITS defaults
+			if self.wcs.lonpole is not None:
+				hdr["LONPOLE"] = float(self.wcs.lonpole)
+			if self.wcs.latpole is not None:
+				hdr["LATPOLE"] = float(self.wcs.latpole)
 		for (i, m), v in self.wcs._pv.items():
 			hdr["PV%d_%d" % (i, m)] = v
 		return hdr
@@ -101,8 +108,10 @@ class WCS:
 		self.wcs.crpix = np.array([get("CRPIX1", 0.), get("CRPIX2", 0.)], float)
 		cd = [get("CDELT1", 1.), get("CDELT2", 1.)]
 		self.wcs.cdelt = np.array(cd, float)
-		self.wcs.lonpole = float(get("LONPOLE", 180.0))
-		self.wcs.latpole = float(get("LATPOLE", 0.0))
+		lp = get("LONPOLE", None)
+		self.wcs.lonpole = None if lp is None else float(lp)
+		lt = get("LATPOLE", None)
+		self.wcs.latpole = None if lt is None else float(lt)
 		for key in (hdr.keys() if hasattr(hdr, "keys") else []):
 			if isinstance(key, str) and key.startswith("PV"):
 				try:
@@ -117,9 +126,12 @@ class WCS:
 		return world2pix(self, lon, lat, origin)
 	# -- value semantics -------------------------------------------------------
 	def _key(self):
+		lp = self.wcs.lonpole; lt = self.wcs.latpole
 		return (tuple(self.wcs.ctype), tuple(np.round(self.wcs.crval, 12)),
 			tuple(np.round(self.wcs.crpix, 12)), tuple(np.round(self.wcs.cdelt, 16)),
-			round(self.wcs.lonpole, 12), tuple(sorted(self.wcs._pv.items())))
+			None if lp is None else round(lp, 12),
+			None if lt is None else round(lt, 12),
+			tuple(sorted(self.wcs._pv.items())))
 	def __hash__(self): return hash(self._key())
 	def __eq__(self, other):
 		return isinstance(other, WCS) and self._key() == other._key()
@@ -192,6 +204,16 @@ def _proj2native(system, u, v, xp, pv):
 	else:
 		raise ValueError("Unsupported projection '%s'" % system)
 
+def _eff_lonpole(wcs, zenithal):
+	"""LONPOLE with the FITS default applied when unset (None): 0 if
+	crval_dec >= theta0 else 180, where theta0 is the native latitude of
+	the fiducial point -- 90 for zenithal, 0 for cylindrical projections
+	(Calabretta & Greisen 2002 paper II section 2.2)."""
+	lp = wcs.wcs.lonpole
+	if lp is not None: return float(lp)
+	theta0 = 90.0 if zenithal else 0.0
+	return 0.0 if float(wcs.wcs.crval[1]) >= theta0 else 180.0
+
 def _native_pole(wcs, system):
 	"""Celestial coordinates (ap, dp) of the NATIVE POLE plus the native
 	longitude phip of the celestial pole, all in degrees. Zenithal
@@ -202,24 +224,23 @@ def _native_pole(wcs, system):
 	pixell/wcsutils.py:415-516)."""
 	a0, d0 = float(wcs.wcs.crval[0]), float(wcs.wcs.crval[1])
 	if is_azimuthal(system):
-		return a0, d0, float(wcs.wcs.lonpole)
-	# Cylindrical (theta0 = 0): the FITS default LONPOLE is 0 for
-	# d0 >= theta0 else 180. Our headers store 180 (the zenithal default)
-	# when unset, which admits no valid pole for d0 != 0, so treat the
-	# stored default as unset.
-	phip = float(wcs.wcs.lonpole)
-	if phip == 180.0: phip = 0.0 if d0 >= 0 else 180.0
+		return a0, d0, _eff_lonpole(wcs, True)
+	# Cylindrical (theta0 = 0). An EXPLICIT LONPOLE (e.g. 180 with
+	# crval_dec > 0, where cos dp = -sin d0 has solutions) is a valid FITS
+	# configuration and is honored as wcslib would.
+	phip = _eff_lonpole(wcs, False)
 	cphip = np.cos(phip*deg2rad)
 	sd0 = np.sin(d0*deg2rad)
-	if abs(cphip) < 1e-12 or abs(sd0) > abs(cphip) + 1e-12:
+	# solutions of cos(dp) = sin(d0)/cos(phip): dp is a declination, so
+	# cos(dp) must land in [0, 1] -- outside that the header is invalid
+	# (wcslib's celset errors on the same condition)
+	if abs(cphip) < 1e-12 or sd0/cphip < -1e-12 or sd0/cphip > 1 + 1e-12:
 		raise ValueError("No valid native pole for cylindrical wcs with "
 			"crval_dec=%g, lonpole=%g" % (d0, phip))
-	# solutions of cos(dp) = sin(d0)/cos(phip); pick the one closest to
-	# LATPOLE (FITS default +90; our stored default 0.0 means unset)
-	dp0 = np.arccos(np.clip(sd0/cphip, -1, 1))*rad2deg
+	# pick the solution closest to LATPOLE (FITS default +90; None = unset)
+	dp0 = np.arccos(np.clip(sd0/cphip, 0, 1))*rad2deg
 	cands = [d for d in (dp0, -dp0) if abs(d) <= 90 + 1e-9]
-	latp = float(wcs.wcs.latpole)
-	if latp == 0.0: latp = 90.0
+	latp = 90.0 if wcs.wcs.latpole is None else float(wcs.wcs.latpole)
 	dp = min(cands, key=lambda d: abs(d - latp))
 	ap = a0 - np.arctan2(np.sin(phip*deg2rad),
 		-np.sin(dp*deg2rad)*cphip)*rad2deg
@@ -273,8 +294,8 @@ def pix2world(wcs, x, y, origin=0):
 	pole = _native_pole(wcs, system) if (not zen and wcs.wcs.crval[1] != 0) \
 		else None
 	phi, theta = _proj2native(system, u, v, xp, wcs.wcs._pv)
-	return _rot_native2cel(phi, theta, wcs.wcs.crval, wcs.wcs.lonpole, xp, zen,
-		pole=pole)
+	return _rot_native2cel(phi, theta, wcs.wcs.crval, _eff_lonpole(wcs, zen),
+		xp, zen, pole=pole)
 
 def world2pix(wcs, lon, lat, origin=0):
 	xp = utils._xp(lon, lat)
@@ -287,8 +308,8 @@ def world2pix(wcs, lon, lat, origin=0):
 		zen = is_azimuthal(system)
 		pole = _native_pole(wcs, system) if (not zen and wcs.wcs.crval[1] != 0) \
 			else None
-		phi, theta = _rot_cel2native(lon, lat, wcs.wcs.crval, wcs.wcs.lonpole,
-			xp, zen, pole=pole)
+		phi, theta = _rot_cel2native(lon, lat, wcs.wcs.crval,
+			_eff_lonpole(wcs, zen), xp, zen, pole=pole)
 		u, v = _native2proj(system, phi, theta, xp, wcs.wcs._pv)
 	x = u/wcs.wcs.cdelt[0] + wcs.wcs.crpix[0] - off
 	y = v/wcs.wcs.cdelt[1] + wcs.wcs.crpix[1] - off

@@ -415,3 +415,63 @@ def test_banded_analysis_identical():
 		curvedsky.SYNTH_BAND_BYTES = old
 		utils._JIT_CACHE.clear()
 	assert np.abs(bandd - refd).max() <= 2e-5*np.abs(refd).max()
+
+def test_banded_analysis_ypad_cache_key():
+	"""Two same-shape '2d' geometries that differ only in y placement (a
+	north band ypad=(0,p) and a south band ypad=(p,0)) bake DIFFERENT
+	dynamic_update_slice offsets into the banded-analysis program; the jit
+	cache key must separate them (advisor round-3 medium finding: ypad was
+	missing from mkey, silently corrupting the second map's ring
+	placement)."""
+	from pixell_tpu import utils
+	lmax = 64
+	shape, wcs = enmap.fullsky_geometry(res=180.0/(lmax+2)*utils.degree,
+		variant="fejer1")
+	nt = shape[-2]
+	cut = nt - 40  # 40-ring bands: north rows [0:40], south rows [cut:nt]
+	rng = np.random.default_rng(2)
+	m = enmap.ndmap(jnp.asarray(rng.standard_normal(shape)
+		.astype(np.float32)), wcs)
+	north = m[..., :40, :]
+	south = m[..., cut:, :]
+	i_n = curvedsky.analyse_geometry(north.shape, north.wcs)
+	i_s = curvedsky.analyse_geometry(south.shape, south.wcs)
+	assert i_n.case == "2d" and i_s.case == "2d"
+	assert tuple(i_n.ypad) != tuple(i_s.ypad)
+	ref_n = np.asarray(curvedsky.map2alm(north, lmax=lmax, spin=[0]))
+	ref_s = np.asarray(curvedsky.map2alm(south, lmax=lmax, spin=[0]))
+	old = curvedsky.SYNTH_BAND_BYTES
+	try:
+		curvedsky.SYNTH_BAND_BYTES = 1.0  # force banding
+		utils._JIT_CACHE.clear()
+		# north FIRST, then south WITHOUT clearing: under the buggy key the
+		# south call reused north's ypad0 offset
+		band_n = np.asarray(curvedsky.map2alm(north, lmax=lmax, spin=[0]))
+		band_s = np.asarray(curvedsky.map2alm(south, lmax=lmax, spin=[0]))
+	finally:
+		curvedsky.SYNTH_BAND_BYTES = old
+		utils._JIT_CACHE.clear()
+	assert np.abs(band_n - ref_n).max() <= 2e-5*np.abs(ref_n).max()
+	assert np.abs(band_s - ref_s).max() <= 2e-5*np.abs(ref_s).max()
+
+def test_cached_jit_accuracy_tier_key():
+	"""utils.cached_jit must fold the SHT accuracy tier into its key:
+	sht.DS_ACCURACY is read at trace time by every SHT scan, so an
+	accuracy='high' call after a default call with identical shapes must
+	NOT reuse the fast-tier compiled program (advisor round-3 medium)."""
+	from pixell_tpu import utils, sht
+	utils._JIT_CACHE.clear()
+	builds = []
+	def make():
+		builds.append(1)
+		return lambda x: x*2
+	try:
+		f_fast = utils.cached_jit(("test_acc_key",), make)
+		f_fast2 = utils.cached_jit(("test_acc_key",), make)
+		with sht.accuracy("high"):
+			f_high = utils.cached_jit(("test_acc_key",), make)
+		assert f_fast is f_fast2
+		assert f_high is not f_fast
+		assert len(builds) == 2
+	finally:
+		utils._JIT_CACHE.clear()

@@ -157,6 +157,51 @@ def test_cyl_offcenter_crval():
 		assert np.allclose((x2 - x + xper/2) % xper - xper/2, 0, atol=1e-8)
 		assert np.allclose(y2, y, atol=1e-8)
 
+def test_cyl_explicit_lonpole():
+	"""An EXPLICITLY set LONPOLE must be honored as wcslib would, not
+	remapped to the unset default (advisor round-3 low: legitimate values
+	were overloaded as unset sentinels). For cylindrical projections
+	(theta0=0) cos(dp) = sin(d0)/cos(phip) needs to land in [0,1], so
+	LONPOLE=45 with crval_dec=30 is valid and distinct from the default 0,
+	while LONPOLE=180 with crval_dec>0 is invalid and must raise (wcslib's
+	celset errors on the same header)."""
+	from pixell_tpu import wcsutils
+	import pytest
+	w = wcsutils.WCS(naxis=2)
+	w.wcs.ctype = ["RA---CAR", "DEC--CAR"]
+	w.wcs.crval = np.array([15.0, 30.0])
+	w.wcs.crpix = np.array([20.0, 10.0])
+	w.wcs.cdelt = np.array([-0.5, 0.5])
+	assert w.wcs.lonpole is None  # unset by default
+	w.wcs.lonpole = 45.0          # explicit, valid, non-default
+	# fiducial pixel still lands on crval
+	lon0, lat0 = w.wcs_pix2world(19.0, 9.0)
+	assert np.allclose([lon0 % 360, lat0], [15.0, 30.0], atol=1e-10)
+	# celestial pole sits at native longitude 45 (not the default 0)
+	xpole, ypole = w.wcs_world2pix(123.0, 90.0)
+	u = (xpole + 1 - w.wcs.crpix[0])*w.wcs.cdelt[0]
+	assert np.allclose(((u - 45.0 + 180) % 360) - 180, 0, atol=1e-8)
+	# the invalid explicit configuration raises instead of being remapped
+	wbad = w.deepcopy(); wbad.wcs.lonpole = 180.0
+	with pytest.raises(ValueError):
+		wbad.wcs_pix2world(19.0, 9.0)
+	# rigid rotation: angular distances preserved vs the native frame
+	w0 = w.deepcopy(); w0.wcs.crval = np.array([0.0, 0.0]); w0.wcs.lonpole = None
+	rng = np.random.default_rng(3)
+	x = rng.uniform(0, 40, 20); y = rng.uniform(0, 20, 20)
+	nlon, nlat = w0.wcs_pix2world(x, y)
+	clon, clat = w.wcs_pix2world(x, y)
+	d_nat = _angdist_deg(nlon[:10], nlat[:10], nlon[10:], nlat[10:])
+	d_cel = _angdist_deg(clon[:10], clat[:10], clon[10:], clat[10:])
+	assert np.allclose(d_nat, d_cel, atol=1e-8)
+	# and it differs from the unset-default orientation
+	w2 = w.deepcopy(); w2.wcs.lonpole = None
+	clon2, clat2 = w2.wcs_pix2world(x, y)
+	assert not np.allclose(clat, clat2, atol=1e-3)
+	# header roundtrip: unset keys are omitted, explicit keys survive
+	assert "LONPOLE" not in w2.to_header()
+	assert wcsutils.WCS(header=w.to_header()).wcs.lonpole == 45.0
+
 def test_cyl_offcenter_area():
 	"""pixsizemap/area on an off-center cylindrical geometry: pixel solid
 	angles are uniform-in-native-frame, so the exact total is the native
