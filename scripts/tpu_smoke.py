@@ -28,8 +28,12 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def compile_ok(name, make):
-	"""make() -> (fn, args). Lower + compile for the real backend."""
+def compile_ok(name, make, _retry=True):
+	"""make() -> (fn, args). Lower + compile for the real backend.
+	Transient remote-compile tunnel errors (truncated HTTP bodies on the
+	longest programs) are retried once: a real Mosaic rejection reproduces,
+	a flake does not (seen: lmax-10000 synthesis failed with 'response body
+	closed before all bytes were read', then compiled clean in 236 s)."""
 	import jax
 	t0 = time.time()
 	try:
@@ -37,6 +41,13 @@ def compile_ok(name, make):
 		jax.jit(fn).lower(*args).compile()
 	except Exception as e:
 		msg = str(e)
+		transient = ("remote_compile" in msg or "read body" in msg
+			or "DEADLINE_EXCEEDED" in msg or "UNAVAILABLE" in msg)
+		if transient and _retry:
+			print("warn %-34s transient tunnel error, retrying: %s"
+				% (name, msg[:120]))
+			sys.stdout.flush()
+			return compile_ok(name, make, _retry=False)
 		i = msg.find("Mosaic")
 		print("FAIL %-34s %s" % (name, msg[i:i+300] if i >= 0 else msg[:300]))
 		return False
