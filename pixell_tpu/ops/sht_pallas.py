@@ -30,15 +30,21 @@ LB = 16     # l-steps per grid step
 # scales with nfun*C (output block + accumulators), so wide spin
 # transforms shrink the theta tile to stay under the 16MB scoped limit.
 
+VMEM_BUDGET = 64*1024*1024  # scoped-VMEM request for every SHT kernel. The
+# XLA default is 16M, but a v5e has 128M physical VMEM; at 16M the spin
+# kernels (nfun*C up to 8 accumulators) were forced down to tb=128 theta
+# tiles, multiplying the grid-step count (and its fixed DMA/sync overhead)
+# by 8 -- the main reason spin-2 measured 5.9x spin-0 instead of ~3x.
+
 def _pick_tb(nfun, C, nt=None, ds=False):
 	n = nfun*C
 	if ds: n *= 2  # DS carries 5 state tiles + wider temporaries
-	if n <= 2: tb = TB
-	elif n <= 4: tb = 512
-	elif n <= 6: tb = 256
-	else: tb = 128  # e.g. sym spin-2 (2 hemis x 2 funcs x C=2): 8+ acc
-	# tiles of [MB, tb] live at once; tb=256 put the scoped-VMEM total
-	# ~1 MB over the 16 MB limit on v5e (measured: 16.91M requested)
+	# tiles of [MB, tb] live at once (out block + accumulators + state +
+	# double-buffered inputs); with the 64M scoped budget the wide tile
+	# holds up to n ~ 8 (measured 25M for the worst scalar block kernel)
+	if n <= 8: tb = TB
+	elif n <= 16: tb = 512
+	else: tb = 256
 	if nt is not None:
 		# don't pad a short ring set up to a full tile: the kernel cost is
 		# proportional to the padded theta extent (lane dim multiples of 256)
@@ -530,6 +536,9 @@ def _synthesis_fast(A, theta, lmax, mmax, mode, interpret, ds=False):
 	if nh is None:
 		cp = _ct_parts(theta)
 		cth, ctl = cp if cp is not None else (None, None)
+		if _blk_ok(mode, ds, theta, lmax):
+			return _synthesis_scan_pallas_blocked(A, theta, lmax, mmax,
+				interpret=interpret, cth=cth, ctl=ctl)
 		return _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode=mode,
 			interpret=interpret, ds=ds, cth=cth, ctl=ctl)
 	nt = int(np.shape(theta)[0])
@@ -542,16 +551,464 @@ def _synthesis_fast(A, theta, lmax, mmax, mode, interpret, ds=False):
 	return jnp.concatenate([north, south], -1)
 
 
+# ---------------------------------------------------------------------------
+# MXU block-Legendre path (SURVEY §7 "blocked Legendre recurrence matmuls on
+# the MXU"; numerics validated in scripts/proto_blockleg.py). Within an
+# l-block of BLK_LB degrees containing no seed insertion, the scaled
+# recurrence is LINEAR in the block-entry state (curr, prev):
+#     P_{l0+k} = alpha_k(ct)*curr + beta_k(ct)*prev,
+# alpha/beta degree-(k+1) polynomials in ct carried as Chebyshev coefficients
+# on the theta-TILE's own ct interval. The synthesis accumulate folds to
+#     sum_k A_k P_{l0+k} = (Ba @ V)*curr + (Bb @ V)*prev,
+# a rank-(BLK_LB+2) MXU matmul instead of BLK_LB sequential VPU steps; the
+# analysis transpose folds the same way against W = (state*F) @ V^T.
+#
+# Work split: the existing stepwise kernel runs each (m-tile, theta-tile)
+# from l=0 up to a host-computed per-tile degree l_start (covering the seed
+# blocks and the entire evanescent/transition region) and dumps its
+# recurrence state to HBM; the block kernel resumes from that state for the
+# eligible suffix of l-blocks.
+#
+# Eligibility is ACCURACY-bound, not overflow-bound: evaluating a Chebyshev
+# series whose coefficients span 2^G carries ~coefmax*eps ABSOLUTE error,
+# which destroys the small (oscillatory-side) values of any tile straddling
+# the classical turning point (measured: a G~60 tile emitted 2^36-sized
+# garbage where the true answer was O(1) -- the prototype's
+# relative-to-tile-max error metric hid exactly this mode). So a block is
+# eligible only when the dominant-root growth bound at the tile's WORST
+# corner (largest m, largest |ct|) is <= BLK_GMAX ~ 2 bits, i.e. the whole
+# tile x block is essentially oscillatory; there alpha/beta stay O(1) and
+# the evaluation error is ~J*eps, matching the stepwise kernel's own floor
+# (prototype: 2e-6 vs f64 on zero-growth tiles). Measured eligibility at
+# lmax 5000 (tb=1024): ~48% of live tiles; the rest stay stepwise.
+# ---------------------------------------------------------------------------
+BLK_LB = 64        # degrees per MXU block (Chebyshev rank = BLK_LB + 2 = 66)
+BLK_JP = 128       # padded coefficient lane count (>= BLK_LB + 2)
+BLK_GMAX = 2.0     # growth-bits eligibility cutoff (see accuracy note above)
+BLK_MINL = 1024    # only engage above this lmax (small/sym grids don't gain)
+# Measured on v5e at lmax 5000 (2026-08-19, scalar C=2 synthesis): stepwise
+# 690 ms; split = stepwise-prefix 404 ms + block kernel ~266 ms = parity,
+# and the spin-0 ROUNDTRIP regressed 1.617 -> 1.716 s with the split on.
+# The eligible (oscillatory, ~48% of tiles) suffix is worth 287 ms of
+# stepwise time, but the block kernel spends it again: its 64-step
+# Chebyshev coefficient build is 64 sequential VPU iterations on small
+# [256,128] tiles (latency-bound), and the rank-66 matmuls are too small
+# to buy it back. Correct (tested) but OFF by default until the build is
+# restructured; the quality win this round came from VMEM_BUDGET instead.
+BLK_ENABLE = False
+FAC_M2 = np.float32(2.0**(-2*S32))  # emission scale for state level -2
+
+def _blk_ok(mode, ds, theta, lmax):
+	return (BLK_ENABLE and mode == "scalar" and not ds
+		and lmax >= BLK_MINL and not isinstance(theta, jax.core.Tracer))
+
+_BLK_TABLE_CACHE = {}
+
+def _blk_start_table(theta, lmax, mmax, tb):
+	"""Per (m-tile, theta-tile) first BLK_LB-block index from which every
+	block up to lmax is MXU-eligible (no seed: l0 > m_hi; growth at the
+	tile's worst corner (m_hi, |ct|max) <= BLK_GMAX bits). int32
+	[nmb, ntb]; nlb means 'fully stepwise'. Host-side, cached."""
+	th = np.asarray(theta, np.float64)
+	key = (th.tobytes(), lmax, mmax, tb)
+	hit = _BLK_TABLE_CACHE.get(key)
+	if hit is not None: return hit
+	nt = len(th); nm = mmax + 1; nl = lmax + 1
+	ntp = _ceil(nt, tb)*tb
+	nmp = _ceil(nm, MB)*MB
+	nlb = _ceil(nl, BLK_LB)
+	nmb, ntb = nmp//MB, ntp//tb
+	ct = np.zeros(ntp)
+	ct[:nt] = np.cos(th)
+	cta = np.abs(ct).reshape(ntb, tb).max(1)            # [ntb]
+	ls = np.arange(nlb*BLK_LB, dtype=np.float64)
+	l0s = np.arange(nlb)*BLK_LB
+	start = np.full((nmb, ntb), nlb, np.int32)
+	for imb in range(nmb):
+		m_lo = imb*MB
+		if m_lo >= nm:
+			continue  # m-padding tiles: state is zero; leave them stepwise
+		m_hi = min((imb + 1)*MB, nm) - 1
+		# dominant-root log-growth per degree at the worst m (vectorized;
+		# mirrors scripts/proto_blockleg.growth_bits)
+		a = np.sqrt(np.maximum((2*ls - 1)*(2*ls + 1), 0.0)
+			/ np.maximum((ls - m_hi)*(ls + m_hi), 0.25))
+		b = np.sqrt(np.maximum((ls - 1 - m_hi)*(ls - 1 + m_hi), 0.0)
+			/ np.maximum((2*ls - 3)*(2*ls - 1), 1.0))
+		for itb_ in range(ntb):
+			c = cta[itb_]
+			disc = (a*c)**2 - 4*a*b
+			z = np.where(disc > 0, (a*c + np.sqrt(np.maximum(disc, 0.0)))/2, 1.0)
+			g = np.log2(np.maximum(z, 1.0))
+			gb = g.reshape(nlb, BLK_LB).sum(1)
+			ok = (gb <= BLK_GMAX) & (l0s > m_hi) & (l0s >= 2)
+			s = nlb
+			for i in range(nlb - 1, -1, -1):
+				if ok[i]: s = i
+				else: break
+			start[imb, itb_] = s
+	_BLK_TABLE_CACHE[key] = start
+	return start
+
+
+def _blk_cheb_v(cth, nt, ntp, tb):
+	"""Per-theta-tile Chebyshev interval and Vandermonde table, on device:
+	cb [ntb, 2] = (c0, h) and V [ntb, BLK_JP, tb] with V[., j, t] = T_j(x_t),
+	x = (ct - c0)/h. Padding rings carry ct = 0 (harmless: their tiles are
+	never eligible output, and x stays in [-1, 1])."""
+	ct = jnp.zeros((ntp,), jnp.float32).at[:nt].set(jnp.asarray(cth, jnp.float32))
+	ctt = ct.reshape(ntp//tb, tb)
+	hi = jnp.max(ctt, axis=1); lo = jnp.min(ctt, axis=1)
+	c0 = (hi + lo)/2
+	h = jnp.maximum((hi - lo)/2, 1e-30)
+	x = (ctt - c0[:, None])/h[:, None]
+	def step(carry, _):
+		vm1, vm2 = carry
+		v = 2*x*vm1 - vm2
+		return (v, vm1), v
+	v0 = jnp.ones_like(x)
+	_, rest = jax.lax.scan(step, (x, v0), None, length=BLK_JP - 2)
+	V = jnp.concatenate([v0[None], x[None], rest], 0)   # [JP, ntb, tb]
+	return jnp.stack([c0, h], -1), jnp.moveaxis(V, 0, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "interpret"))
+def _synth_blk_call(A, lmax, mmax, state, start64, cb, V, interpret=False):
+	"""Block-kernel synthesis over the eligible l-block suffix.
+	A [nl, nm, C] f32, state [3, nmp, ntp] (prev, curr, lev dumped by the
+	stepwise kernel at each tile's handoff degree), start64 [nmb, ntb] i32,
+	cb [ntb, 2] (c0, h), V [ntb, BLK_JP, tb]. Returns G [1, C, nm, nt-ish]
+	padded ([1, C, nmp, ntp]); caller slices and adds to the stepwise part."""
+	A = jnp.asarray(A, jnp.float32)
+	C = A.shape[-1]
+	ntb_n, JP, tb = V.shape
+	nm = mmax + 1; nl = lmax + 1
+	nmp = _ceil(nm, MB)*MB
+	nlp = _ceil(nl, BLK_LB)*BLK_LB
+	ntp = ntb_n*tb
+	ab = _recur_ab_tables(nlp, nmp)
+	Ap = jnp.zeros((C, nlp, nmp), jnp.float32).at[:, :nl, :nm].set(
+		jnp.moveaxis(A, -1, 0))
+	grid = (nmp//MB, ntb_n, nlp//BLK_LB)
+	band = np.float32(2.0**S32)
+	invband = np.float32(2.0**-S32)
+	fac_m1 = np.float32(2.0**-S32)
+	start64_shape = (nmp//MB, ntb_n)
+	cb_shape = (ntb_n, 2)
+
+	def kern(a_ref, ab_ref, st_ref, s_ref, cb_ref, v_ref, out_ref, *scratch):
+		im = pl.program_id(0)
+		it = pl.program_id(1)
+		il = pl.program_id(2)
+		s0 = s_ref[im, it]
+		@pl.when(il == 0)
+		def _():
+			out_ref[:] = jnp.zeros_like(out_ref)
+		@pl.when(il == s0)
+		def _():
+			for i, r in enumerate(scratch):
+				r[:] = st_ref[i]
+		@pl.when(il >= s0)
+		def _():
+			prev = scratch[0][:]
+			curr = scratch[1][:]
+			lev = scratch[2][:]
+			c0 = cb_ref[it, 0]
+			h2 = cb_ref[it, 1]*jnp.float32(0.5)
+			# alpha and beta satisfy the SAME recurrence (different initial
+			# conditions), so their coefficient rows ride STACKED as one
+			# [2*MB, JP] tile (top half alpha, bottom beta): half the VPU
+			# op-issue overhead of two [MB, JP] builds, and the final dots
+			# collapse into ONE MXU matmul over a concatenated LHS.
+			lane = jax.lax.broadcasted_iota(jnp.int32, (2*MB, BLK_JP), 1)
+			# ct*T_j = c0*T_j + h/2*(T_{j+1} + T_{j-1}), with x*T_0 = T_1
+			# (weight 2 at lane 1) and the lane-127 wrap masked off
+			wu = (jnp.where(lane >= 1, 1.0, 0.0)
+				+ jnp.where(lane == 1, 1.0, 0.0))*h2
+			wd = jnp.where(lane <= BLK_JP - 2, 1.0, 0.0)*h2
+			e0 = jnp.where(lane == 0, 1.0, 0.0).astype(jnp.float32)
+			half = jax.lax.broadcasted_iota(jnp.int32, (2*MB, 1), 0) < MB
+			g_c = jnp.where(half, e0, 0.0)   # alpha_{-1} = 1, beta_{-1} = 0
+			g_p = jnp.where(half, 0.0, e0)   # alpha_{-2} = 0, beta_{-2} = 1
+			Bk = [jnp.zeros((2*MB, BLK_JP), jnp.float32) for _ in range(C)]
+			def ctmul(f):
+				# pltpu.roll needs non-negative shifts: JP-1 == -1 (circular)
+				up = pltpu.roll(f, 1, 1)
+				dn = pltpu.roll(f, BLK_JP - 1, 1)
+				return c0*f + up*wu + dn*wd
+			for k in range(BLK_LB):
+				a = ab_ref[0, k, :]
+				b = ab_ref[1, k, :]
+				a2 = jnp.concatenate([a[:, None], a[:, None]], 0)
+				b2 = jnp.concatenate([b[:, None], b[:, None]], 0)
+				g_n = a2*(ctmul(g_c) - b2*g_p)
+				g_p, g_c = g_c, g_n
+				for ci in range(C):
+					am = a_ref[ci, k, :]
+					Bk[ci] = Bk[ci] + jnp.concatenate([am[:, None], am[:, None]], 0)*g_c
+			# one fused matmul: rows [ci*2MB +0:MB]=Ba_ci, [+MB:2MB]=Bb_ci,
+			# then alpha_end/beta_end and alpha_end-1/beta_end-1
+			L = jnp.concatenate(Bk + [g_c, g_p], axis=0)  # [(C+2)*2MB, JP]
+			E = jax.lax.dot_general(L, v_ref[0], (((1,), (0,)), ((), ())),
+				precision=jax.lax.Precision.HIGHEST,
+				preferred_element_type=jnp.float32)       # [(C+2)*2MB, tb]
+			# emission scale from the (block-constant) entry level; -2 emits
+			# at 2^-120 so only true values < ~2e-17 are dropped
+			fac = jnp.where(lev == 0, 1.0, jnp.where(lev == -1, fac_m1,
+				jnp.where(lev == -2, FAC_M2, 0.0)))
+			currf = curr*fac
+			prevf = prev*fac
+			for ci in range(C):
+				out_ref[0, ci] += (E[2*ci*MB:(2*ci+1)*MB]*currf
+					+ E[(2*ci+1)*MB:(2*ci+2)*MB]*prevf)
+			o = 2*C*MB
+			ncurr = E[o:o+MB]*curr + E[o+MB:o+2*MB]*prev
+			nprev = E[o+2*MB:o+3*MB]*curr + E[o+3*MB:o+4*MB]*prev
+			nprev, ncurr, lev = _rescale(nprev, ncurr, lev, band, invband)
+			scratch[0][:] = nprev
+			scratch[1][:] = ncurr
+			scratch[2][:] = lev
+
+	out = pl.pallas_call(
+		kern,
+		grid=grid,
+		in_specs=[
+			pl.BlockSpec((C, BLK_LB, MB), lambda im, it, il: (0, il, im),
+				memory_space=pltpu.VMEM),
+			pl.BlockSpec((2, BLK_LB, MB), lambda im, it, il: (0, il, im),
+				memory_space=pltpu.VMEM),
+			pl.BlockSpec((3, MB, tb), lambda im, it, il: (0, im, it),
+				memory_space=pltpu.VMEM),
+			# scalar tables ride whole in SMEM (TPU lowering rejects partial
+			# sub-(8,128) blocks) and are indexed by program id in-kernel
+			pl.BlockSpec(start64_shape, lambda im, it, il: (0, 0),
+				memory_space=pltpu.SMEM),
+			pl.BlockSpec(cb_shape, lambda im, it, il: (0, 0),
+				memory_space=pltpu.SMEM),
+			pl.BlockSpec((1, BLK_JP, tb), lambda im, it, il: (it, 0, 0),
+				memory_space=pltpu.VMEM),
+		],
+		out_specs=pl.BlockSpec((1, C, MB, tb), lambda im, it, il: (0, 0, im, it),
+			memory_space=pltpu.VMEM),
+		out_shape=jax.ShapeDtypeStruct((1, C, nmp, ntp), jnp.float32),
+		scratch_shapes=[pltpu.VMEM((MB, tb), jnp.float32)]*3,
+		compiler_params=pltpu.CompilerParams(
+			dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+			# the unrolled 64-step coefficient build keeps ~8 [MB,JP] tiles
+			# plus 6 matmul results live: past the 16M default scoped limit
+			# (measured 25.15M requested); v5e has 128M physical VMEM
+			vmem_limit_bytes=VMEM_BUDGET),
+		interpret=interpret,
+	)(Ap, ab, state, start64, cb, V)
+	return out
+
+
+def _synthesis_scan_pallas_blocked(A, theta, lmax, mmax, interpret=False,
+		cth=None, ctl=None):
+	"""Stepwise prefix + MXU block suffix (scalar mode, fast tier). Falls
+	back to the plain kernel when no tile has an eligible suffix."""
+	A = jnp.asarray(A, jnp.float32)
+	C = A.shape[-1]
+	nt = int(np.shape(theta)[0])
+	tb = _pick_tb(1, C, nt=nt, ds=False)
+	start = _blk_start_table(theta, lmax, mmax, tb)
+	nlb = _ceil(lmax + 1, BLK_LB)
+	if not np.any(start < nlb):
+		return _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode="scalar",
+			interpret=interpret, ds=False, cth=cth, ctl=ctl)
+	ntp = _ceil(nt, tb)*tb
+	if cth is None:
+		cp = _ct_parts(theta)
+		cth, ctl = cp if cp is not None else (jnp.cos(
+			jnp.asarray(theta, jnp.float32)), None)
+	cb, V = _blk_cheb_v(cth, nt, ntp, tb)
+	# kernel 1: stepwise up to each tile's handoff degree, dumping state
+	G1, state = _synthesis_scan_pallas_full(A, theta, lmax, mmax,
+		mode="scalar", interpret=interpret, ds=False, cth=cth, ctl=ctl,
+		lstop=jnp.asarray(start*(BLK_LB//LB), jnp.int32), dump_state=True)
+	# kernel 2: MXU blocks over the eligible suffix
+	G2 = _synth_blk_call(A, lmax, mmax, state, jnp.asarray(start), cb, V,
+		interpret=interpret)
+	return G1 + G2[:, :, :mmax + 1, :nt]
+
+
+@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "interpret"))
+def _anal_blk_call(F, lmax, mmax, state, start64, cb, V, interpret=False):
+	"""Block-kernel analysis over the eligible l-block suffix (transpose of
+	_synth_blk_call): out_k[m] = sum_j alpha_kj*Wc[m,j] + beta_kj*Wp[m,j]
+	with Wc = (curr*fac*F) @ V^T, Wp likewise -- two MXU matmuls per
+	(tile, component) plus the shared coefficient build, instead of
+	BLK_LB stepwise VPU sweeps. F [nfun=1, C, nm, nt] padded inside.
+	Returns the partial [nl, nm, C] for the blocked region."""
+	F = jnp.asarray(F, jnp.float32)
+	C = F.shape[1]
+	ntb_n, JP, tb = V.shape
+	nm = mmax + 1; nl = lmax + 1
+	nmp = _ceil(nm, MB)*MB
+	nlp = _ceil(nl, BLK_LB)*BLK_LB
+	ntp = ntb_n*tb
+	ab = _recur_ab_tables(nlp, nmp)
+	Fp = jnp.zeros((C, nmp, ntp), jnp.float32).at[:, :nm, :F.shape[-1]].set(F[0])
+	grid = (nmp//MB, ntb_n, nlp//BLK_LB)
+	band = np.float32(2.0**S32)
+	invband = np.float32(2.0**-S32)
+	fac_m1 = np.float32(2.0**-S32)
+	start64_shape = (nmp//MB, ntb_n)
+	cb_shape = (ntb_n, 2)
+
+	def kern(f_ref, ab_ref, st_ref, s_ref, cb_ref, v_ref, out_ref, *scratch):
+		im = pl.program_id(0)
+		it = pl.program_id(1)
+		il = pl.program_id(2)
+		s0 = s_ref[im, it]
+		@pl.when(il == s0)
+		def _():
+			for i, r in enumerate(scratch):
+				r[:] = st_ref[i]
+		# each (it, il) output slab is written exactly once: zeros when this
+		# block is not in the eligible suffix
+		@pl.when(il < s0)
+		def _():
+			out_ref[:] = jnp.zeros_like(out_ref)
+		@pl.when(il >= s0)
+		def _():
+			prev = scratch[0][:]
+			curr = scratch[1][:]
+			lev = scratch[2][:]
+			c0 = cb_ref[it, 0]
+			h2 = cb_ref[it, 1]*jnp.float32(0.5)
+			# stacked alpha/beta build, as in _synth_blk_call
+			lane = jax.lax.broadcasted_iota(jnp.int32, (2*MB, BLK_JP), 1)
+			wu = (jnp.where(lane >= 1, 1.0, 0.0)
+				+ jnp.where(lane == 1, 1.0, 0.0))*h2
+			wd = jnp.where(lane <= BLK_JP - 2, 1.0, 0.0)*h2
+			e0 = jnp.where(lane == 0, 1.0, 0.0).astype(jnp.float32)
+			half = jax.lax.broadcasted_iota(jnp.int32, (2*MB, 1), 0) < MB
+			g_c = jnp.where(half, e0, 0.0)
+			g_p = jnp.where(half, 0.0, e0)
+			fac = jnp.where(lev == 0, 1.0, jnp.where(lev == -1, fac_m1,
+				jnp.where(lev == -2, FAC_M2, 0.0)))
+			currf = curr*fac
+			prevf = prev*fac
+			Vt = v_ref[0]
+			# contract theta FIRST: W[m, j] = sum_t state_f(m,t) F(m,t) V(j,t),
+			# stacked [2MB, JP] per component (top = curr part, bottom = prev)
+			dott = lambda L: jax.lax.dot_general(L, Vt,
+				(((1,), (1,)), ((), ())),
+				precision=jax.lax.Precision.HIGHEST,
+				preferred_element_type=jnp.float32)
+			W = [dott(jnp.concatenate([currf*f_ref[ci], prevf*f_ref[ci]], 0))
+				for ci in range(C)]
+			def ctmul(f):
+				up = pltpu.roll(f, 1, 1)
+				dn = pltpu.roll(f, BLK_JP - 1, 1)
+				return c0*f + up*wu + dn*wd
+			rows = []
+			for k in range(BLK_LB):
+				a = ab_ref[0, k, :]
+				b = ab_ref[1, k, :]
+				a2 = jnp.concatenate([a[:, None], a[:, None]], 0)
+				b2 = jnp.concatenate([b[:, None], b[:, None]], 0)
+				g_n = a2*(ctmul(g_c) - b2*g_p)
+				g_p, g_c = g_c, g_n
+				cols = []
+				for ci in range(C):
+					r = jnp.sum(g_c*W[ci], -1)     # [2MB]
+					cols.append(r[:MB] + r[MB:])
+				rows.append(jnp.stack(cols))       # [C, MB]
+			# state propagation to the next block: one fused matmul
+			L2 = jnp.concatenate([g_c, g_p], axis=0)   # [4MB, JP]
+			E = jax.lax.dot_general(L2, v_ref[0], (((1,), (0,)), ((), ())),
+				precision=jax.lax.Precision.HIGHEST,
+				preferred_element_type=jnp.float32)
+			ncurr = E[:MB]*curr + E[MB:2*MB]*prev
+			nprev = E[2*MB:3*MB]*curr + E[3*MB:]*prev
+			nprev, ncurr, lev = _rescale(nprev, ncurr, lev, band, invband)
+			scratch[0][:] = nprev
+			scratch[1][:] = ncurr
+			scratch[2][:] = lev
+			out_ref[:] = jnp.moveaxis(jnp.stack(rows), 0, 1)[None]  # [1,C,LB,MB]
+
+	out = pl.pallas_call(
+		kern,
+		grid=grid,
+		in_specs=[
+			pl.BlockSpec((C, MB, tb), lambda im, it, il: (0, im, it),
+				memory_space=pltpu.VMEM),
+			pl.BlockSpec((2, BLK_LB, MB), lambda im, it, il: (0, il, im),
+				memory_space=pltpu.VMEM),
+			pl.BlockSpec((3, MB, tb), lambda im, it, il: (0, im, it),
+				memory_space=pltpu.VMEM),
+			pl.BlockSpec(start64_shape, lambda im, it, il: (0, 0),
+				memory_space=pltpu.SMEM),
+			pl.BlockSpec(cb_shape, lambda im, it, il: (0, 0),
+				memory_space=pltpu.SMEM),
+			pl.BlockSpec((1, BLK_JP, tb), lambda im, it, il: (it, 0, 0),
+				memory_space=pltpu.VMEM),
+		],
+		out_specs=pl.BlockSpec((1, C, BLK_LB, MB),
+			lambda im, it, il: (it, 0, il, im), memory_space=pltpu.VMEM),
+		out_shape=jax.ShapeDtypeStruct((ntb_n, C, nlp, nmp), jnp.float32),
+		scratch_shapes=[pltpu.VMEM((MB, tb), jnp.float32)]*3,
+		compiler_params=pltpu.CompilerParams(
+			dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+			vmem_limit_bytes=VMEM_BUDGET),
+		interpret=interpret,
+	)(Fp, ab, state, start64, cb, V)
+	return jnp.moveaxis(jnp.sum(out, axis=0), 0, -1)[:nl, :nm]
+
+
+def _analysis_scan_pallas_blocked(F, theta, lmax, mmax, interpret=False,
+		cth=None, ctl=None):
+	"""Stepwise prefix + MXU block suffix for analysis (scalar, fast tier)."""
+	F = jnp.asarray(F, jnp.float32)
+	C = F.shape[1]
+	nt = int(np.shape(theta)[0])
+	tb = _pick_tb(1, C, nt=nt, ds=False)
+	start = _blk_start_table(theta, lmax, mmax, tb)
+	nlb = _ceil(lmax + 1, BLK_LB)
+	if not np.any(start < nlb):
+		return _analysis_scan_pallas_full(F, theta, lmax, mmax, mode="scalar",
+			interpret=interpret, ds=False, cth=cth, ctl=ctl)
+	ntp = _ceil(nt, tb)*tb
+	if cth is None:
+		cp = _ct_parts(theta)
+		cth, ctl = cp if cp is not None else (jnp.cos(
+			jnp.asarray(theta, jnp.float32)), None)
+	cb, V = _blk_cheb_v(cth, nt, ntp, tb)
+	out1, state = _analysis_scan_pallas_full(F, theta, lmax, mmax,
+		mode="scalar", interpret=interpret, ds=False, cth=cth, ctl=ctl,
+		lstop=jnp.asarray(start*(BLK_LB//LB), jnp.int32), dump_state=True)
+	out2 = _anal_blk_call(F, lmax, mmax, state, jnp.asarray(start), cb, V,
+		interpret=interpret)
+	return out1 + out2
+
+
+def _anal_full_fast(F, theta, lmax, mmax, mode, interpret, ds, cth, ctl):
+	"""Fast-tier full-kernel analysis entry: blocked split when eligible."""
+	if _blk_ok(mode, ds, theta, lmax):
+		return _analysis_scan_pallas_blocked(F, theta, lmax, mmax,
+			interpret=interpret, cth=cth, ctl=ctl)
+	return _analysis_scan_pallas_full(F, theta, lmax, mmax, mode=mode,
+		interpret=interpret, ds=ds, cth=cth, ctl=ctl)
+
+
 @functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "interpret", "ds",
-	"wig_s", "wig_branch"))
+	"wig_s", "wig_branch", "dump_state"))
 def _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode="scalar", interpret=False,
-		ds=False, cth=None, ctl=None, wig_s=None, wig_branch=0):
+		ds=False, cth=None, ctl=None, wig_s=None, wig_branch=0,
+		lstop=None, dump_state=False):
 	"""Pallas version of sht_core.synthesis_scan (float32). mode="wigner"
 	(with wig_s/wig_branch) runs one branch of the general-spin Wigner-d
-	recurrence instead of the Legendre one."""
+	recurrence instead of the Legendre one.
+	dump_state (with lstop [nmb, ntb] i32, in LB-block units): stop each
+	(m, theta) tile's l-loop at its own lstop block and ALSO return the
+	recurrence state [3, nmp, ntp] at the handoff -- the stepwise-prefix
+	half of the MXU block-Legendre split (see _synthesis_scan_pallas_blocked)."""
 	A = jnp.asarray(A, jnp.float32)
 	wig = None if wig_s is None else (int(wig_s), int(wig_branch))
 	assert (mode == "wigner") == (wig is not None)
+	assert not (dump_state and ds)
 	nfun, funcs = _make_funcs(mode)
 	C = A.shape[-1]
 	tb = _pick_tb(nfun, C, nt=int(np.shape(theta)[0]), ds=ds)
@@ -569,9 +1026,11 @@ def _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode="scalar", interpret=F
 	fac_m1 = np.float32(2.0**-S32)
 	nstate, prep_ct, stepf, rescalef = _make_stepper(ds)
 
-	def kern(a_ref, th_ref, sv_ref, sl_ref, ab_ref, out_ref, *scratch):
+	def kern_impl(a_ref, th_ref, sv_ref, sl_ref, ab_ref, out_ref, scratch,
+			ls_ref=None, stout_ref=None):
 		il = pl.program_id(2)
 		im = pl.program_id(0)
+		itg = pl.program_id(1)
 		@pl.when(il == 0)
 		def _():
 			for r in scratch:
@@ -580,7 +1039,10 @@ def _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode="scalar", interpret=F
 		# blocks entirely below the diagonal (every l < every m) contribute
 		# nothing: the recurrence state is still zero there. Skipping them
 		# nearly halves the work for square transforms.
-		@pl.when((il + 1)*LB > im*MB)
+		active = (il + 1)*LB > im*MB
+		if ls_ref is not None:
+			active = jnp.logical_and(active, il < ls_ref[im, itg])
+		@pl.when(active)
 		def _():
 			# coefficients depend only on m: compute them on [MB,1] columns and
 			# let broadcasting expand over theta (cuts the sqrt work by tb)
@@ -612,27 +1074,58 @@ def _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode="scalar", interpret=F
 			st = rescalef(st, band, invband)
 			for r, v in zip(scratch, st): r[:] = v
 			out_ref[:] += jnp.stack([jnp.stack(fc) for fc in accs])
+		if stout_ref is not None:
+			# hand the recurrence state to the MXU block kernel exactly at
+			# this tile's stop block (runs after the compute above)
+			@pl.when(il == ls_ref[im, itg] - 1)
+			def _():
+				for i, r in enumerate(scratch):
+					stout_ref[i] = r[:]
+
+	in_specs = [
+		pl.BlockSpec((C, LB, MB), lambda im, it, il: (0, il, im),
+			memory_space=pltpu.VMEM),
+		pl.BlockSpec((6, tb), lambda im, it, il: (0, it), memory_space=pltpu.VMEM),
+		pl.BlockSpec((MB, tb), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
+		pl.BlockSpec((MB, tb), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
+		pl.BlockSpec((abrows, LB, MB), lambda im, it, il: (0, il, im),
+			memory_space=pltpu.VMEM),
+	]
+	out_spec = pl.BlockSpec((nfun, C, MB, tb), lambda im, it, il: (0, 0, im, it),
+		memory_space=pltpu.VMEM)
+	if dump_state:
+		def kern(a_ref, th_ref, sv_ref, sl_ref, ab_ref, ls_ref, out_ref,
+				stout_ref, *scratch):
+			kern_impl(a_ref, th_ref, sv_ref, sl_ref, ab_ref, out_ref, scratch,
+				ls_ref=ls_ref, stout_ref=stout_ref)
+		in_specs.append(pl.BlockSpec((nmp//MB, ntp//tb),
+			lambda im, it, il: (0, 0), memory_space=pltpu.SMEM))
+		out_specs = (out_spec, pl.BlockSpec((nstate, MB, tb),
+			lambda im, it, il: (0, im, it), memory_space=pltpu.VMEM))
+		out_shape = (jax.ShapeDtypeStruct((nfun, C, nmp, ntp), jnp.float32),
+			jax.ShapeDtypeStruct((nstate, nmp, ntp), jnp.float32))
+		args = (Ap, th, seedv, seedl, ab, jnp.asarray(lstop, jnp.int32))
+	else:
+		def kern(a_ref, th_ref, sv_ref, sl_ref, ab_ref, out_ref, *scratch):
+			kern_impl(a_ref, th_ref, sv_ref, sl_ref, ab_ref, out_ref, scratch)
+		out_specs = out_spec
+		out_shape = jax.ShapeDtypeStruct((nfun, C, nmp, ntp), jnp.float32)
+		args = (Ap, th, seedv, seedl, ab)
 
 	out = pl.pallas_call(
 		kern,
 		grid=grid,
-		in_specs=[
-			pl.BlockSpec((C, LB, MB), lambda im, it, il: (0, il, im),
-				memory_space=pltpu.VMEM),
-			pl.BlockSpec((6, tb), lambda im, it, il: (0, it), memory_space=pltpu.VMEM),
-			pl.BlockSpec((MB, tb), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
-			pl.BlockSpec((MB, tb), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
-			pl.BlockSpec((abrows, LB, MB), lambda im, it, il: (0, il, im),
-				memory_space=pltpu.VMEM),
-		],
-		out_specs=pl.BlockSpec((nfun, C, MB, tb), lambda im, it, il: (0, 0, im, it),
-			memory_space=pltpu.VMEM),
-		out_shape=jax.ShapeDtypeStruct((nfun, C, nmp, ntp), jnp.float32),
+		in_specs=in_specs,
+		out_specs=out_specs,
+		out_shape=out_shape,
 		scratch_shapes=[pltpu.VMEM((MB, tb), jnp.float32)]*nstate,
 		compiler_params=pltpu.CompilerParams(
-			dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+			dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+			vmem_limit_bytes=VMEM_BUDGET),
 		interpret=interpret,
-	)(Ap, th, seedv, seedl, ab)
+	)(*args)
+	if dump_state:
+		return out[0][:, :, :nm, :nt], out[1]
 	return out[:, :, :nm, :nt]
 
 
@@ -723,7 +1216,8 @@ def _synthesis_scan_pallas_sym(A, theta_h, lmax, mmax, mode="scalar", interpret=
 		out_shape=jax.ShapeDtypeStruct((nfun, 2, C, nmp, ntp), jnp.float32),
 		scratch_shapes=[pltpu.VMEM((MB, tb), jnp.float32)]*nstate,
 		compiler_params=pltpu.CompilerParams(
-			dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+			dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+			vmem_limit_bytes=VMEM_BUDGET),
 		interpret=interpret,
 	)(Ap, th, seedv, seedl, ab)
 	return jnp.moveaxis(out, 1, 2)[:, :, :, :nm, :nt]
@@ -741,8 +1235,8 @@ def analysis_scan_pallas(F, theta, lmax, mmax, mode="scalar", interpret=False,
 	if nh is None:
 		cp = _ct_parts(theta)
 		cth, ctl = cp if cp is not None else (None, None)
-		return _analysis_scan_pallas_full(F, theta, lmax, mmax, mode=mode,
-			interpret=interpret, ds=ds, cth=cth, ctl=ctl)
+		return _anal_full_fast(F, theta, lmax, mmax, mode, interpret, ds,
+			cth, ctl)
 	return _analysis_sym_entry(F, np.asarray(theta, np.float64), nh, lmax, mmax,
 		mode=mode, interpret=interpret, ds=ds)
 
@@ -895,16 +1389,18 @@ def _analysis_scan_pallas_sym(EO, theta_h, lmax, mmax, mode="scalar", interpret=
 		out_shape=jax.ShapeDtypeStruct((ntb, C, nlp, nmp), jnp.float32),
 		scratch_shapes=[pltpu.VMEM((MB, tb), jnp.float32)]*nstate,
 		compiler_params=pltpu.CompilerParams(
-			dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+			dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+			vmem_limit_bytes=VMEM_BUDGET),
 		interpret=interpret,
 	)(EOp, th, seedv, seedl, ab)
 	return jnp.moveaxis(jnp.sum(out, axis=0), 0, -1)[:nl, :nm]
 
 
 @functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "interpret", "ds",
-	"wig_s", "wig_branch"))
+	"wig_s", "wig_branch", "dump_state"))
 def _analysis_scan_pallas_full(F, theta, lmax, mmax, mode="scalar", interpret=False,
-		ds=False, cth=None, ctl=None, wig_s=None, wig_branch=0):
+		ds=False, cth=None, ctl=None, wig_s=None, wig_branch=0,
+		lstop=None, dump_state=False):
 	"""Pallas version of sht_core.analysis_scan (float32).
 	F: [nfun, C, nm, nt] -> out [nl, nm, C]. mode="wigner" (with
 	wig_s/wig_branch) runs one branch of the general-spin Wigner-d
@@ -913,10 +1409,14 @@ def _analysis_scan_pallas_full(F, theta, lmax, mmax, mode="scalar", interpret=Fa
 	Each (m-tile, theta-tile) cell runs the full l recurrence in VMEM and
 	writes its own partial-alm slab (every output block written exactly
 	once -- no revisit semantics needed); the theta-tile axis is then summed
-	outside the kernel."""
+	outside the kernel.
+	dump_state (with lstop [nmb, ntb] i32, LB-block units): stop each tile
+	at its own lstop block and also return the recurrence state -- the
+	stepwise-prefix half of the MXU block split (_analysis_scan_pallas_blocked)."""
 	F = jnp.asarray(F, jnp.float32)
 	wig = None if wig_s is None else (int(wig_s), int(wig_branch))
 	assert (mode == "wigner") == (wig is not None)
+	assert not (dump_state and ds)
 	nfun, funcs = _make_funcs(mode)
 	C = F.shape[1]
 	tb = _pick_tb(nfun, C, nt=int(np.shape(theta)[0]), ds=ds)
@@ -934,19 +1434,24 @@ def _analysis_scan_pallas_full(F, theta, lmax, mmax, mode="scalar", interpret=Fa
 
 	nstate, prep_ct, stepf, rescalef = _make_stepper(ds)
 
-	def kern(f_ref, th_ref, sv_ref, sl_ref, ab_ref, out_ref, *scratch):
+	def kern_impl(f_ref, th_ref, sv_ref, sl_ref, ab_ref, out_ref, scratch,
+			ls_ref=None, stout_ref=None):
 		im = pl.program_id(0)
+		itg = pl.program_id(1)
 		il = pl.program_id(2)
 		@pl.when(il == 0)
 		def _():
 			for r in scratch:
 				r[:] = jnp.zeros((MB, tb), jnp.float32)
-		# below-diagonal blocks produce exactly zero, but each output slab is
-		# written only once, so dead blocks still write zeros (cheap)
-		@pl.when((il + 1)*LB <= im*MB)
+		# below-diagonal (and beyond-lstop) blocks produce exactly zero, but
+		# each output slab is written only once, so they still write zeros
+		active = (il + 1)*LB > im*MB
+		if ls_ref is not None:
+			active = jnp.logical_and(active, il < ls_ref[im, itg])
+		@pl.when(jnp.logical_not(active))
 		def _():
 			out_ref[:] = jnp.zeros_like(out_ref)
-		@pl.when((il + 1)*LB > im*MB)
+		@pl.when(active)
 		def _():
 			# coefficients depend only on m: compute them on [MB,1] columns and
 			# let broadcasting expand over theta (cuts the sqrt work by tb)
@@ -979,27 +1484,58 @@ def _analysis_scan_pallas_full(F, theta, lmax, mmax, mode="scalar", interpret=Fa
 			st = rescalef(st, band, invband)
 			for r, v in zip(scratch, st): r[:] = v
 			out_ref[:] = jnp.moveaxis(jnp.stack(rows), 0, 1)[None]  # [1, C, LB, MB]
+		if stout_ref is not None:
+			# hand the recurrence state to the MXU block kernel exactly at
+			# this tile's stop block (runs after the compute above)
+			@pl.when(il == ls_ref[im, itg] - 1)
+			def _():
+				for i, r in enumerate(scratch):
+					stout_ref[i] = r[:]
+
+	in_specs = [
+		pl.BlockSpec((nfun, C, MB, tb), lambda im, it, il: (0, 0, im, it),
+			memory_space=pltpu.VMEM),
+		pl.BlockSpec((6, tb), lambda im, it, il: (0, it), memory_space=pltpu.VMEM),
+		pl.BlockSpec((MB, tb), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
+		pl.BlockSpec((MB, tb), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
+		pl.BlockSpec((abrows, LB, MB), lambda im, it, il: (0, il, im),
+			memory_space=pltpu.VMEM),
+	]
+	out_spec = pl.BlockSpec((1, C, LB, MB), lambda im, it, il: (it, 0, il, im),
+		memory_space=pltpu.VMEM)
+	if dump_state:
+		def kern(f_ref, th_ref, sv_ref, sl_ref, ab_ref, ls_ref, out_ref,
+				stout_ref, *scratch):
+			kern_impl(f_ref, th_ref, sv_ref, sl_ref, ab_ref, out_ref, scratch,
+				ls_ref=ls_ref, stout_ref=stout_ref)
+		in_specs.append(pl.BlockSpec((nmp//MB, ntb),
+			lambda im, it, il: (0, 0), memory_space=pltpu.SMEM))
+		out_specs = (out_spec, pl.BlockSpec((nstate, MB, tb),
+			lambda im, it, il: (0, im, it), memory_space=pltpu.VMEM))
+		out_shape = (jax.ShapeDtypeStruct((ntb, C, nlp, nmp), jnp.float32),
+			jax.ShapeDtypeStruct((nstate, nmp, ntp), jnp.float32))
+		args = (Fp, th, seedv, seedl, ab, jnp.asarray(lstop, jnp.int32))
+	else:
+		def kern(f_ref, th_ref, sv_ref, sl_ref, ab_ref, out_ref, *scratch):
+			kern_impl(f_ref, th_ref, sv_ref, sl_ref, ab_ref, out_ref, scratch)
+		out_specs = out_spec
+		out_shape = jax.ShapeDtypeStruct((ntb, C, nlp, nmp), jnp.float32)
+		args = (Fp, th, seedv, seedl, ab)
 
 	out = pl.pallas_call(
 		kern,
 		grid=grid,
-		in_specs=[
-			pl.BlockSpec((nfun, C, MB, tb), lambda im, it, il: (0, 0, im, it),
-				memory_space=pltpu.VMEM),
-			pl.BlockSpec((6, tb), lambda im, it, il: (0, it), memory_space=pltpu.VMEM),
-			pl.BlockSpec((MB, tb), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
-			pl.BlockSpec((MB, tb), lambda im, it, il: (im, it), memory_space=pltpu.VMEM),
-			pl.BlockSpec((abrows, LB, MB), lambda im, it, il: (0, il, im),
-				memory_space=pltpu.VMEM),
-		],
-		out_specs=pl.BlockSpec((1, C, LB, MB), lambda im, it, il: (it, 0, il, im),
-			memory_space=pltpu.VMEM),
-		out_shape=jax.ShapeDtypeStruct((ntb, C, nlp, nmp), jnp.float32),
+		in_specs=in_specs,
+		out_specs=out_specs,
+		out_shape=out_shape,
 		scratch_shapes=[pltpu.VMEM((MB, tb), jnp.float32)]*nstate,
 		compiler_params=pltpu.CompilerParams(
-			dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+			dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+			vmem_limit_bytes=VMEM_BUDGET),
 		interpret=interpret,
-	)(Fp, th, seedv, seedl, ab)
+	)(*args)
+	if dump_state:
+		return jnp.moveaxis(jnp.sum(out[0], axis=0), 0, -1)[:nl, :nm], out[1]
 	return jnp.moveaxis(jnp.sum(out, axis=0), 0, -1)[:nl, :nm]
 
 
@@ -1025,16 +1561,16 @@ def analysis_scan_pallas_chunked(F, theta, lmax, mmax, mode="scalar", interpret=
 	if nt <= TCHUNK:
 		cp = _ct_parts(theta)
 		cth, ctl = cp if cp is not None else (None, None)
-		return _analysis_scan_pallas_full(F, theta, lmax, mmax, mode=mode,
-			interpret=interpret, ds=ds, cth=cth, ctl=ctl)
+		return _anal_full_fast(F, theta, lmax, mmax, mode, interpret, ds,
+			cth, ctl)
 	if not isinstance(theta, jax.core.Tracer): theta = np.asarray(theta, np.float64)
 	out = None
 	for i0 in range(0, nt, TCHUNK):
 		i1 = min(i0 + TCHUNK, nt)
 		cp = _ct_parts(theta[i0:i1])
 		cth, ctl = cp if cp is not None else (None, None)
-		part = _analysis_scan_pallas_full(F[..., i0:i1], theta[i0:i1], lmax, mmax,
-			mode=mode, interpret=interpret, ds=ds, cth=cth, ctl=ctl)
+		part = _anal_full_fast(F[..., i0:i1], theta[i0:i1], lmax, mmax,
+			mode, interpret, ds, cth, ctl)
 		out = part if out is None else out + part
 	return out
 
