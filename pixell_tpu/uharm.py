@@ -11,8 +11,13 @@ class UHT:
 	or spherical harmonic analysis ("curved") behind one interface, chosen
 	automatically from the map distortion (reference uharm.UHT:8)."""
 	def __init__(self, shape, wcs, mode="auto", lmax=None, max_distortion=0.1,
-			tweak=False):
+			tweak=False, mesh=None):
+		"""mesh: optional jax.sharding.Mesh. In curved mode every transform
+		dispatches through the multi-chip SHT (rings sharded over the mesh's
+		first axis, see curvedsky.alm2map(mesh=)); flat mode ignores it (a
+		single 2D FFT is not worth sharding)."""
 		self.shape, self.wcs = tuple(shape[-2:]), wcs
+		self.mesh = mesh
 		if mode == "auto":
 			dist = estimate_distortion(shape, wcs)
 			mode = "flat" if dist <= max_distortion else "curved"
@@ -42,13 +47,13 @@ class UHT:
 		if self.mode == "flat":
 			return enmap.map2harm(map, spin=np.atleast_1d(spin), normalize="phys")
 		return curvedsky.map2alm(map, ainfo=self.ainfo, lmax=self.lmax,
-			spin=np.atleast_1d(spin))
+			spin=np.atleast_1d(spin), mesh=self.mesh)
 	def harm2map(self, harm, spin=0):
 		if self.mode == "flat":
 			return enmap.harm2map(enmap.samewcs(jnp.asarray(harm), _aswcs(harm, self)), spin=np.atleast_1d(spin), normalize="phys").real
 		omap = enmap.zeros(np.shape(harm)[:-1] + self.shape, self.wcs)
 		return curvedsky.alm2map(utils.to_device(harm), omap, ainfo=self.ainfo,
-			spin=np.atleast_1d(spin))
+			spin=np.atleast_1d(spin), mesh=self.mesh)
 	def map2harm_adjoint(self, harm, spin=0):
 		if self.mode == "flat":
 			return enmap.map2harm_adjoint(enmap.samewcs(jnp.asarray(harm), _aswcs(harm, self)), spin=np.atleast_1d(spin), normalize="phys")

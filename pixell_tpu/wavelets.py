@@ -147,12 +147,19 @@ class CosineNeedlet:
 class WaveletTransform:
 	"""Map -> set of wavelet-coefficient maps and back, each scale on a
 	geometry downgraded to its bandlimit (reference wavelets.WaveletTransform:206)."""
-	def __init__(self, uht_or_geo, basis=None, ores=None):
+	def __init__(self, uht_or_geo, basis=None, ores=None, mesh=None):
+		"""mesh: optional jax.sharding.Mesh. Every per-scale SHT runs
+		multi-chip (rings sharded over the mesh's first axis; the analysis
+		phase path reshards over m) -- the production fix for decompositions
+		whose largest scale exceeds single-chip HBM (BASELINE config 5 at
+		lmax 10000: the top scale is a full 20002x40004 synthesis)."""
 		if isinstance(uht_or_geo, uharm.UHT):
 			self.uht = uht_or_geo
+			if mesh is not None: self.uht.mesh = mesh
 		else:
 			shape, wcs = uht_or_geo
-			self.uht = uharm.UHT(shape, wcs)
+			self.uht = uharm.UHT(shape, wcs, mesh=mesh)
+		self.mesh = mesh
 		shape, wcs = self.uht.shape, self.uht.wcs
 		if basis is None: basis = ButterTrim()
 		lmax = self.uht.lmax
@@ -167,7 +174,7 @@ class WaveletTransform:
 			ogeo = make_wavelet_geometry(shape, wcs, hi)
 			self.geometries.append(ogeo)
 			self.uhts.append(uharm.UHT(ogeo[0], ogeo[1], mode=self.uht.mode,
-				lmax=min(hi if hi > 0 else lmax, lmax)))
+				lmax=min(hi if hi > 0 else lmax, lmax), mesh=mesh))
 	@property
 	def nlevel(self): return self.basis.n
 	@property

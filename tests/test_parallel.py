@@ -195,3 +195,67 @@ def test_lens_map_curved_mesh_matches_local():
 	dist_res = lensing.lens_map_curved(mesh=m, **kw)
 	scale = np.abs(np.asarray(local)).max()
 	assert np.abs(np.asarray(dist_res) - np.asarray(local)).max() < 1e-10*scale
+
+
+def _wavelet_mesh_case(lmax, res_deg, mesh, basis=None):
+	"""Build a curved wavelet transform of a random bandlimited map twice --
+	single-device and on the mesh -- and return (wt_local, wt_dist, map)."""
+	from pixell_tpu import wavelets, uharm
+	shape, wcs = enmap.fullsky_geometry(res=res_deg*utils.degree,
+		variant="fejer1")
+	if basis is None: basis = wavelets.ButterTrim()
+	alm = jnp.asarray(oracle.rand_alm_oracle(min(lmax, 3*lmax//4), seed=17))
+	m = curvedsky.alm2map(alm, enmap.zeros(shape, wcs))
+	wt_l = wavelets.WaveletTransform(uharm.UHT(shape, wcs, mode="curved",
+		lmax=lmax), basis=basis)
+	wt_d = wavelets.WaveletTransform(uharm.UHT(shape, wcs, mode="curved",
+		lmax=lmax), basis=basis, mesh=mesh)
+	return wt_l, wt_d, m
+
+
+def test_wavelet_mesh_matches_local():
+	"""WaveletTransform(mesh=...) reproduces the single-device decomposition
+	and reconstruction: every per-scale SHT dispatches through the sharded
+	path (fast-tier plumbing check; the config-5-shaped size runs in the
+	slow tier below)."""
+	from pixell_tpu import wavelets
+	m8 = pmesh.local_mesh(8)
+	wt_l, wt_d, m = _wavelet_mesh_case(32, 3.0, m8,
+		basis=wavelets.ButterTrim(step=4))
+	w_l = wt_l.map2wave(m)
+	w_d = wt_d.map2wave(m)
+	assert w_d.nmap == w_l.nmap
+	for a, b in zip(w_l.maps, w_d.maps):
+		s = max(np.abs(np.asarray(a)).max(), 1e-300)
+		assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-11*s
+	r_l = wt_l.wave2map(w_l)
+	r_d = wt_d.wave2map(w_d)
+	s = np.abs(np.asarray(r_l)).max()
+	assert np.abs(np.asarray(r_d) - np.asarray(r_l)).max() < 1e-11*s
+
+
+@pytest.mark.slow
+def test_wavelet_mesh_matches_local_big():
+	"""Config-5-shaped workload sharded at non-toy lmax (>= 512): the wavelet
+	decomposition whose single-chip version OOMs at lmax 10000 runs its
+	per-scale SHTs over the mesh (rings sharded; the too-coarse-quadrature
+	analysis reshards the phase spectrum over m -- the production fix named
+	in PERF.md for BASELINE config 5). Mesh result must match local."""
+	m8 = pmesh.local_mesh(8)
+	lmax = 512
+	# res ~ bandlimit: nt < 2*lmax+1, so analysis takes the m-resharded
+	# upsample phase path on every big scale
+	wt_l, wt_d, m = _wavelet_mesh_case(lmax, 180.0/(lmax + 8), m8)
+	w_l = wt_l.map2wave(m)
+	w_d = wt_d.map2wave(m)
+	for a, b in zip(w_l.maps, w_d.maps):
+		s = max(np.abs(np.asarray(a)).max(), 1e-300)
+		assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-10*s
+	r_l = wt_l.wave2map(w_l)
+	r_d = wt_d.wave2map(w_d)
+	s = np.abs(np.asarray(r_l)).max()
+	assert np.abs(np.asarray(r_d) - np.asarray(r_l)).max() < 1e-10*s
+	# and the decomposition is faithful: reconstruction matches the input to
+	# the basis' own trim tolerance (ButterTrim zeroes kernel tails where
+	# prof^2 <= tol=1e-3, so sum k_i^2 = 1 only holds to ~tol)
+	assert np.abs(np.asarray(r_d) - np.asarray(m)).max() < 2e-3*s
