@@ -651,11 +651,21 @@ def _blk_start_table(theta, lmax, mmax, tb):
 	return start
 
 
-def _blk_cheb_v(cth, nt, ntp, tb):
-	"""Per-theta-tile Chebyshev interval and Vandermonde table, on device:
-	cb [ntb, 2] = (c0, h) and V [ntb, BLK_JP, tb] with V[., j, t] = T_j(x_t),
-	x = (ct - c0)/h. Padding rings carry ct = 0 (harmless: their tiles are
-	never eligible output, and x stays in [-1, 1])."""
+def _blk_node_tables(cth, nt, ntp, tb):
+	"""Per-theta-tile node tables for the MXU block kernels. The coefficient
+	build runs in VALUE space at the BLK_JP Chebyshev-Gauss nodes of the
+	tile's own ct interval: multiplication by ct is then ELEMENTWISE (the
+	Chebyshev-coefficient form needed two lane shifts + masks per step,
+	which dominated the build), and the node->ring interpolation folds into
+	the one MXU matmul per block that was already there.
+	Returns ctv [ntb, 8, BLK_JP] (ct at the nodes, sublane-padded to a full
+	(8,128) VMEM tile) and W [ntb, BLK_JP, tb] with W[n, j, t] = ell_j(x_t),
+	the degree-<JP Lagrange basis through the nodes evaluated at the tile's
+	rings -- computed stably as W = (diag(w) D)^T V with D[q,j] = T_q(x_j)
+	(the host-exact DCT-II matrix) and V[q,t] = T_q(x_t) (the Chebyshev
+	table at the rings, a two-term device recurrence on values <= 1).
+	Padding rings carry ct = 0 (harmless: their tiles are never eligible
+	output, and x stays in [-1, 1])."""
 	ct = jnp.zeros((ntp,), jnp.float32).at[:nt].set(jnp.asarray(cth, jnp.float32))
 	ctt = ct.reshape(ntp//tb, tb)
 	hi = jnp.max(ctt, axis=1); lo = jnp.min(ctt, axis=1)
@@ -669,34 +679,52 @@ def _blk_cheb_v(cth, nt, ntp, tb):
 	v0 = jnp.ones_like(x)
 	_, rest = jax.lax.scan(step, (x, v0), None, length=BLK_JP - 2)
 	V = jnp.concatenate([v0[None], x[None], rest], 0)   # [JP, ntb, tb]
-	return jnp.stack([c0, h], -1), jnp.moveaxis(V, 0, 1)
+	j = np.arange(BLK_JP)
+	xn = np.cos(np.pi*(j + 0.5)/BLK_JP)                 # Chebyshev-Gauss nodes
+	D = np.cos(np.pi*np.outer(j, j + 0.5)/BLK_JP)       # D[q, j] = T_q(x_j)
+	w = np.full(BLK_JP, 2.0/BLK_JP); w[0] = 1.0/BLK_JP
+	Dw = jnp.asarray((D*w[:, None]).T, jnp.float32)     # [j, q]
+	W = jnp.einsum("jq,qnt->njt", Dw, V,
+		precision=jax.lax.Precision.HIGHEST)
+	ctv = c0[:, None] + h[:, None]*jnp.asarray(xn, jnp.float32)[None, :]
+	ctv = jnp.broadcast_to(ctv[:, None, :], (ntp//tb, 8, BLK_JP))
+	return ctv, W
 
 
 @functools.partial(jax.jit, static_argnames=("lmax", "mmax", "interpret"))
-def _synth_blk_call(A, lmax, mmax, state, start64, cb, V, interpret=False):
+def _synth_blk_call(A, lmax, mmax, state, start64, ctv, W, interpret=False):
 	"""Block-kernel synthesis over the eligible l-block suffix.
 	A [nl, nm, C] f32, state [3, nmp, ntp] (prev, curr, lev dumped by the
 	stepwise kernel at each tile's handoff degree), start64 [nmb, ntb] i32,
-	cb [ntb, 2] (c0, h), V [ntb, BLK_JP, tb]. Returns G [1, C, nm, nt-ish]
-	padded ([1, C, nmp, ntp]); caller slices and adds to the stepwise part."""
+	ctv [ntb, 8, JP], W [ntb, JP, tb] (see _blk_node_tables). Returns G
+	[1, C, nm, nt-ish] padded ([1, C, nmp, ntp]); caller slices and adds to
+	the stepwise part.
+
+	The alpha/beta series are carried as VALUES at the tile's Chebyshev
+	nodes, so the inner step is three elementwise [MB, JP] ops per series
+	(the first version carried Chebyshev COEFFICIENTS, whose ct-multiply
+	needed two lane-rolls + masks, and read its per-step a/b/A columns with
+	a lane->sublane relayout + concatenate each -- measured parity with the
+	stepwise kernel; this form removes every relayout from the loop).
+	Coefficient tables arrive pre-transposed (l in lanes) so the per-step
+	[MB, 1] columns are plain static slices."""
 	A = jnp.asarray(A, jnp.float32)
 	C = A.shape[-1]
-	ntb_n, JP, tb = V.shape
+	ntb_n, JP, tb = W.shape
 	nm = mmax + 1; nl = lmax + 1
 	nmp = _ceil(nm, MB)*MB
 	nlp = _ceil(nl, BLK_LB)*BLK_LB
 	ntp = ntb_n*tb
-	ab = _recur_ab_tables(nlp, nmp)
-	Ap = jnp.zeros((C, nlp, nmp), jnp.float32).at[:, :nl, :nm].set(
-		jnp.moveaxis(A, -1, 0))
+	abT = jnp.moveaxis(_recur_ab_tables(nlp, nmp), 1, 2)  # [2, nmp, nlp]
+	ApT = jnp.zeros((C, nmp, nlp), jnp.float32).at[:, :nm, :nl].set(
+		jnp.transpose(A, (2, 1, 0)))
 	grid = (nmp//MB, ntb_n, nlp//BLK_LB)
 	band = np.float32(2.0**S32)
 	invband = np.float32(2.0**-S32)
 	fac_m1 = np.float32(2.0**-S32)
 	start64_shape = (nmp//MB, ntb_n)
-	cb_shape = (ntb_n, 2)
 
-	def kern(a_ref, ab_ref, st_ref, s_ref, cb_ref, v_ref, out_ref, *scratch):
+	def kern(a_ref, ab_ref, st_ref, s_ref, ctv_ref, w_ref, out_ref, *scratch):
 		im = pl.program_id(0)
 		it = pl.program_id(1)
 		il = pl.program_id(2)
@@ -713,45 +741,29 @@ def _synth_blk_call(A, lmax, mmax, state, start64, cb, V, interpret=False):
 			prev = scratch[0][:]
 			curr = scratch[1][:]
 			lev = scratch[2][:]
-			c0 = cb_ref[it, 0]
-			h2 = cb_ref[it, 1]*jnp.float32(0.5)
-			# alpha and beta satisfy the SAME recurrence (different initial
-			# conditions), so their coefficient rows ride STACKED as one
-			# [2*MB, JP] tile (top half alpha, bottom beta): half the VPU
-			# op-issue overhead of two [MB, JP] builds, and the final dots
-			# collapse into ONE MXU matmul over a concatenated LHS.
-			lane = jax.lax.broadcasted_iota(jnp.int32, (2*MB, BLK_JP), 1)
-			# ct*T_j = c0*T_j + h/2*(T_{j+1} + T_{j-1}), with x*T_0 = T_1
-			# (weight 2 at lane 1) and the lane-127 wrap masked off
-			wu = (jnp.where(lane >= 1, 1.0, 0.0)
-				+ jnp.where(lane == 1, 1.0, 0.0))*h2
-			wd = jnp.where(lane <= BLK_JP - 2, 1.0, 0.0)*h2
-			e0 = jnp.where(lane == 0, 1.0, 0.0).astype(jnp.float32)
-			half = jax.lax.broadcasted_iota(jnp.int32, (2*MB, 1), 0) < MB
-			g_c = jnp.where(half, e0, 0.0)   # alpha_{-1} = 1, beta_{-1} = 0
-			g_p = jnp.where(half, 0.0, e0)   # alpha_{-2} = 0, beta_{-2} = 1
-			Bk = [jnp.zeros((2*MB, BLK_JP), jnp.float32) for _ in range(C)]
-			def ctmul(f):
-				# pltpu.roll needs non-negative shifts: JP-1 == -1 (circular)
-				up = pltpu.roll(f, 1, 1)
-				dn = pltpu.roll(f, BLK_JP - 1, 1)
-				return c0*f + up*wu + dn*wd
+			ctvv = ctv_ref[0, 0:1, :]                 # [1, JP]
+			one = jnp.ones((MB, JP), jnp.float32)
+			zero = jnp.zeros((MB, JP), jnp.float32)
+			gA_c, gA_p = one, zero                    # alpha_{-1}=1, alpha_{-2}=0
+			gB_c, gB_p = zero, one                    # beta_{-1}=0,  beta_{-2}=1
+			BkA = [zero for _ in range(C)]
+			BkB = [zero for _ in range(C)]
 			for k in range(BLK_LB):
-				a = ab_ref[0, k, :]
-				b = ab_ref[1, k, :]
-				a2 = jnp.concatenate([a[:, None], a[:, None]], 0)
-				b2 = jnp.concatenate([b[:, None], b[:, None]], 0)
-				g_n = a2*(ctmul(g_c) - b2*g_p)
-				g_p, g_c = g_c, g_n
+				a = ab_ref[0, :, k:k+1]               # [MB, 1] static slice
+				b = ab_ref[1, :, k:k+1]
+				gA_n = a*(ctvv*gA_c - b*gA_p)
+				gB_n = a*(ctvv*gB_c - b*gB_p)
+				gA_p, gA_c = gA_c, gA_n
+				gB_p, gB_c = gB_c, gB_n
 				for ci in range(C):
-					am = a_ref[ci, k, :]
-					Bk[ci] = Bk[ci] + jnp.concatenate([am[:, None], am[:, None]], 0)*g_c
-			# one fused matmul: rows [ci*2MB +0:MB]=Ba_ci, [+MB:2MB]=Bb_ci,
-			# then alpha_end/beta_end and alpha_end-1/beta_end-1
-			L = jnp.concatenate(Bk + [g_c, g_p], axis=0)  # [(C+2)*2MB, JP]
-			E = jax.lax.dot_general(L, v_ref[0], (((1,), (0,)), ((), ())),
+					am = a_ref[ci, :, k:k+1]
+					BkA[ci] = BkA[ci] + am*gA_c
+					BkB[ci] = BkB[ci] + am*gB_c
+			# one fused node->ring matmul: data folds, then the end states
+			L = jnp.concatenate(BkA + BkB + [gA_c, gA_p, gB_c, gB_p], axis=0)
+			E = jax.lax.dot_general(L, w_ref[0], (((1,), (0,)), ((), ())),
 				precision=jax.lax.Precision.HIGHEST,
-				preferred_element_type=jnp.float32)       # [(C+2)*2MB, tb]
+				preferred_element_type=jnp.float32)   # [(2C+4)*MB, tb]
 			# emission scale from the (block-constant) entry level; -2 emits
 			# at 2^-120 so only true values < ~2e-17 are dropped
 			fac = jnp.where(lev == 0, 1.0, jnp.where(lev == -1, fac_m1,
@@ -759,11 +771,11 @@ def _synth_blk_call(A, lmax, mmax, state, start64, cb, V, interpret=False):
 			currf = curr*fac
 			prevf = prev*fac
 			for ci in range(C):
-				out_ref[0, ci] += (E[2*ci*MB:(2*ci+1)*MB]*currf
-					+ E[(2*ci+1)*MB:(2*ci+2)*MB]*prevf)
+				out_ref[0, ci] += (E[ci*MB:(ci+1)*MB]*currf
+					+ E[(C+ci)*MB:(C+ci+1)*MB]*prevf)
 			o = 2*C*MB
-			ncurr = E[o:o+MB]*curr + E[o+MB:o+2*MB]*prev
-			nprev = E[o+2*MB:o+3*MB]*curr + E[o+3*MB:o+4*MB]*prev
+			ncurr = E[o:o+MB]*curr + E[o+2*MB:o+3*MB]*prev
+			nprev = E[o+MB:o+2*MB]*curr + E[o+3*MB:o+4*MB]*prev
 			nprev, ncurr, lev = _rescale(nprev, ncurr, lev, band, invband)
 			scratch[0][:] = nprev
 			scratch[1][:] = ncurr
@@ -773,18 +785,18 @@ def _synth_blk_call(A, lmax, mmax, state, start64, cb, V, interpret=False):
 		kern,
 		grid=grid,
 		in_specs=[
-			pl.BlockSpec((C, BLK_LB, MB), lambda im, it, il: (0, il, im),
+			pl.BlockSpec((C, MB, BLK_LB), lambda im, it, il: (0, im, il),
 				memory_space=pltpu.VMEM),
-			pl.BlockSpec((2, BLK_LB, MB), lambda im, it, il: (0, il, im),
+			pl.BlockSpec((2, MB, BLK_LB), lambda im, it, il: (0, im, il),
 				memory_space=pltpu.VMEM),
 			pl.BlockSpec((3, MB, tb), lambda im, it, il: (0, im, it),
 				memory_space=pltpu.VMEM),
-			# scalar tables ride whole in SMEM (TPU lowering rejects partial
-			# sub-(8,128) blocks) and are indexed by program id in-kernel
+			# the start table rides whole in SMEM (TPU lowering rejects
+			# partial sub-(8,128) blocks) and is indexed by program id
 			pl.BlockSpec(start64_shape, lambda im, it, il: (0, 0),
 				memory_space=pltpu.SMEM),
-			pl.BlockSpec(cb_shape, lambda im, it, il: (0, 0),
-				memory_space=pltpu.SMEM),
+			pl.BlockSpec((1, 8, BLK_JP), lambda im, it, il: (it, 0, 0),
+				memory_space=pltpu.VMEM),
 			pl.BlockSpec((1, BLK_JP, tb), lambda im, it, il: (it, 0, 0),
 				memory_space=pltpu.VMEM),
 		],
@@ -795,11 +807,11 @@ def _synth_blk_call(A, lmax, mmax, state, start64, cb, V, interpret=False):
 		compiler_params=pltpu.CompilerParams(
 			dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
 			# the unrolled 64-step coefficient build keeps ~8 [MB,JP] tiles
-			# plus 6 matmul results live: past the 16M default scoped limit
-			# (measured 25.15M requested); v5e has 128M physical VMEM
+			# plus the matmul results live: past the 16M default scoped
+			# limit; v5e has 128M physical VMEM
 			vmem_limit_bytes=VMEM_BUDGET),
 		interpret=interpret,
-	)(Ap, ab, state, start64, cb, V)
+	)(ApT, abT, state, start64, ctv, W)
 	return out
 
 
@@ -821,45 +833,50 @@ def _synthesis_scan_pallas_blocked(A, theta, lmax, mmax, interpret=False,
 		cp = _ct_parts(theta)
 		cth, ctl = cp if cp is not None else (jnp.cos(
 			jnp.asarray(theta, jnp.float32)), None)
-	cb, V = _blk_cheb_v(cth, nt, ntp, tb)
+	ctv, W = _blk_node_tables(cth, nt, ntp, tb)
 	# kernel 1: stepwise up to each tile's handoff degree, dumping state
 	G1, state = _synthesis_scan_pallas_full(A, theta, lmax, mmax,
 		mode="scalar", interpret=interpret, ds=False, cth=cth, ctl=ctl,
 		lstop=jnp.asarray(start*(BLK_LB//LB), jnp.int32), dump_state=True)
 	# kernel 2: MXU blocks over the eligible suffix
-	G2 = _synth_blk_call(A, lmax, mmax, state, jnp.asarray(start), cb, V,
+	G2 = _synth_blk_call(A, lmax, mmax, state, jnp.asarray(start), ctv, W,
 		interpret=interpret)
 	return G1 + G2[:, :, :mmax + 1, :nt]
 
 
 @functools.partial(jax.jit, static_argnames=("lmax", "mmax", "interpret"))
-def _anal_blk_call(F, lmax, mmax, state, start64, cb, V, interpret=False):
+def _anal_blk_call(F, lmax, mmax, state, start64, ctv, W, interpret=False):
 	"""Block-kernel analysis over the eligible l-block suffix (transpose of
-	_synth_blk_call): out_k[m] = sum_j alpha_kj*Wc[m,j] + beta_kj*Wp[m,j]
-	with Wc = (curr*fac*F) @ V^T, Wp likewise -- two MXU matmuls per
-	(tile, component) plus the shared coefficient build, instead of
-	BLK_LB stepwise VPU sweeps. F [nfun=1, C, nm, nt] padded inside.
+	_synth_blk_call): out_k[m] = sum_j alpha_k(x_j)*Wc[m,j] + beta_k*Wp[m,j]
+	with Wc = (curr*fac*F) @ W^T, Wp likewise -- two MXU matmuls per
+	(tile, component) plus the shared value-space build, instead of
+	BLK_LB stepwise VPU sweeps. The per-degree j-reductions are DEFERRED:
+	each degree's products accumulate into an [LB, MB, JP] buffer (k on the
+	leading axis, a free store) and one reduction at the end produces the
+	whole [LB, MB] output slab (per-k lane reductions were ~2x the build
+	cost). F [nfun=1, C, nm, nt] padded inside.
 	Returns the partial [nl, nm, C] for the blocked region."""
 	F = jnp.asarray(F, jnp.float32)
 	C = F.shape[1]
-	ntb_n, JP, tb = V.shape
+	ntb_n, JP, tb = W.shape
 	nm = mmax + 1; nl = lmax + 1
 	nmp = _ceil(nm, MB)*MB
 	nlp = _ceil(nl, BLK_LB)*BLK_LB
 	ntp = ntb_n*tb
-	ab = _recur_ab_tables(nlp, nmp)
+	abT = jnp.moveaxis(_recur_ab_tables(nlp, nmp), 1, 2)  # [2, nmp, nlp]
 	Fp = jnp.zeros((C, nmp, ntp), jnp.float32).at[:, :nm, :F.shape[-1]].set(F[0])
 	grid = (nmp//MB, ntb_n, nlp//BLK_LB)
 	band = np.float32(2.0**S32)
 	invband = np.float32(2.0**-S32)
 	fac_m1 = np.float32(2.0**-S32)
 	start64_shape = (nmp//MB, ntb_n)
-	cb_shape = (ntb_n, 2)
 
-	def kern(f_ref, ab_ref, st_ref, s_ref, cb_ref, v_ref, out_ref, *scratch):
+	def kern(f_ref, ab_ref, st_ref, s_ref, ctv_ref, w_ref, out_ref,
+			sc0, sc1, sc2, *sbuf):
 		im = pl.program_id(0)
 		it = pl.program_id(1)
 		il = pl.program_id(2)
+		scratch = (sc0, sc1, sc2)
 		s0 = s_ref[im, it]
 		@pl.when(il == s0)
 		def _():
@@ -875,59 +892,45 @@ def _anal_blk_call(F, lmax, mmax, state, start64, cb, V, interpret=False):
 			prev = scratch[0][:]
 			curr = scratch[1][:]
 			lev = scratch[2][:]
-			c0 = cb_ref[it, 0]
-			h2 = cb_ref[it, 1]*jnp.float32(0.5)
-			# stacked alpha/beta build, as in _synth_blk_call
-			lane = jax.lax.broadcasted_iota(jnp.int32, (2*MB, BLK_JP), 1)
-			wu = (jnp.where(lane >= 1, 1.0, 0.0)
-				+ jnp.where(lane == 1, 1.0, 0.0))*h2
-			wd = jnp.where(lane <= BLK_JP - 2, 1.0, 0.0)*h2
-			e0 = jnp.where(lane == 0, 1.0, 0.0).astype(jnp.float32)
-			half = jax.lax.broadcasted_iota(jnp.int32, (2*MB, 1), 0) < MB
-			g_c = jnp.where(half, e0, 0.0)
-			g_p = jnp.where(half, 0.0, e0)
+			ctvv = ctv_ref[0, 0:1, :]                 # [1, JP]
+			one = jnp.ones((MB, JP), jnp.float32)
+			zero = jnp.zeros((MB, JP), jnp.float32)
+			gA_c, gA_p = one, zero
+			gB_c, gB_p = zero, one
 			fac = jnp.where(lev == 0, 1.0, jnp.where(lev == -1, fac_m1,
 				jnp.where(lev == -2, FAC_M2, 0.0)))
 			currf = curr*fac
 			prevf = prev*fac
-			Vt = v_ref[0]
-			# contract theta FIRST: W[m, j] = sum_t state_f(m,t) F(m,t) V(j,t),
-			# stacked [2MB, JP] per component (top = curr part, bottom = prev)
-			dott = lambda L: jax.lax.dot_general(L, Vt,
+			Wt = w_ref[0]
+			# contract theta FIRST: Wc[m, j] = sum_t curr*fac*F(m,t) W(j,t)
+			dott = lambda L: jax.lax.dot_general(L, Wt,
 				(((1,), (1,)), ((), ())),
 				precision=jax.lax.Precision.HIGHEST,
 				preferred_element_type=jnp.float32)
-			W = [dott(jnp.concatenate([currf*f_ref[ci], prevf*f_ref[ci]], 0))
-				for ci in range(C)]
-			def ctmul(f):
-				up = pltpu.roll(f, 1, 1)
-				dn = pltpu.roll(f, BLK_JP - 1, 1)
-				return c0*f + up*wu + dn*wd
-			rows = []
+			Wc = [dott(currf*f_ref[ci]) for ci in range(C)]
+			Wp = [dott(prevf*f_ref[ci]) for ci in range(C)]
 			for k in range(BLK_LB):
-				a = ab_ref[0, k, :]
-				b = ab_ref[1, k, :]
-				a2 = jnp.concatenate([a[:, None], a[:, None]], 0)
-				b2 = jnp.concatenate([b[:, None], b[:, None]], 0)
-				g_n = a2*(ctmul(g_c) - b2*g_p)
-				g_p, g_c = g_c, g_n
-				cols = []
+				a = ab_ref[0, :, k:k+1]
+				b = ab_ref[1, :, k:k+1]
+				gA_n = a*(ctvv*gA_c - b*gA_p)
+				gB_n = a*(ctvv*gB_c - b*gB_p)
+				gA_p, gA_c = gA_c, gA_n
+				gB_p, gB_c = gB_c, gB_n
 				for ci in range(C):
-					r = jnp.sum(g_c*W[ci], -1)     # [2MB]
-					cols.append(r[:MB] + r[MB:])
-				rows.append(jnp.stack(cols))       # [C, MB]
+					sbuf[ci][k] = gA_c*Wc[ci] + gB_c*Wp[ci]
+			for ci in range(C):
+				out_ref[0, ci] = jnp.sum(sbuf[ci][:], -1)   # [LB, MB]
 			# state propagation to the next block: one fused matmul
-			L2 = jnp.concatenate([g_c, g_p], axis=0)   # [4MB, JP]
-			E = jax.lax.dot_general(L2, v_ref[0], (((1,), (0,)), ((), ())),
+			L2 = jnp.concatenate([gA_c, gA_p, gB_c, gB_p], axis=0)  # [4MB, JP]
+			E = jax.lax.dot_general(L2, Wt, (((1,), (0,)), ((), ())),
 				precision=jax.lax.Precision.HIGHEST,
 				preferred_element_type=jnp.float32)
-			ncurr = E[:MB]*curr + E[MB:2*MB]*prev
-			nprev = E[2*MB:3*MB]*curr + E[3*MB:]*prev
+			ncurr = E[:MB]*curr + E[2*MB:3*MB]*prev
+			nprev = E[MB:2*MB]*curr + E[3*MB:]*prev
 			nprev, ncurr, lev = _rescale(nprev, ncurr, lev, band, invband)
 			scratch[0][:] = nprev
 			scratch[1][:] = ncurr
 			scratch[2][:] = lev
-			out_ref[:] = jnp.moveaxis(jnp.stack(rows), 0, 1)[None]  # [1,C,LB,MB]
 
 	out = pl.pallas_call(
 		kern,
@@ -935,26 +938,27 @@ def _anal_blk_call(F, lmax, mmax, state, start64, cb, V, interpret=False):
 		in_specs=[
 			pl.BlockSpec((C, MB, tb), lambda im, it, il: (0, im, it),
 				memory_space=pltpu.VMEM),
-			pl.BlockSpec((2, BLK_LB, MB), lambda im, it, il: (0, il, im),
+			pl.BlockSpec((2, MB, BLK_LB), lambda im, it, il: (0, im, il),
 				memory_space=pltpu.VMEM),
 			pl.BlockSpec((3, MB, tb), lambda im, it, il: (0, im, it),
 				memory_space=pltpu.VMEM),
 			pl.BlockSpec(start64_shape, lambda im, it, il: (0, 0),
 				memory_space=pltpu.SMEM),
-			pl.BlockSpec(cb_shape, lambda im, it, il: (0, 0),
-				memory_space=pltpu.SMEM),
+			pl.BlockSpec((1, 8, BLK_JP), lambda im, it, il: (it, 0, 0),
+				memory_space=pltpu.VMEM),
 			pl.BlockSpec((1, BLK_JP, tb), lambda im, it, il: (it, 0, 0),
 				memory_space=pltpu.VMEM),
 		],
 		out_specs=pl.BlockSpec((1, C, BLK_LB, MB),
 			lambda im, it, il: (it, 0, il, im), memory_space=pltpu.VMEM),
 		out_shape=jax.ShapeDtypeStruct((ntb_n, C, nlp, nmp), jnp.float32),
-		scratch_shapes=[pltpu.VMEM((MB, tb), jnp.float32)]*3,
+		scratch_shapes=[pltpu.VMEM((MB, tb), jnp.float32)]*3
+			+ [pltpu.VMEM((BLK_LB, MB, BLK_JP), jnp.float32)]*C,
 		compiler_params=pltpu.CompilerParams(
 			dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
 			vmem_limit_bytes=VMEM_BUDGET),
 		interpret=interpret,
-	)(Fp, ab, state, start64, cb, V)
+	)(Fp, abT, state, start64, ctv, W)
 	return jnp.moveaxis(jnp.sum(out, axis=0), 0, -1)[:nl, :nm]
 
 
@@ -975,11 +979,11 @@ def _analysis_scan_pallas_blocked(F, theta, lmax, mmax, interpret=False,
 		cp = _ct_parts(theta)
 		cth, ctl = cp if cp is not None else (jnp.cos(
 			jnp.asarray(theta, jnp.float32)), None)
-	cb, V = _blk_cheb_v(cth, nt, ntp, tb)
+	ctv, W = _blk_node_tables(cth, nt, ntp, tb)
 	out1, state = _analysis_scan_pallas_full(F, theta, lmax, mmax,
 		mode="scalar", interpret=interpret, ds=False, cth=cth, ctl=ctl,
 		lstop=jnp.asarray(start*(BLK_LB//LB), jnp.int32), dump_state=True)
-	out2 = _anal_blk_call(F, lmax, mmax, state, jnp.asarray(start), cb, V,
+	out2 = _anal_blk_call(F, lmax, mmax, state, jnp.asarray(start), ctv, W,
 		interpret=interpret)
 	return out1 + out2
 

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Measure the SHT accuracy tiers at scale on the current device: for each
+tier (fast = f32 kernels + polar-DS pass, high = full double-single
+recurrence) run one alm -> map -> alm roundtrip on a quadrature-exact F1
+grid and report the alm-domain error and the warm wall time per direction.
+
+The reference's counterpart is ducc0's epsilon/niter accuracy ladder
+(reference curvedsky.py:262-265, 1001-1003: f64 with general-path epsilon
+1e-10, niter to ~1e-8); here the ladder is fast-f32 / high-DS / f64 scan.
+
+    python scripts/bench_accuracy.py [--lmax 5000] [--tiers fast,high]
+"""
+import argparse, os, sys, time
+import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+	ap = argparse.ArgumentParser()
+	ap.add_argument("--lmax", type=int, default=5000)
+	ap.add_argument("--tiers", type=str, default="fast,high")
+	ap.add_argument("--nrep", type=int, default=2)
+	args = ap.parse_args()
+	import jax, jax.numpy as jnp
+	from pixell_tpu import sht, utils
+	from pixell_tpu import fft as enfft
+	lmax = args.lmax
+	nt = 2*lmax + 2
+	nphi = enfft.fft_len(2*lmax + 2, "above")
+	theta = jnp.asarray(sht.ring_theta("F1", nt), np.float32)
+	w = jnp.asarray(sht.ring_weights("F1", nt), np.float32)
+	rng = np.random.default_rng(0)
+	nelem = (lmax + 1)*(lmax + 2)//2
+	alm0 = (rng.standard_normal(nelem) + 1j*rng.standard_normal(nelem)) \
+		.astype(np.complex64)
+	alm0[:lmax + 1] = alm0[:lmax + 1].real
+	scale = np.abs(alm0).max()
+	print("device:", jax.devices()[0], "lmax", lmax, "grid %dx%d" % (nt, nphi))
+	sys.stdout.flush()
+	for tier in args.tiers.split(","):
+		with sht.accuracy(tier):
+			def rt(a):
+				m = sht.synthesis(a, theta, nphi, lmax=lmax, spin=(0,),
+					map_dtype=np.float32)
+				return sht.analysis(m, theta, lmax, w, spin=(0,))
+			f = jax.jit(rt)
+			a_d = utils.to_device(alm0[None])
+			t0 = time.perf_counter()
+			out = f(a_d)
+			out.block_until_ready()
+			print("%-5s compile+warm %.1f s" % (tier, time.perf_counter() - t0))
+			sys.stdout.flush()
+			alm1 = utils.from_device(out)[0]
+			err = np.abs(alm1 - alm0)
+			print("%-5s alm roundtrip err: max %.3e rel-to-scale %.3e rms %.3e"
+				% (tier, err.max(), err.max()/scale,
+					np.sqrt(np.mean(err**2))/scale))
+			sys.stdout.flush()
+			# warm timing: fresh input each call so the axon execution cache
+			# cannot replay, fused scalar fetch
+			g = jax.jit(lambda a: jnp.sum(jnp.abs(rt(a))))
+			float(g(a_d))
+			t0 = time.perf_counter()
+			for i in range(args.nrep):
+				float(g(a_d + jnp.asarray(1e-6j*(i + 1), jnp.complex64)))
+			dt = (time.perf_counter() - t0)/args.nrep
+			print("%-5s roundtrip %.3f s (nrep %d, incl ~28 ms RPC each)"
+				% (tier, dt, args.nrep))
+			sys.stdout.flush()
+
+
+if __name__ == "__main__":
+	main()
