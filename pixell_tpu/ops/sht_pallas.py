@@ -715,9 +715,15 @@ def _synth_blk_call(A, lmax, mmax, state, start64, ctv, W, interpret=False):
 	nmp = _ceil(nm, MB)*MB
 	nlp = _ceil(nl, BLK_LB)*BLK_LB
 	ntp = ntb_n*tb
-	abT = jnp.moveaxis(_recur_ab_tables(nlp, nmp), 1, 2)  # [2, nmp, nlp]
+	# l-blocks ride a LEADING axis [.., nlb, nmp, BLK_LB]: Mosaic requires the
+	# lane-dim block to be 128-divisible OR the full extent, and BLK_LB=64 is
+	# only legal as the full last dim (caught on chip: interpret mode accepts
+	# the [*, MB, BLK_LB] blocking of a [*, nmp, nlp] table, hardware doesn't)
+	abT = jnp.moveaxis(_recur_ab_tables(nlp, nmp), 1, 2).reshape(
+		2, nmp, nlp//BLK_LB, BLK_LB).transpose(0, 2, 1, 3)
 	ApT = jnp.zeros((C, nmp, nlp), jnp.float32).at[:, :nm, :nl].set(
-		jnp.transpose(A, (2, 1, 0)))
+		jnp.transpose(A, (2, 1, 0))).reshape(
+		C, nmp, nlp//BLK_LB, BLK_LB).transpose(0, 2, 1, 3)
 	grid = (nmp//MB, ntb_n, nlp//BLK_LB)
 	band = np.float32(2.0**S32)
 	invband = np.float32(2.0**-S32)
@@ -749,14 +755,14 @@ def _synth_blk_call(A, lmax, mmax, state, start64, ctv, W, interpret=False):
 			BkA = [zero for _ in range(C)]
 			BkB = [zero for _ in range(C)]
 			for k in range(BLK_LB):
-				a = ab_ref[0, :, k:k+1]               # [MB, 1] static slice
-				b = ab_ref[1, :, k:k+1]
+				a = ab_ref[0, 0, :, k:k+1]            # [MB, 1] static slice
+				b = ab_ref[1, 0, :, k:k+1]
 				gA_n = a*(ctvv*gA_c - b*gA_p)
 				gB_n = a*(ctvv*gB_c - b*gB_p)
 				gA_p, gA_c = gA_c, gA_n
 				gB_p, gB_c = gB_c, gB_n
 				for ci in range(C):
-					am = a_ref[ci, :, k:k+1]
+					am = a_ref[ci, 0, :, k:k+1]
 					BkA[ci] = BkA[ci] + am*gA_c
 					BkB[ci] = BkB[ci] + am*gB_c
 			# one fused node->ring matmul: data folds, then the end states
@@ -785,9 +791,9 @@ def _synth_blk_call(A, lmax, mmax, state, start64, ctv, W, interpret=False):
 		kern,
 		grid=grid,
 		in_specs=[
-			pl.BlockSpec((C, MB, BLK_LB), lambda im, it, il: (0, im, il),
+			pl.BlockSpec((C, 1, MB, BLK_LB), lambda im, it, il: (0, il, im, 0),
 				memory_space=pltpu.VMEM),
-			pl.BlockSpec((2, MB, BLK_LB), lambda im, it, il: (0, im, il),
+			pl.BlockSpec((2, 1, MB, BLK_LB), lambda im, it, il: (0, il, im, 0),
 				memory_space=pltpu.VMEM),
 			pl.BlockSpec((3, MB, tb), lambda im, it, il: (0, im, it),
 				memory_space=pltpu.VMEM),
@@ -863,7 +869,10 @@ def _anal_blk_call(F, lmax, mmax, state, start64, ctv, W, interpret=False):
 	nmp = _ceil(nm, MB)*MB
 	nlp = _ceil(nl, BLK_LB)*BLK_LB
 	ntp = ntb_n*tb
-	abT = jnp.moveaxis(_recur_ab_tables(nlp, nmp), 1, 2)  # [2, nmp, nlp]
+	# l-blocks on a leading axis (same Mosaic lane-divisibility rule as
+	# _synth_blk_call's tables)
+	abT = jnp.moveaxis(_recur_ab_tables(nlp, nmp), 1, 2).reshape(
+		2, nmp, nlp//BLK_LB, BLK_LB).transpose(0, 2, 1, 3)
 	Fp = jnp.zeros((C, nmp, ntp), jnp.float32).at[:, :nm, :F.shape[-1]].set(F[0])
 	grid = (nmp//MB, ntb_n, nlp//BLK_LB)
 	band = np.float32(2.0**S32)
@@ -910,8 +919,8 @@ def _anal_blk_call(F, lmax, mmax, state, start64, ctv, W, interpret=False):
 			Wc = [dott(currf*f_ref[ci]) for ci in range(C)]
 			Wp = [dott(prevf*f_ref[ci]) for ci in range(C)]
 			for k in range(BLK_LB):
-				a = ab_ref[0, :, k:k+1]
-				b = ab_ref[1, :, k:k+1]
+				a = ab_ref[0, 0, :, k:k+1]
+				b = ab_ref[1, 0, :, k:k+1]
 				gA_n = a*(ctvv*gA_c - b*gA_p)
 				gB_n = a*(ctvv*gB_c - b*gB_p)
 				gA_p, gA_c = gA_c, gA_n
@@ -938,7 +947,7 @@ def _anal_blk_call(F, lmax, mmax, state, start64, ctv, W, interpret=False):
 		in_specs=[
 			pl.BlockSpec((C, MB, tb), lambda im, it, il: (0, im, it),
 				memory_space=pltpu.VMEM),
-			pl.BlockSpec((2, MB, BLK_LB), lambda im, it, il: (0, im, il),
+			pl.BlockSpec((2, 1, MB, BLK_LB), lambda im, it, il: (0, il, im, 0),
 				memory_space=pltpu.VMEM),
 			pl.BlockSpec((3, MB, tb), lambda im, it, il: (0, im, it),
 				memory_space=pltpu.VMEM),
