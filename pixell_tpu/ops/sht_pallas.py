@@ -582,9 +582,20 @@ def _synthesis_fast(A, theta, lmax, mmax, mode, interpret, ds=False):
 # (prototype: 2e-6 vs f64 on zero-growth tiles). Measured eligibility at
 # lmax 5000 (tb=1024): ~48% of live tiles; the rest stay stepwise.
 # ---------------------------------------------------------------------------
-BLK_LB = 64        # degrees per MXU block (Chebyshev rank = BLK_LB + 2 = 66)
-BLK_JP = 128       # padded coefficient lane count (>= BLK_LB + 2)
-BLK_GMAX = 2.0     # growth-bits eligibility cutoff (see accuracy note above)
+BLK_LB = 112       # degrees per MXU block; the Lagrange interpolation from
+# BLK_JP nodes is exact for polynomials of degree < BLK_JP, and alpha_k has
+# degree k+1 <= BLK_LB+1, so BLK_LB can approach BLK_JP: 112 (vs the first
+# version's 64) nearly halves the per-degree matmul cost and block-boundary
+# overhead at the same build cost. Must stay a multiple of LB (the stepwise
+# handoff is in LB-step units) and <= BLK_JP - 2.
+BLK_JP = 128       # node count = matmul contraction rank (one lane tile)
+BLK_KU = 16        # build-loop unroll: the k-chain runs as a fori_loop over
+# BLK_LB//BLK_KU groups of BLK_KU unrolled steps. Fully unrolled (v1) the
+# 64-step body took ~14 min to Mosaic-compile through the remote tunnel;
+# the rolled form compiles like the stepwise kernel.
+BLK_GMAX = 3.0     # growth-bits eligibility cutoff: the blocked evaluation
+# error is ~BLK_JP*eps*2^G ~ 6e-5 at G=3, below the fast tier's own ~l*eps
+# bulk floor (5.7e-4 at lmax 5000); larger G admits more tiles
 BLK_MINL = 1024    # only engage above this lmax (small/sym grids don't gain)
 # Measured on v5e at lmax 5000 (2026-08-19, scalar C=2 synthesis): stepwise
 # 690 ms; split = stepwise-prefix 404 ms + block kernel ~266 ms = parity,
@@ -715,15 +726,18 @@ def _synth_blk_call(A, lmax, mmax, state, start64, ctv, W, interpret=False):
 	nmp = _ceil(nm, MB)*MB
 	nlp = _ceil(nl, BLK_LB)*BLK_LB
 	ntp = ntb_n*tb
-	# l-blocks ride a LEADING axis [.., nlb, nmp, BLK_LB]: Mosaic requires the
-	# lane-dim block to be 128-divisible OR the full extent, and BLK_LB=64 is
-	# only legal as the full last dim (caught on chip: interpret mode accepts
-	# the [*, MB, BLK_LB] blocking of a [*, nmp, nlp] table, hardware doesn't)
+	nko = BLK_LB//BLK_KU
+	# k rides the last axis in BLK_KU-wide groups ([nlb, nko, ., nmp, KU]):
+	# the build loop indexes the group dynamically (fori_loop) and the
+	# in-group columns statically. Mosaic requires the lane-dim block to be
+	# 128-divisible OR the full extent; KU=16 is legal only as the full
+	# last dim (caught on chip: interpret mode accepts non-conforming lane
+	# blocks of a bigger array, hardware doesn't).
 	abT = jnp.moveaxis(_recur_ab_tables(nlp, nmp), 1, 2).reshape(
-		2, nmp, nlp//BLK_LB, BLK_LB).transpose(0, 2, 1, 3)
+		2, nmp, nlp//BLK_LB, nko, BLK_KU).transpose(2, 3, 0, 1, 4)
 	ApT = jnp.zeros((C, nmp, nlp), jnp.float32).at[:, :nm, :nl].set(
 		jnp.transpose(A, (2, 1, 0))).reshape(
-		C, nmp, nlp//BLK_LB, BLK_LB).transpose(0, 2, 1, 3)
+		C, nmp, nlp//BLK_LB, nko, BLK_KU).transpose(2, 3, 0, 1, 4)
 	grid = (nmp//MB, ntb_n, nlp//BLK_LB)
 	band = np.float32(2.0**S32)
 	invband = np.float32(2.0**-S32)
@@ -750,25 +764,35 @@ def _synth_blk_call(A, lmax, mmax, state, start64, ctv, W, interpret=False):
 			ctvv = ctv_ref[0, 0:1, :]                 # [1, JP]
 			one = jnp.ones((MB, JP), jnp.float32)
 			zero = jnp.zeros((MB, JP), jnp.float32)
-			gA_c, gA_p = one, zero                    # alpha_{-1}=1, alpha_{-2}=0
-			gB_c, gB_p = zero, one                    # beta_{-1}=0,  beta_{-2}=1
-			BkA = [zero for _ in range(C)]
-			BkB = [zero for _ in range(C)]
-			for k in range(BLK_LB):
-				a = ab_ref[0, 0, :, k:k+1]            # [MB, 1] static slice
-				b = ab_ref[1, 0, :, k:k+1]
-				gA_n = a*(ctvv*gA_c - b*gA_p)
-				gB_n = a*(ctvv*gB_c - b*gB_p)
-				gA_p, gA_c = gA_c, gA_n
-				gB_p, gB_c = gB_c, gB_n
-				for ci in range(C):
-					am = a_ref[ci, 0, :, k:k+1]
-					BkA[ci] = BkA[ci] + am*gA_c
-					BkB[ci] = BkB[ci] + am*gB_c
-			# one fused node->ring matmul: data folds, then the end states
+			def build(ko, cy):
+				gA_c, gA_p, gB_c, gB_p = cy[:4]
+				Bk = list(cy[4:])
+				ag = ab_ref[0, ko, 0]                 # [MB, KU]
+				bg = ab_ref[0, ko, 1]
+				amg = [a_ref[0, ko, ci] for ci in range(C)]
+				for k in range(BLK_KU):
+					a = ag[:, k:k+1]                  # [MB, 1] static slice
+					b = bg[:, k:k+1]
+					gA_n = a*(ctvv*gA_c - b*gA_p)
+					gB_n = a*(ctvv*gB_c - b*gB_p)
+					gA_p, gA_c = gA_c, gA_n
+					gB_p, gB_c = gB_c, gB_n
+					for ci in range(C):
+						am = amg[ci][:, k:k+1]
+						Bk[ci] = Bk[ci] + am*gA_c
+						Bk[C + ci] = Bk[C + ci] + am*gB_c
+				return (gA_c, gA_p, gB_c, gB_p) + tuple(Bk)
+			cy = jax.lax.fori_loop(0, nko, build,
+				(one, zero, zero, one) + (zero,)*(2*C))
+			gA_c, gA_p, gB_c, gB_p = cy[:4]
+			BkA, BkB = list(cy[4:4+C]), list(cy[4+C:])
+			# one fused node->ring matmul: data folds, then the end states.
+			# HIGH precision (3-pass bf16) keeps ~f32 product accuracy at
+			# half the HIGHEST (6-pass) cost; the summands are O(1) by the
+			# BLK_GMAX eligibility bound.
 			L = jnp.concatenate(BkA + BkB + [gA_c, gA_p, gB_c, gB_p], axis=0)
 			E = jax.lax.dot_general(L, w_ref[0], (((1,), (0,)), ((), ())),
-				precision=jax.lax.Precision.HIGHEST,
+				precision=jax.lax.Precision.HIGH,
 				preferred_element_type=jnp.float32)   # [(2C+4)*MB, tb]
 			# emission scale from the (block-constant) entry level; -2 emits
 			# at 2^-120 so only true values < ~2e-17 are dropped
@@ -791,10 +815,10 @@ def _synth_blk_call(A, lmax, mmax, state, start64, ctv, W, interpret=False):
 		kern,
 		grid=grid,
 		in_specs=[
-			pl.BlockSpec((C, 1, MB, BLK_LB), lambda im, it, il: (0, il, im, 0),
-				memory_space=pltpu.VMEM),
-			pl.BlockSpec((2, 1, MB, BLK_LB), lambda im, it, il: (0, il, im, 0),
-				memory_space=pltpu.VMEM),
+			pl.BlockSpec((1, nko, C, MB, BLK_KU),
+				lambda im, it, il: (il, 0, 0, im, 0), memory_space=pltpu.VMEM),
+			pl.BlockSpec((1, nko, 2, MB, BLK_KU),
+				lambda im, it, il: (il, 0, 0, im, 0), memory_space=pltpu.VMEM),
 			pl.BlockSpec((3, MB, tb), lambda im, it, il: (0, im, it),
 				memory_space=pltpu.VMEM),
 			# the start table rides whole in SMEM (TPU lowering rejects
@@ -869,10 +893,11 @@ def _anal_blk_call(F, lmax, mmax, state, start64, ctv, W, interpret=False):
 	nmp = _ceil(nm, MB)*MB
 	nlp = _ceil(nl, BLK_LB)*BLK_LB
 	ntp = ntb_n*tb
-	# l-blocks on a leading axis (same Mosaic lane-divisibility rule as
-	# _synth_blk_call's tables)
+	nko = BLK_LB//BLK_KU
+	# k in BLK_KU groups on the last axis (same Mosaic lane-divisibility
+	# rule and fori_loop build as _synth_blk_call's tables)
 	abT = jnp.moveaxis(_recur_ab_tables(nlp, nmp), 1, 2).reshape(
-		2, nmp, nlp//BLK_LB, BLK_LB).transpose(0, 2, 1, 3)
+		2, nmp, nlp//BLK_LB, nko, BLK_KU).transpose(2, 3, 0, 1, 4)
 	Fp = jnp.zeros((C, nmp, ntp), jnp.float32).at[:, :nm, :F.shape[-1]].set(F[0])
 	grid = (nmp//MB, ntb_n, nlp//BLK_LB)
 	band = np.float32(2.0**S32)
@@ -904,8 +929,6 @@ def _anal_blk_call(F, lmax, mmax, state, start64, ctv, W, interpret=False):
 			ctvv = ctv_ref[0, 0:1, :]                 # [1, JP]
 			one = jnp.ones((MB, JP), jnp.float32)
 			zero = jnp.zeros((MB, JP), jnp.float32)
-			gA_c, gA_p = one, zero
-			gB_c, gB_p = zero, one
 			fac = jnp.where(lev == 0, 1.0, jnp.where(lev == -1, fac_m1,
 				jnp.where(lev == -2, FAC_M2, 0.0)))
 			currf = curr*fac
@@ -914,25 +937,32 @@ def _anal_blk_call(F, lmax, mmax, state, start64, ctv, W, interpret=False):
 			# contract theta FIRST: Wc[m, j] = sum_t curr*fac*F(m,t) W(j,t)
 			dott = lambda L: jax.lax.dot_general(L, Wt,
 				(((1,), (1,)), ((), ())),
-				precision=jax.lax.Precision.HIGHEST,
+				precision=jax.lax.Precision.HIGH,
 				preferred_element_type=jnp.float32)
 			Wc = [dott(currf*f_ref[ci]) for ci in range(C)]
 			Wp = [dott(prevf*f_ref[ci]) for ci in range(C)]
-			for k in range(BLK_LB):
-				a = ab_ref[0, 0, :, k:k+1]
-				b = ab_ref[1, 0, :, k:k+1]
-				gA_n = a*(ctvv*gA_c - b*gA_p)
-				gB_n = a*(ctvv*gB_c - b*gB_p)
-				gA_p, gA_c = gA_c, gA_n
-				gB_p, gB_c = gB_c, gB_n
-				for ci in range(C):
-					sbuf[ci][k] = gA_c*Wc[ci] + gB_c*Wp[ci]
+			def build(ko, cy):
+				gA_c, gA_p, gB_c, gB_p = cy
+				ag = ab_ref[0, ko, 0]                 # [MB, KU]
+				bg = ab_ref[0, ko, 1]
+				for k in range(BLK_KU):
+					a = ag[:, k:k+1]
+					b = bg[:, k:k+1]
+					gA_n = a*(ctvv*gA_c - b*gA_p)
+					gB_n = a*(ctvv*gB_c - b*gB_p)
+					gA_p, gA_c = gA_c, gA_n
+					gB_p, gB_c = gB_c, gB_n
+					for ci in range(C):
+						sbuf[ci][ko*BLK_KU + k] = gA_c*Wc[ci] + gB_c*Wp[ci]
+				return (gA_c, gA_p, gB_c, gB_p)
+			gA_c, gA_p, gB_c, gB_p = jax.lax.fori_loop(0, nko, build,
+				(one, zero, zero, one))
 			for ci in range(C):
 				out_ref[0, ci] = jnp.sum(sbuf[ci][:], -1)   # [LB, MB]
 			# state propagation to the next block: one fused matmul
 			L2 = jnp.concatenate([gA_c, gA_p, gB_c, gB_p], axis=0)  # [4MB, JP]
 			E = jax.lax.dot_general(L2, Wt, (((1,), (0,)), ((), ())),
-				precision=jax.lax.Precision.HIGHEST,
+				precision=jax.lax.Precision.HIGH,
 				preferred_element_type=jnp.float32)
 			ncurr = E[:MB]*curr + E[2*MB:3*MB]*prev
 			nprev = E[MB:2*MB]*curr + E[3*MB:]*prev
@@ -947,8 +977,8 @@ def _anal_blk_call(F, lmax, mmax, state, start64, ctv, W, interpret=False):
 		in_specs=[
 			pl.BlockSpec((C, MB, tb), lambda im, it, il: (0, im, it),
 				memory_space=pltpu.VMEM),
-			pl.BlockSpec((2, 1, MB, BLK_LB), lambda im, it, il: (0, il, im, 0),
-				memory_space=pltpu.VMEM),
+			pl.BlockSpec((1, nko, 2, MB, BLK_KU),
+				lambda im, it, il: (il, 0, 0, im, 0), memory_space=pltpu.VMEM),
 			pl.BlockSpec((3, MB, tb), lambda im, it, il: (0, im, it),
 				memory_space=pltpu.VMEM),
 			pl.BlockSpec(start64_shape, lambda im, it, il: (0, 0),

@@ -239,10 +239,10 @@ def test_blocked_legendre_split(monkeypatch):
 	are forced so a CPU-sized lmax has eligible (fully oscillatory)
 	blocks; production engages at lmax >= BLK_MINL with tb=1024."""
 	monkeypatch.setattr(sht_pallas, "TB", 256)
-	monkeypatch.setattr(sht_pallas, "BLK_MINL", 512)
+	monkeypatch.setattr(sht_pallas, "BLK_MINL", 256)
 	monkeypatch.setattr(sht_pallas, "BLK_ENABLE", True)
 	sht_pallas._BLK_TABLE_CACHE.clear()
-	lmax = 600
+	lmax = 448
 	theta = np.asarray(sht.ring_theta("F1", 2*lmax + 2), np.float64)[:-3]
 	nt = len(theta)
 	assert sht_pallas._detect_sym(theta) is None
