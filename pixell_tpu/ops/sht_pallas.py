@@ -540,7 +540,9 @@ def _synthesis_fast(A, theta, lmax, mmax, mode, interpret, ds=False):
 			return _synthesis_scan_pallas_blocked(A, theta, lmax, mmax,
 				interpret=interpret, cth=cth, ctl=ctl)
 		return _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode=mode,
-			interpret=interpret, ds=ds, cth=cth, ctl=ctl)
+			interpret=interpret, ds=ds, cth=cth, ctl=ctl,
+			lstop=_dead_lstop(theta, lmax, mmax, sht_core.NFUN[mode],
+				A.shape[-1], ds))
 	nt = int(np.shape(theta)[0])
 	theta_h = np.asarray(theta, np.float64)[:nh]
 	cth, ctl = _ct_parts(theta_h)
@@ -660,6 +662,48 @@ def _blk_start_table(theta, lmax, mmax, tb):
 			start[imb, itb_] = s
 	_BLK_TABLE_CACHE[key] = start
 	return start
+
+
+_DEAD_TABLE_CACHE = {}
+
+def _dead_table(theta, lmax, mmax, tb, s=0):
+	"""[nmb, ntb] bool: True where the (m-tile, theta-tile) pair lies
+	entirely beyond the horizon -- m_lo - s > lmax*sin_max(tile) + slack --
+	so every lambda_lm (or d^l_{ms}) on the tile is below ~1e-12 for every
+	l <= lmax and the tile contributes nothing at f32. The slack follows the
+	measured evanescent decay rate (~exp(-c*slack^1.5/sqrt(lmax)) beyond the
+	classical turning point): 1.6*sqrt(lmax)+20 keeps the skipped maximum
+	under ~1e-12 (vs the fast tier's ~l*eps floor). Mirrors the reference's
+	ducc0 engine, which skips m > lmax*sin(theta)+slack per ring chunk.
+	Host-side, cached."""
+	th = np.asarray(theta, np.float64)
+	key = (th.tobytes(), lmax, mmax, tb, s)
+	hit = _DEAD_TABLE_CACHE.get(key)
+	if hit is not None: return hit
+	nt = len(th); nm = mmax + 1
+	ntp = _ceil(nt, tb)*tb
+	nmp = _ceil(nm, MB)*MB
+	st = np.zeros(ntp)
+	st[:nt] = np.sin(th)
+	smax = st.reshape(-1, tb).max(1)                    # [ntb]
+	slack = 1.6*np.sqrt(max(lmax, 1)) + 20
+	m_lo = np.arange(nmp//MB)*MB
+	dead = (m_lo[:, None] - s) > (lmax*smax[None, :] + slack)
+	_DEAD_TABLE_CACHE[key] = dead
+	return dead
+
+
+def _dead_lstop(theta, lmax, mmax, nfun, C, ds, s=0):
+	"""lstop table [nmb, ntb] (LB-block units) that makes the stepwise
+	kernels skip dead (beyond-horizon) tiles entirely, or None when nothing
+	is dead / theta is traced. ~14% of the live work at lmax 5000 on a
+	full-sky grid, growing with lmax."""
+	if isinstance(theta, jax.core.Tracer): return None
+	tb = _pick_tb(nfun, C, nt=int(np.shape(theta)[0]), ds=ds)
+	dead = _dead_table(theta, lmax, mmax, tb, s=s)
+	if not dead.any(): return None
+	nlb = _ceil(lmax + 1, LB)
+	return jnp.asarray(np.where(dead, 0, nlb).astype(np.int32))
 
 
 def _blk_node_tables(cth, nt, ntp, tb):
@@ -855,9 +899,15 @@ def _synthesis_scan_pallas_blocked(A, theta, lmax, mmax, interpret=False,
 	tb = _pick_tb(1, C, nt=nt, ds=False)
 	start = _blk_start_table(theta, lmax, mmax, tb)
 	nlb = _ceil(lmax + 1, BLK_LB)
+	# dead (beyond-horizon) tiles: neither kernel runs them -- start=nlb
+	# keeps the block kernel out, lstop=0 keeps the stepwise prefix out
+	dead = _dead_table(theta, lmax, mmax, tb)
+	start = np.where(dead, nlb, start)
 	if not np.any(start < nlb):
 		return _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode="scalar",
-			interpret=interpret, ds=False, cth=cth, ctl=ctl)
+			interpret=interpret, ds=False, cth=cth, ctl=ctl,
+			lstop=_dead_lstop(theta, lmax, mmax, 1, C, False))
+	lstop = jnp.asarray(np.where(dead, 0, start*(BLK_LB//LB)), jnp.int32)
 	ntp = _ceil(nt, tb)*tb
 	if cth is None:
 		cp = _ct_parts(theta)
@@ -867,7 +917,7 @@ def _synthesis_scan_pallas_blocked(A, theta, lmax, mmax, interpret=False,
 	# kernel 1: stepwise up to each tile's handoff degree, dumping state
 	G1, state = _synthesis_scan_pallas_full(A, theta, lmax, mmax,
 		mode="scalar", interpret=interpret, ds=False, cth=cth, ctl=ctl,
-		lstop=jnp.asarray(start*(BLK_LB//LB), jnp.int32), dump_state=True)
+		lstop=lstop, dump_state=True)
 	# kernel 2: MXU blocks over the eligible suffix
 	G2 = _synth_blk_call(A, lmax, mmax, state, jnp.asarray(start), ctv, W,
 		interpret=interpret)
@@ -1010,9 +1060,13 @@ def _analysis_scan_pallas_blocked(F, theta, lmax, mmax, interpret=False,
 	tb = _pick_tb(1, C, nt=nt, ds=False)
 	start = _blk_start_table(theta, lmax, mmax, tb)
 	nlb = _ceil(lmax + 1, BLK_LB)
+	dead = _dead_table(theta, lmax, mmax, tb)
+	start = np.where(dead, nlb, start)
 	if not np.any(start < nlb):
 		return _analysis_scan_pallas_full(F, theta, lmax, mmax, mode="scalar",
-			interpret=interpret, ds=False, cth=cth, ctl=ctl)
+			interpret=interpret, ds=False, cth=cth, ctl=ctl,
+			lstop=_dead_lstop(theta, lmax, mmax, 1, C, False))
+	lstop = jnp.asarray(np.where(dead, 0, start*(BLK_LB//LB)), jnp.int32)
 	ntp = _ceil(nt, tb)*tb
 	if cth is None:
 		cp = _ct_parts(theta)
@@ -1021,7 +1075,7 @@ def _analysis_scan_pallas_blocked(F, theta, lmax, mmax, interpret=False,
 	ctv, W = _blk_node_tables(cth, nt, ntp, tb)
 	out1, state = _analysis_scan_pallas_full(F, theta, lmax, mmax,
 		mode="scalar", interpret=interpret, ds=False, cth=cth, ctl=ctl,
-		lstop=jnp.asarray(start*(BLK_LB//LB), jnp.int32), dump_state=True)
+		lstop=lstop, dump_state=True)
 	out2 = _anal_blk_call(F, lmax, mmax, state, jnp.asarray(start), ctv, W,
 		interpret=interpret)
 	return out1 + out2
@@ -1033,7 +1087,9 @@ def _anal_full_fast(F, theta, lmax, mmax, mode, interpret, ds, cth, ctl):
 		return _analysis_scan_pallas_blocked(F, theta, lmax, mmax,
 			interpret=interpret, cth=cth, ctl=ctl)
 	return _analysis_scan_pallas_full(F, theta, lmax, mmax, mode=mode,
-		interpret=interpret, ds=ds, cth=cth, ctl=ctl)
+		interpret=interpret, ds=ds, cth=cth, ctl=ctl,
+		lstop=_dead_lstop(theta, lmax, mmax, sht_core.NFUN[mode],
+			F.shape[1], ds))
 
 
 @functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "interpret", "ds",
@@ -1147,6 +1203,17 @@ def _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode="scalar", interpret=F
 			lambda im, it, il: (0, im, it), memory_space=pltpu.VMEM))
 		out_shape = (jax.ShapeDtypeStruct((nfun, C, nmp, ntp), jnp.float32),
 			jax.ShapeDtypeStruct((nstate, nmp, ntp), jnp.float32))
+		args = (Ap, th, seedv, seedl, ab, jnp.asarray(lstop, jnp.int32))
+	elif lstop is not None:
+		# lstop without state dump: per-tile l cutoffs (dead-tile skip)
+		def kern(a_ref, th_ref, sv_ref, sl_ref, ab_ref, ls_ref, out_ref,
+				*scratch):
+			kern_impl(a_ref, th_ref, sv_ref, sl_ref, ab_ref, out_ref, scratch,
+				ls_ref=ls_ref)
+		in_specs.append(pl.BlockSpec((nmp//MB, ntp//tb),
+			lambda im, it, il: (0, 0), memory_space=pltpu.SMEM))
+		out_specs = out_spec
+		out_shape = jax.ShapeDtypeStruct((nfun, C, nmp, ntp), jnp.float32)
 		args = (Ap, th, seedv, seedl, ab, jnp.asarray(lstop, jnp.int32))
 	else:
 		def kern(a_ref, th_ref, sv_ref, sl_ref, ab_ref, out_ref, *scratch):
@@ -1558,6 +1625,17 @@ def _analysis_scan_pallas_full(F, theta, lmax, mmax, mode="scalar", interpret=Fa
 		out_shape = (jax.ShapeDtypeStruct((ntb, C, nlp, nmp), jnp.float32),
 			jax.ShapeDtypeStruct((nstate, nmp, ntp), jnp.float32))
 		args = (Fp, th, seedv, seedl, ab, jnp.asarray(lstop, jnp.int32))
+	elif lstop is not None:
+		# lstop without state dump: per-tile l cutoffs (dead-tile skip)
+		def kern(f_ref, th_ref, sv_ref, sl_ref, ab_ref, ls_ref, out_ref,
+				*scratch):
+			kern_impl(f_ref, th_ref, sv_ref, sl_ref, ab_ref, out_ref, scratch,
+				ls_ref=ls_ref)
+		in_specs.append(pl.BlockSpec((nmp//MB, ntb),
+			lambda im, it, il: (0, 0), memory_space=pltpu.SMEM))
+		out_specs = out_spec
+		out_shape = jax.ShapeDtypeStruct((ntb, C, nlp, nmp), jnp.float32)
+		args = (Fp, th, seedv, seedl, ab, jnp.asarray(lstop, jnp.int32))
 	else:
 		def kern(f_ref, th_ref, sv_ref, sl_ref, ab_ref, out_ref, *scratch):
 			kern_impl(f_ref, th_ref, sv_ref, sl_ref, ab_ref, out_ref, scratch)
@@ -1630,10 +1708,13 @@ def _wigner_synth_full(A, theta, lmax, mmax, s, interpret=False, ds=False):
 	x = (lam_p - (-1)^s lam_m)/2. A [nl, nm, C] -> G [2(fun), C, nm, nt]."""
 	cp = _ct_parts(theta)
 	cth, ctl = cp if cp is not None else (None, None)
+	lstop = _dead_lstop(theta, lmax, mmax, 1, A.shape[-1], ds, s=int(s))
 	Gp = _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode="wigner",
-		interpret=interpret, ds=ds, cth=cth, ctl=ctl, wig_s=int(s), wig_branch=0)[0]
+		interpret=interpret, ds=ds, cth=cth, ctl=ctl, wig_s=int(s),
+		wig_branch=0, lstop=lstop)[0]
 	Gm = _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode="wigner",
-		interpret=interpret, ds=ds, cth=cth, ctl=ctl, wig_s=int(s), wig_branch=1)[0]
+		interpret=interpret, ds=ds, cth=cth, ctl=ctl, wig_s=int(s),
+		wig_branch=1, lstop=lstop)[0]
 	sgs = np.float32((-1.0)**int(s))
 	return jnp.stack([0.5*(Gp + sgs*Gm), 0.5*(Gp - sgs*Gm)])
 
@@ -1682,11 +1763,13 @@ def _wigner_anal_full(F, theta, lmax, mmax, s, interpret=False, ds=False):
 		i1 = min(i0 + TCHUNK, nt)
 		cp = _ct_parts(theta[i0:i1])
 		cth, ctl = cp if cp is not None else (None, None)
+		lstop = _dead_lstop(theta[i0:i1], lmax, mmax, 1, F.shape[1], ds,
+			s=int(s)) if not isinstance(theta, jax.core.Tracer) else None
 		part = None
 		for br in (0, 1):
 			p = _analysis_scan_pallas_full(Fb[br][None, ..., i0:i1], theta[i0:i1],
 				lmax, mmax, mode="wigner", interpret=interpret, ds=ds, cth=cth,
-				ctl=ctl, wig_s=int(s), wig_branch=br)
+				ctl=ctl, wig_s=int(s), wig_branch=br, lstop=lstop)
 			part = p if part is None else part + p
 		out = part if out is None else out + part
 	return out

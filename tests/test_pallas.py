@@ -269,3 +269,37 @@ def test_blocked_legendre_split(monkeypatch):
 	# nonzero = the blocked path actually ran; small = it ran correctly
 	assert 0 < es < 3e-5, es
 	assert 0 < ea < 3e-5, ea
+
+
+@pytest.mark.slow
+def test_dead_tile_skip(monkeypatch):
+	"""The beyond-horizon (m-tile, theta-tile) skip must leave the kernel
+	outputs unchanged to ~1e-10: the skipped tiles' true contributions are
+	below the _dead_table slack bound. Narrow theta tiles are forced so a
+	CPU-sized lmax has dead tiles (production: ~14% of lmax-5000 work)."""
+	monkeypatch.setattr(sht_pallas, "TB", 256)
+	lmax = 600
+	theta = np.asarray(sht.ring_theta("F1", 2*lmax + 2), np.float64)[:-3]
+	nt = len(theta)
+	tb = sht_pallas._pick_tb(1, 2, nt=nt)
+	dead = sht_pallas._dead_table(theta, lmax, lmax, tb)
+	assert dead.any(), "test geometry has no dead tiles"
+	rng = np.random.default_rng(0)
+	A = np.zeros((lmax+1, lmax+1, 2), np.float32)
+	mask = np.tril(np.ones((lmax+1, lmax+1), bool))
+	A[mask] = rng.standard_normal((int(mask.sum()), 2)).astype(np.float32)
+	F = rng.standard_normal((1, 2, lmax+1, nt)).astype(np.float32)
+	G_skip = np.asarray(sht_pallas.synthesis_scan_pallas(A, theta, lmax, lmax,
+		mode="scalar", interpret=True))
+	O_skip = np.asarray(sht_pallas.analysis_scan_pallas_chunked(F, theta,
+		lmax, lmax, mode="scalar", interpret=True))
+	monkeypatch.setattr(sht_pallas, "_dead_lstop",
+		lambda *a, **k: None)
+	G_full = np.asarray(sht_pallas.synthesis_scan_pallas(A, theta, lmax, lmax,
+		mode="scalar", interpret=True))
+	O_full = np.asarray(sht_pallas.analysis_scan_pallas_chunked(F, theta,
+		lmax, lmax, mode="scalar", interpret=True))
+	es = np.abs(G_skip - G_full).max()/np.abs(G_full).max()
+	ea = np.abs(O_skip - O_full).max()/np.abs(O_full).max()
+	assert es < 1e-9, es
+	assert ea < 1e-9, ea
