@@ -538,7 +538,7 @@ def _synthesis_fast(A, theta, lmax, mmax, mode, interpret, ds=False):
 		cth, ctl = cp if cp is not None else (None, None)
 		if _blk_ok(mode, ds, theta, lmax):
 			return _synthesis_scan_pallas_blocked(A, theta, lmax, mmax,
-				interpret=interpret, cth=cth, ctl=ctl)
+				interpret=interpret, cth=cth, ctl=ctl, mode=mode)
 		return _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode=mode,
 			interpret=interpret, ds=ds, cth=cth, ctl=ctl,
 			lstop=_dead_lstop(theta, lmax, mmax, sht_core.NFUN[mode],
@@ -612,7 +612,7 @@ BLK_ENABLE = False
 FAC_M2 = np.float32(2.0**(-2*S32))  # emission scale for state level -2
 
 def _blk_ok(mode, ds, theta, lmax):
-	return (BLK_ENABLE and mode == "scalar" and not ds
+	return (BLK_ENABLE and mode in ("scalar", "spin2") and not ds
 		and lmax >= BLK_MINL and not isinstance(theta, jax.core.Tracer))
 
 _BLK_TABLE_CACHE = {}
@@ -623,7 +623,7 @@ def _blk_start_table(theta, lmax, mmax, tb):
 	tile's worst corner (m_hi, |ct|max) <= BLK_GMAX bits). int32
 	[nmb, ntb]; nlb means 'fully stepwise'. Host-side, cached."""
 	th = np.asarray(theta, np.float64)
-	key = (th.tobytes(), lmax, mmax, tb)
+	key = (th.tobytes(), lmax, mmax, tb, BLK_LB, BLK_GMAX)
 	hit = _BLK_TABLE_CACHE.get(key)
 	if hit is not None: return hit
 	nt = len(th); nm = mmax + 1; nl = lmax + 1
@@ -704,6 +704,39 @@ def _dead_lstop(theta, lmax, mmax, nfun, C, ds, s=0):
 	if not dead.any(): return None
 	nlb = _ceil(lmax + 1, LB)
 	return jnp.asarray(np.where(dead, 0, nlb).astype(np.int32))
+
+
+def _spin2_stream_tables(nlp, nmp):
+	"""Coefficient streams [4, nlp, nmp] f32 for the spin-2 MXU block fold.
+	The spin-2 mode functions separate into (l,m)-coefficient x ring-factor
+	terms (matching _make_funcs midx==3 exactly):
+	  w2 = c1*lam * 1 + c2*lam * ist2 + c3*lam1 * ct*ist2
+	  x2 = m*(c4*lam * ct*ist2 + c3*lam1 * ist2)
+	with c1 = -n2*l*(l-1), c2 = -2*n2*(l - m^2), c3 = 2*n2*e,
+	c4 = -2*n2*(l-1), n2 = 1/sqrt((l-1)l(l+1)(l+2)),
+	e = sqrt((l-m)(l+m)(2l+1)/(2l-1)) (factored like _recur_ab_tables).
+	All coefficients are zero below l = 2 (valid mask)."""
+	l = jnp.arange(nlp, dtype=jnp.float32)[:, None]
+	m = jnp.arange(nmp, dtype=jnp.float32)[None, :]
+	den = jnp.maximum((l - 1)*l*(l + 1)*(l + 2), 1.0)
+	n2 = 1.0/jnp.sqrt(den)
+	e = jnp.sqrt(jnp.maximum((l - m)*(l + m)*(2*l + 1), 0.0)
+		/ jnp.maximum(2*l - 1, 1.0))
+	valid = jnp.where(l >= 2, 1.0, 0.0)
+	ones_m = jnp.ones((1, nmp), jnp.float32)
+	c1 = -n2*l*(l - 1)*valid*ones_m
+	c2 = -2*n2*(l - m*m)*valid
+	c3 = 2*n2*e*valid
+	c4 = -2*n2*(l - 1)*valid*ones_m
+	return jnp.stack([c1, c2, c3, c4])
+
+
+def _blk_pack_tables(T, nlp, nko):
+	"""[R, nlp, nmp] -> [nlb, nko, R, nmp, BLK_KU] (the blocked kernels'
+	group-blocked k layout; see _synth_blk_call)."""
+	R, _, nmp = T.shape
+	return jnp.moveaxis(T, 1, 2).reshape(
+		R, nmp, nlp//BLK_LB, nko, BLK_KU).transpose(2, 3, 0, 1, 4)
 
 
 def _blk_node_tables(cth, nt, ntp, tb):
@@ -889,14 +922,164 @@ def _synth_blk_call(A, lmax, mmax, state, start64, ctv, W, interpret=False):
 	return out
 
 
+@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "interpret"))
+def _synth_blk_call_s2(A, lmax, mmax, state, start64, ctv, W, th, interpret=False):
+	"""Spin-2 block-kernel synthesis over the eligible l-block suffix.
+	Same build/state machinery as _synth_blk_call, but the fold accumulates
+	four coefficient streams per component (formed in-kernel from A times
+	the _spin2_stream_tables columns -- [MB,1] products, nearly free) whose
+	node->ring interpolations combine with the ring factors 1 / ist2 /
+	ct*ist2 into the (w2, x2) mode functions. th is the padded [6, ntp]
+	ring-function table from _prep_inputs (rows: ct, ct/st, 1/st, 1/st^2,
+	notpole, ct_lo). Returns G [2(fun), C, nmp, ntp] padded."""
+	A = jnp.asarray(A, jnp.float32)
+	C = A.shape[-1]
+	ntb_n, JP, tb = W.shape
+	nm = mmax + 1; nl = lmax + 1
+	nmp = _ceil(nm, MB)*MB
+	nlp = _ceil(nl, BLK_LB)*BLK_LB
+	ntp = ntb_n*tb
+	nko = BLK_LB//BLK_KU
+	abT = _blk_pack_tables(_recur_ab_tables(nlp, nmp), nlp, nko)
+	csT = _blk_pack_tables(_spin2_stream_tables(nlp, nmp), nlp, nko)
+	ApT = _blk_pack_tables(jnp.zeros((C, nlp, nmp), jnp.float32)
+		.at[:, :nl, :nm].set(jnp.moveaxis(A, -1, 0)), nlp, nko)
+	grid = (nmp//MB, ntb_n, nlp//BLK_LB)
+	band = np.float32(2.0**S32)
+	invband = np.float32(2.0**-S32)
+	fac_m1 = np.float32(2.0**-S32)
+	start64_shape = (nmp//MB, ntb_n)
+
+	def kern(a_ref, ab_ref, cs_ref, st_ref, s_ref, ctv_ref, w_ref, th_ref,
+			out_ref, *scratch):
+		im = pl.program_id(0)
+		it = pl.program_id(1)
+		il = pl.program_id(2)
+		s0 = s_ref[im, it]
+		@pl.when(il == 0)
+		def _():
+			out_ref[:] = jnp.zeros_like(out_ref)
+		@pl.when(il == s0)
+		def _():
+			for i, r in enumerate(scratch):
+				r[:] = st_ref[i]
+		@pl.when(il >= s0)
+		def _():
+			prev = scratch[0][:]
+			curr = scratch[1][:]
+			lev = scratch[2][:]
+			ctvv = ctv_ref[0, 0:1, :]                 # [1, JP]
+			one = jnp.ones((MB, JP), jnp.float32)
+			zero = jnp.zeros((MB, JP), jnp.float32)
+			# carry: chain (4) + per ci per stream (1,2,4 on alpha_k; 3 on
+			# alpha_{k-1}) x families (A, B): 8C accumulators
+			def build(ko, cy):
+				gA_c, gA_p, gB_c, gB_p = cy[:4]
+				S = list(cy[4:])                      # [ci*8 + s] layout
+				ag = ab_ref[0, ko, 0]
+				bg = ab_ref[0, ko, 1]
+				cg = [cs_ref[0, ko, s] for s in range(4)]
+				amg = [a_ref[0, ko, ci] for ci in range(C)]
+				for k in range(BLK_KU):
+					a = ag[:, k:k+1]
+					b = bg[:, k:k+1]
+					gA_n = a*(ctvv*gA_c - b*gA_p)
+					gB_n = a*(ctvv*gB_c - b*gB_p)
+					gA_p, gA_c = gA_c, gA_n
+					gB_p, gB_c = gB_c, gB_n
+					for ci in range(C):
+						am = amg[ci][:, k:k+1]
+						a1 = am*cg[0][:, k:k+1]       # [MB,1]: cheap
+						a2 = am*cg[1][:, k:k+1]
+						a3 = am*cg[2][:, k:k+1]
+						a4 = am*cg[3][:, k:k+1]
+						o = ci*8
+						S[o+0] = S[o+0] + a1*gA_c
+						S[o+1] = S[o+1] + a2*gA_c
+						S[o+2] = S[o+2] + a4*gA_c
+						S[o+3] = S[o+3] + a3*gA_p     # lam1: alpha_{k-1}
+						S[o+4] = S[o+4] + a1*gB_c
+						S[o+5] = S[o+5] + a2*gB_c
+						S[o+6] = S[o+6] + a4*gB_c
+						S[o+7] = S[o+7] + a3*gB_p
+				return (gA_c, gA_p, gB_c, gB_p) + tuple(S)
+			cy = jax.lax.fori_loop(0, nko, build,
+				(one, zero, zero, one) + (zero,)*(8*C))
+			gA_c, gA_p, gB_c, gB_p = cy[:4]
+			S = cy[4:]
+			fac = jnp.where(lev == 0, 1.0, jnp.where(lev == -1, fac_m1,
+				jnp.where(lev == -2, FAC_M2, 0.0)))
+			currf = curr*fac
+			prevf = prev*fac
+			marr = (im*MB + jax.lax.broadcasted_iota(
+				jnp.int32, (MB, 1), 0)).astype(jnp.float32)
+			ct = th_ref[0, :][None, :]                # [1, tb]
+			ist2 = th_ref[3, :][None, :]
+			ctist2 = ct*ist2
+			for ci in range(C):
+				L = jnp.concatenate(S[ci*8:(ci+1)*8], axis=0)  # [8MB, JP]
+				E = jax.lax.dot_general(L, w_ref[0], (((1,), (0,)), ((), ())),
+					precision=jax.lax.Precision.HIGH,
+					preferred_element_type=jnp.float32)        # [8MB, tb]
+				t1 = E[0*MB:1*MB]*currf + E[4*MB:5*MB]*prevf
+				t2 = E[1*MB:2*MB]*currf + E[5*MB:6*MB]*prevf
+				t4 = E[2*MB:3*MB]*currf + E[6*MB:7*MB]*prevf
+				t3 = E[3*MB:4*MB]*currf + E[7*MB:8*MB]*prevf
+				out_ref[0, 0, ci] += t1 + ist2*t2 + ctist2*t3
+				out_ref[0, 1, ci] += marr*(ctist2*t4 + ist2*t3)
+			L2 = jnp.concatenate([gA_c, gA_p, gB_c, gB_p], axis=0)
+			E2 = jax.lax.dot_general(L2, w_ref[0], (((1,), (0,)), ((), ())),
+				precision=jax.lax.Precision.HIGH,
+				preferred_element_type=jnp.float32)
+			ncurr = E2[:MB]*curr + E2[2*MB:3*MB]*prev
+			nprev = E2[MB:2*MB]*curr + E2[3*MB:]*prev
+			nprev, ncurr, lev = _rescale(nprev, ncurr, lev, band, invband)
+			scratch[0][:] = nprev
+			scratch[1][:] = ncurr
+			scratch[2][:] = lev
+
+	out = pl.pallas_call(
+		kern,
+		grid=grid,
+		in_specs=[
+			pl.BlockSpec((1, nko, C, MB, BLK_KU),
+				lambda im, it, il: (il, 0, 0, im, 0), memory_space=pltpu.VMEM),
+			pl.BlockSpec((1, nko, 2, MB, BLK_KU),
+				lambda im, it, il: (il, 0, 0, im, 0), memory_space=pltpu.VMEM),
+			pl.BlockSpec((1, nko, 4, MB, BLK_KU),
+				lambda im, it, il: (il, 0, 0, im, 0), memory_space=pltpu.VMEM),
+			pl.BlockSpec((3, MB, tb), lambda im, it, il: (0, im, it),
+				memory_space=pltpu.VMEM),
+			pl.BlockSpec(start64_shape, lambda im, it, il: (0, 0),
+				memory_space=pltpu.SMEM),
+			pl.BlockSpec((1, 8, BLK_JP), lambda im, it, il: (it, 0, 0),
+				memory_space=pltpu.VMEM),
+			pl.BlockSpec((1, BLK_JP, tb), lambda im, it, il: (it, 0, 0),
+				memory_space=pltpu.VMEM),
+			pl.BlockSpec((6, tb), lambda im, it, il: (0, it),
+				memory_space=pltpu.VMEM),
+		],
+		out_specs=pl.BlockSpec((1, 2, C, MB, tb),
+			lambda im, it, il: (0, 0, 0, im, it), memory_space=pltpu.VMEM),
+		out_shape=jax.ShapeDtypeStruct((1, 2, C, nmp, ntp), jnp.float32),
+		scratch_shapes=[pltpu.VMEM((MB, tb), jnp.float32)]*3,
+		compiler_params=pltpu.CompilerParams(
+			dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+			vmem_limit_bytes=VMEM_BUDGET),
+		interpret=interpret,
+	)(ApT, abT, csT, state, start64, ctv, W, th)
+	return out[0]
+
+
 def _synthesis_scan_pallas_blocked(A, theta, lmax, mmax, interpret=False,
-		cth=None, ctl=None):
-	"""Stepwise prefix + MXU block suffix (scalar mode, fast tier). Falls
+		cth=None, ctl=None, mode="scalar"):
+	"""Stepwise prefix + MXU block suffix (scalar/spin2, fast tier). Falls
 	back to the plain kernel when no tile has an eligible suffix."""
 	A = jnp.asarray(A, jnp.float32)
 	C = A.shape[-1]
+	nfun = sht_core.NFUN[mode]
 	nt = int(np.shape(theta)[0])
-	tb = _pick_tb(1, C, nt=nt, ds=False)
+	tb = _pick_tb(nfun, C, nt=nt, ds=False)
 	start = _blk_start_table(theta, lmax, mmax, tb)
 	nlb = _ceil(lmax + 1, BLK_LB)
 	# dead (beyond-horizon) tiles: neither kernel runs them -- start=nlb
@@ -904,9 +1087,9 @@ def _synthesis_scan_pallas_blocked(A, theta, lmax, mmax, interpret=False,
 	dead = _dead_table(theta, lmax, mmax, tb)
 	start = np.where(dead, nlb, start)
 	if not np.any(start < nlb):
-		return _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode="scalar",
+		return _synthesis_scan_pallas_full(A, theta, lmax, mmax, mode=mode,
 			interpret=interpret, ds=False, cth=cth, ctl=ctl,
-			lstop=_dead_lstop(theta, lmax, mmax, 1, C, False))
+			lstop=_dead_lstop(theta, lmax, mmax, nfun, C, False))
 	lstop = jnp.asarray(np.where(dead, 0, start*(BLK_LB//LB)), jnp.int32)
 	ntp = _ceil(nt, tb)*tb
 	if cth is None:
@@ -916,11 +1099,16 @@ def _synthesis_scan_pallas_blocked(A, theta, lmax, mmax, interpret=False,
 	ctv, W = _blk_node_tables(cth, nt, ntp, tb)
 	# kernel 1: stepwise up to each tile's handoff degree, dumping state
 	G1, state = _synthesis_scan_pallas_full(A, theta, lmax, mmax,
-		mode="scalar", interpret=interpret, ds=False, cth=cth, ctl=ctl,
+		mode=mode, interpret=interpret, ds=False, cth=cth, ctl=ctl,
 		lstop=lstop, dump_state=True)
 	# kernel 2: MXU blocks over the eligible suffix
-	G2 = _synth_blk_call(A, lmax, mmax, state, jnp.asarray(start), ctv, W,
-		interpret=interpret)
+	if mode == "spin2":
+		th = _prep_inputs(theta, lmax, mmax, mode, tb=tb, cth=cth, ctl=ctl)[0]
+		G2 = _synth_blk_call_s2(A, lmax, mmax, state, jnp.asarray(start),
+			ctv, W, th, interpret=interpret)
+	else:
+		G2 = _synth_blk_call(A, lmax, mmax, state, jnp.asarray(start), ctv, W,
+			interpret=interpret)
 	return G1 + G2[:, :, :mmax + 1, :nt]
 
 
@@ -1051,21 +1239,161 @@ def _anal_blk_call(F, lmax, mmax, state, start64, ctv, W, interpret=False):
 	return jnp.moveaxis(jnp.sum(out, axis=0), 0, -1)[:nl, :nm]
 
 
-def _analysis_scan_pallas_blocked(F, theta, lmax, mmax, interpret=False,
-		cth=None, ctl=None):
-	"""Stepwise prefix + MXU block suffix for analysis (scalar, fast tier)."""
+@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "interpret"))
+def _anal_blk_call_s2(F, lmax, mmax, state, start64, ctv, W, th, interpret=False):
+	"""Spin-2 block-kernel analysis (transpose of _synth_blk_call_s2):
+	out_l = c1*T1 + c2*T2 + m*c4*T4 + c3*(T3 + m*T5) with T_i(l) the
+	lam/lam1-weighted ring sums of the factor-combined fields
+	G1 = F0, G2 = ist2*F0, G4 = m*ct*ist2*F1, G35 = ist2*(ct*F0 + m*F1)
+	(the c3 terms share one field). F [2(fun), C, nm, nt] -> [nl, nm, C]
+	partial for the blocked region."""
 	F = jnp.asarray(F, jnp.float32)
 	C = F.shape[1]
+	ntb_n, JP, tb = W.shape
+	nm = mmax + 1; nl = lmax + 1
+	nmp = _ceil(nm, MB)*MB
+	nlp = _ceil(nl, BLK_LB)*BLK_LB
+	ntp = ntb_n*tb
+	nko = BLK_LB//BLK_KU
+	abT = _blk_pack_tables(_recur_ab_tables(nlp, nmp), nlp, nko)
+	csT = _blk_pack_tables(_spin2_stream_tables(nlp, nmp), nlp, nko)
+	Fp = jnp.zeros((2, C, nmp, ntp), jnp.float32).at[:, :, :nm, :F.shape[-1]].set(F)
+	grid = (nmp//MB, ntb_n, nlp//BLK_LB)
+	band = np.float32(2.0**S32)
+	invband = np.float32(2.0**-S32)
+	fac_m1 = np.float32(2.0**-S32)
+	start64_shape = (nmp//MB, ntb_n)
+
+	def kern(f_ref, ab_ref, cs_ref, st_ref, s_ref, ctv_ref, w_ref, th_ref,
+			out_ref, sc0, sc1, sc2, *sbuf):
+		im = pl.program_id(0)
+		it = pl.program_id(1)
+		il = pl.program_id(2)
+		scratch = (sc0, sc1, sc2)
+		s0 = s_ref[im, it]
+		@pl.when(il == s0)
+		def _():
+			for i, r in enumerate(scratch):
+				r[:] = st_ref[i]
+		@pl.when(il < s0)
+		def _():
+			out_ref[:] = jnp.zeros_like(out_ref)
+		@pl.when(il >= s0)
+		def _():
+			prev = scratch[0][:]
+			curr = scratch[1][:]
+			lev = scratch[2][:]
+			ctvv = ctv_ref[0, 0:1, :]                 # [1, JP]
+			one = jnp.ones((MB, JP), jnp.float32)
+			zero = jnp.zeros((MB, JP), jnp.float32)
+			fac = jnp.where(lev == 0, 1.0, jnp.where(lev == -1, fac_m1,
+				jnp.where(lev == -2, FAC_M2, 0.0)))
+			currf = curr*fac
+			prevf = prev*fac
+			marr = (im*MB + jax.lax.broadcasted_iota(
+				jnp.int32, (MB, 1), 0)).astype(jnp.float32)
+			ct = th_ref[0, :][None, :]
+			ist2 = th_ref[3, :][None, :]
+			Wt = w_ref[0]
+			dott = lambda L: jax.lax.dot_general(L, Wt,
+				(((1,), (1,)), ((), ())),
+				precision=jax.lax.Precision.HIGH,
+				preferred_element_type=jnp.float32)
+			Wc, Wp = [], []
+			for ci in range(C):
+				G1 = f_ref[0, ci]
+				G2 = ist2*G1
+				G4 = (marr*ct)*(ist2*f_ref[1, ci])
+				G35 = ist2*(ct*f_ref[0, ci] + marr*f_ref[1, ci])
+				Wc.append([dott(currf*G) for G in (G1, G2, G4, G35)])
+				Wp.append([dott(prevf*G) for G in (G1, G2, G4, G35)])
+			def build(ko, cy):
+				gA_c, gA_p, gB_c, gB_p = cy
+				ag = ab_ref[0, ko, 0]
+				bg = ab_ref[0, ko, 1]
+				cg = [cs_ref[0, ko, s] for s in range(4)]
+				for k in range(BLK_KU):
+					a = ag[:, k:k+1]
+					b = bg[:, k:k+1]
+					gA_n = a*(ctvv*gA_c - b*gA_p)
+					gB_n = a*(ctvv*gB_c - b*gB_p)
+					gA_p, gA_c = gA_c, gA_n
+					gB_p, gB_c = gB_c, gB_n
+					c1 = cg[0][:, k:k+1]
+					c2 = cg[1][:, k:k+1]
+					c3 = cg[2][:, k:k+1]
+					c4 = cg[3][:, k:k+1]
+					for ci in range(C):
+						Pc = c1*Wc[ci][0] + c2*Wc[ci][1] + c4*Wc[ci][2]
+						Pp = c1*Wp[ci][0] + c2*Wp[ci][1] + c4*Wp[ci][2]
+						sbuf[ci][ko*BLK_KU + k] = (gA_c*Pc + gB_c*Pp
+							+ gA_p*(c3*Wc[ci][3]) + gB_p*(c3*Wp[ci][3]))
+				return (gA_c, gA_p, gB_c, gB_p)
+			gA_c, gA_p, gB_c, gB_p = jax.lax.fori_loop(0, nko, build,
+				(one, zero, zero, one))
+			for ci in range(C):
+				out_ref[0, ci] = jnp.sum(sbuf[ci][:], -1)   # [BLK_LB, MB]
+			L2 = jnp.concatenate([gA_c, gA_p, gB_c, gB_p], axis=0)
+			E = jax.lax.dot_general(L2, Wt, (((1,), (0,)), ((), ())),
+				precision=jax.lax.Precision.HIGH,
+				preferred_element_type=jnp.float32)
+			ncurr = E[:MB]*curr + E[2*MB:3*MB]*prev
+			nprev = E[MB:2*MB]*curr + E[3*MB:]*prev
+			nprev, ncurr, lev = _rescale(nprev, ncurr, lev, band, invband)
+			scratch[0][:] = nprev
+			scratch[1][:] = ncurr
+			scratch[2][:] = lev
+
+	out = pl.pallas_call(
+		kern,
+		grid=grid,
+		in_specs=[
+			pl.BlockSpec((2, C, MB, tb), lambda im, it, il: (0, 0, im, it),
+				memory_space=pltpu.VMEM),
+			pl.BlockSpec((1, nko, 2, MB, BLK_KU),
+				lambda im, it, il: (il, 0, 0, im, 0), memory_space=pltpu.VMEM),
+			pl.BlockSpec((1, nko, 4, MB, BLK_KU),
+				lambda im, it, il: (il, 0, 0, im, 0), memory_space=pltpu.VMEM),
+			pl.BlockSpec((3, MB, tb), lambda im, it, il: (0, im, it),
+				memory_space=pltpu.VMEM),
+			pl.BlockSpec(start64_shape, lambda im, it, il: (0, 0),
+				memory_space=pltpu.SMEM),
+			pl.BlockSpec((1, 8, BLK_JP), lambda im, it, il: (it, 0, 0),
+				memory_space=pltpu.VMEM),
+			pl.BlockSpec((1, BLK_JP, tb), lambda im, it, il: (it, 0, 0),
+				memory_space=pltpu.VMEM),
+			pl.BlockSpec((6, tb), lambda im, it, il: (0, it),
+				memory_space=pltpu.VMEM),
+		],
+		out_specs=pl.BlockSpec((1, C, BLK_LB, MB),
+			lambda im, it, il: (it, 0, il, im), memory_space=pltpu.VMEM),
+		out_shape=jax.ShapeDtypeStruct((ntb_n, C, nlp, nmp), jnp.float32),
+		scratch_shapes=[pltpu.VMEM((MB, tb), jnp.float32)]*3
+			+ [pltpu.VMEM((BLK_LB, MB, BLK_JP), jnp.float32)]*C,
+		compiler_params=pltpu.CompilerParams(
+			dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+			vmem_limit_bytes=VMEM_BUDGET),
+		interpret=interpret,
+	)(Fp, abT, csT, state, start64, ctv, W, th)
+	return jnp.moveaxis(jnp.sum(out, axis=0), 0, -1)[:nl, :nm]
+
+
+def _analysis_scan_pallas_blocked(F, theta, lmax, mmax, interpret=False,
+		cth=None, ctl=None, mode="scalar"):
+	"""Stepwise prefix + MXU block suffix for analysis (scalar/spin2)."""
+	F = jnp.asarray(F, jnp.float32)
+	C = F.shape[1]
+	nfun = sht_core.NFUN[mode]
 	nt = int(np.shape(theta)[0])
-	tb = _pick_tb(1, C, nt=nt, ds=False)
+	tb = _pick_tb(nfun, C, nt=nt, ds=False)
 	start = _blk_start_table(theta, lmax, mmax, tb)
 	nlb = _ceil(lmax + 1, BLK_LB)
 	dead = _dead_table(theta, lmax, mmax, tb)
 	start = np.where(dead, nlb, start)
 	if not np.any(start < nlb):
-		return _analysis_scan_pallas_full(F, theta, lmax, mmax, mode="scalar",
+		return _analysis_scan_pallas_full(F, theta, lmax, mmax, mode=mode,
 			interpret=interpret, ds=False, cth=cth, ctl=ctl,
-			lstop=_dead_lstop(theta, lmax, mmax, 1, C, False))
+			lstop=_dead_lstop(theta, lmax, mmax, nfun, C, False))
 	lstop = jnp.asarray(np.where(dead, 0, start*(BLK_LB//LB)), jnp.int32)
 	ntp = _ceil(nt, tb)*tb
 	if cth is None:
@@ -1074,10 +1402,15 @@ def _analysis_scan_pallas_blocked(F, theta, lmax, mmax, interpret=False,
 			jnp.asarray(theta, jnp.float32)), None)
 	ctv, W = _blk_node_tables(cth, nt, ntp, tb)
 	out1, state = _analysis_scan_pallas_full(F, theta, lmax, mmax,
-		mode="scalar", interpret=interpret, ds=False, cth=cth, ctl=ctl,
+		mode=mode, interpret=interpret, ds=False, cth=cth, ctl=ctl,
 		lstop=lstop, dump_state=True)
-	out2 = _anal_blk_call(F, lmax, mmax, state, jnp.asarray(start), ctv, W,
-		interpret=interpret)
+	if mode == "spin2":
+		th = _prep_inputs(theta, lmax, mmax, mode, tb=tb, cth=cth, ctl=ctl)[0]
+		out2 = _anal_blk_call_s2(F, lmax, mmax, state, jnp.asarray(start),
+			ctv, W, th, interpret=interpret)
+	else:
+		out2 = _anal_blk_call(F, lmax, mmax, state, jnp.asarray(start), ctv, W,
+			interpret=interpret)
 	return out1 + out2
 
 
@@ -1085,7 +1418,7 @@ def _anal_full_fast(F, theta, lmax, mmax, mode, interpret, ds, cth, ctl):
 	"""Fast-tier full-kernel analysis entry: blocked split when eligible."""
 	if _blk_ok(mode, ds, theta, lmax):
 		return _analysis_scan_pallas_blocked(F, theta, lmax, mmax,
-			interpret=interpret, cth=cth, ctl=ctl)
+			interpret=interpret, cth=cth, ctl=ctl, mode=mode)
 	return _analysis_scan_pallas_full(F, theta, lmax, mmax, mode=mode,
 		interpret=interpret, ds=ds, cth=cth, ctl=ctl,
 		lstop=_dead_lstop(theta, lmax, mmax, sht_core.NFUN[mode],
