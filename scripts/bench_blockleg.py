@@ -16,24 +16,33 @@ def main():
 	ap = argparse.ArgumentParser()
 	ap.add_argument("--lmax", type=int, default=5000)
 	ap.add_argument("--nrep", type=int, default=4)
+	ap.add_argument("--mode", type=str, default="scalar",
+		help="scalar (C=2) or spin2 (C=4)")
+	ap.add_argument("--anal", action="store_true",
+		help="time the analysis direction instead of synthesis")
 	ap.add_argument("--interpret", action="store_true")
 	args = ap.parse_args()
 	import jax, jax.numpy as jnp
 	if args.interpret:
 		jax.config.update("jax_platforms", "cpu")
 	from pixell_tpu import sht
-	from pixell_tpu.ops import sht_pallas as sp
+	from pixell_tpu.ops import sht_core, sht_pallas as sp
 	lmax = args.lmax
 	nt = 2*lmax + 2
 	theta = np.asarray(sht.ring_theta("F1", nt), np.float64)
 	nl = nm = lmax + 1
+	C = {"scalar": 2, "spin2": 4}[args.mode]
+	nfun = sht_core.NFUN[args.mode]
 	rng = np.random.default_rng(0)
 	# triangular support, modest values
-	A = np.zeros((nl, nm, 2), np.float32)
+	A = np.zeros((nl, nm, C), np.float32)
 	mask = np.tril(np.ones((nl, nm), bool))
-	A[mask] = rng.standard_normal((int(mask.sum()), 2)).astype(np.float32)
+	A[mask] = rng.standard_normal((int(mask.sum()), C)).astype(np.float32)
 	A_d = jnp.asarray(A)
-	tb = sp._pick_tb(1, 2, nt=nt)
+	if args.anal:
+		A_d = jnp.asarray(rng.standard_normal(
+			(nfun, C, nm, nt)).astype(np.float32))
+	tb = sp._pick_tb(nfun, C, nt=nt)
 	start = sp._blk_start_table(theta, lmax, lmax, tb)
 	nlb = -(-nl//sp.BLK_LB)
 	print("eligible tile fraction: %.3f" % float((start < nlb).mean()))
@@ -41,7 +50,10 @@ def main():
 
 	def run(tag):
 		def step(a):
-			G = sp.synthesis_scan_pallas(a, theta, lmax, lmax, mode="scalar",
+			if args.anal:
+				return sp.analysis_scan_pallas_chunked(a, theta, lmax, lmax,
+					mode=args.mode, interpret=args.interpret)
+			G = sp.synthesis_scan_pallas(a, theta, lmax, lmax, mode=args.mode,
 				interpret=args.interpret)
 			return G
 		f = jax.jit(lambda a: jnp.sum(jnp.abs(step(a))))

@@ -197,6 +197,23 @@ def main():
 			return fn, (jnp.zeros((1, n), f32), jnp.zeros((1, n), f32))
 		checks.append(("wavelet-scale synthesis lmax10000", mk_wavelet_scale))
 
+		# --- MXU block-Legendre split (scalar + spin2): stepwise prefix with
+		#     state dump + block kernels, at a production-shaped lmax. LAST:
+		#     the flag stays on for the rest of the process. ---
+		def mk_blocked():
+			from pixell_tpu.ops import sht_pallas
+			sht_pallas.BLK_ENABLE = True
+			lmax = 2000
+			nt, nphi = 2*lmax+2, 2*lmax+4
+			theta = jnp.asarray(sht.ring_theta("F1", nt), f32)
+			w = jnp.asarray(sht.ring_weights("F1", nt), f32)
+			def fn(maps):
+				alm = sht.analysis(maps, theta, lmax, w, spin=(0, 2))
+				return sht.synthesis(alm, theta, nphi, lmax=lmax, spin=(0, 2),
+					map_dtype=f32)
+			return fn, (jnp.zeros((3, nt, nphi), f32),)
+		checks.append(("MXU blocked scalar+spin2 lmax2000", mk_blocked))
+
 	nfail = 0
 	for name, make in checks:
 		if not compile_ok(name, make):
