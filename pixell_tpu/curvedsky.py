@@ -194,8 +194,11 @@ def transfer_alm(iainfo, alm, oainfo, out=None, op=lambda a, b: b):
 	l = np.arange(lmax+1)[:, None]; m = np.arange(mmax+1)[None, :]
 	valid = l >= m
 	lv, mv = np.where(valid)
-	ii = jnp.asarray(iainfo.mstart[mv] + lv*iainfo.stride)
-	oi = jnp.asarray(oainfo.mstart[mv] + lv*oainfo.stride)
+	# int32 on the host BEFORE upload: the int64 intermediates would double
+	# the device_put footprint (2 x 200 MB at lmax 10000, right at the
+	# HBM-residency peak of big wavelet reconstructions)
+	ii = jnp.asarray(np.asarray(iainfo.mstart[mv] + lv*iainfo.stride, np.int32))
+	oi = jnp.asarray(np.asarray(oainfo.mstart[mv] + lv*oainfo.stride, np.int32))
 	if out is not None:
 		return _transfer_alm_core_out(alm, ii, oi, utils.to_device(out), op)
 	return _transfer_alm_core(alm, ii, oi, oainfo.nelem, op)

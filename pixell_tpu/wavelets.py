@@ -144,15 +144,28 @@ class CosineNeedlet:
 	def __call__(self, i, l): return self.kernel(i, l)
 
 
+OFFLOAD_BYTES = 1 << 31  # auto-offload wavelet maps to host above 2 GB total:
+# the decomposition RESULT does not need to sit in HBM while further scales
+# (or the reconstruction's analysis passes) run their multi-GB transients
+
+
 class WaveletTransform:
 	"""Map -> set of wavelet-coefficient maps and back, each scale on a
 	geometry downgraded to its bandlimit (reference wavelets.WaveletTransform:206)."""
-	def __init__(self, uht_or_geo, basis=None, ores=None, mesh=None):
+	def __init__(self, uht_or_geo, basis=None, ores=None, mesh=None,
+			offload=None):
 		"""mesh: optional jax.sharding.Mesh. Every per-scale SHT runs
 		multi-chip (rings sharded over the mesh's first axis; the analysis
 		phase path reshards over m) -- the production fix for decompositions
 		whose largest scale exceeds single-chip HBM (BASELINE config 5 at
-		lmax 10000: the top scale is a full 20002x40004 synthesis)."""
+		lmax 10000: the top scale is a full 20002x40004 synthesis).
+
+		offload: keep the wavelet-coefficient maps on the HOST (numpy),
+		uploading/fetching one scale at a time. None = auto: offload when
+		the total wavelet-map bytes exceed OFFLOAD_BYTES and no mesh is
+		given -- at lmax 10000 the resident wavelet set (~4.3 GB) on top of
+		the top scale's analysis working set is what pushed a 16 GB chip
+		over (round-4 config-5 OOM in wave2map)."""
 		if isinstance(uht_or_geo, uharm.UHT):
 			self.uht = uht_or_geo
 			if mesh is not None: self.uht.mesh = mesh
@@ -160,6 +173,7 @@ class WaveletTransform:
 			shape, wcs = uht_or_geo
 			self.uht = uharm.UHT(shape, wcs, mesh=mesh)
 		self.mesh = mesh
+		self.offload = offload
 		shape, wcs = self.uht.shape, self.uht.wcs
 		if basis is None: basis = ButterTrim()
 		lmax = self.uht.lmax
@@ -177,6 +191,13 @@ class WaveletTransform:
 				lmax=min(hi if hi > 0 else lmax, lmax), mesh=mesh))
 	@property
 	def nlevel(self): return self.basis.n
+	def _offload_now(self, map):
+		"""Resolve the offload policy for this input's shape."""
+		if self.offload is not None: return bool(self.offload)
+		if self.mesh is not None: return False
+		pre = int(np.prod(map.shape[:-2], dtype=np.int64)) if map.ndim > 2 else 1
+		tot = sum(int(np.prod(g[0][-2:], dtype=np.int64)) for g in self.geometries)
+		return pre*tot*4 > OFFLOAD_BYTES
 	@property
 	def shape(self): return self.uht.shape
 	@property
@@ -203,6 +224,7 @@ class WaveletTransform:
 		scale outputs accumulate -- at lmax 10000 that ordering is the
 		difference between fitting in 16 GB HBM and OOMing."""
 		harm = self.uht.map2harm(map, spin=0)
+		offload = self._offload_now(map)
 		outs = [None]*self.basis.n
 		for i in reversed(range(self.basis.n)):
 			u = self.uhts[i]
@@ -212,6 +234,7 @@ class WaveletTransform:
 				sub = curvedsky.transfer_alm(self.uht.ainfo, utils.to_device(harm), u.ainfo)
 				sub = u.hmul(prof, sub)
 				m = u.harm2map(sub, spin=0)
+				sub = None
 			else:
 				# flat: filter in 2D fourier space then resample
 				l2 = np.asarray(enmap.modlmap(self.uht.shape, self.uht.wcs))
@@ -220,10 +243,15 @@ class WaveletTransform:
 				full = enmap.harm2map(filt, spin=[0]).real
 				m = full.project(u.shape, u.wcs, order=3) if u.shape != self.uht.shape \
 					else full
+			if offload:
+				# fetch to host and release the device buffer before the
+				# next (or any accumulated) scale allocates
+				m = enmap.ndmap(np.asarray(m), m.wcs)
 			outs[i] = m
 		return multimap.ndmaps(outs)
 	def wave2map(self, wave, omap=None):
-		"""Adjoint-inverse: reassemble the map from wavelet maps."""
+		"""Adjoint-inverse: reassemble the map from wavelet maps (device- or
+		host-resident; host scales are uploaded one at a time)."""
 		total = None
 		for i in range(self.basis.n):
 			u = self.uhts[i]

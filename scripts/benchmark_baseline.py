@@ -192,9 +192,13 @@ def config5(quick):
 		t0 = time.perf_counter()
 		wave = wt.map2wave(omap)
 		# sum per scale: wave.flat() would CONCATENATE every wavelet map into
-		# a second multi-GB buffer right at the HBM peak
+		# a second multi-GB buffer right at the HBM peak; host-offloaded
+		# scales are summed on the host (re-uploading them would defeat the
+		# offload)
 		for m in wave.maps:
-			float(jnp.sum(jnp.abs(jnp.asarray(m))))
+			d = m.data if hasattr(m, "data") else m
+			if isinstance(d, np.ndarray): float(np.abs(d).sum())
+			else: float(jnp.sum(jnp.abs(jnp.asarray(m))))
 		t_parts["map2wave"] = time.perf_counter() - t0
 		omap = None  # free the 3.2 GB source before the reconstruction
 		t0 = time.perf_counter()

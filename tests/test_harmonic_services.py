@@ -124,6 +124,15 @@ def test_wavelet_transform_curved_roundtrip():
 	w = wt.map2wave(m)
 	m2 = wt.wave2map(w)
 	assert np.abs(np.asarray(m2) - np.asarray(m)).max() < 1e-6
+	# host-offloaded wavelet maps (the big-transform HBM path) must be
+	# bit-identical through the whole roundtrip
+	wto = wavelets.WaveletTransform(uharm.UHT(shape, wcs, mode="curved",
+		lmax=50), basis=wavelets.CosineNeedlet(), offload=True)
+	wo = wto.map2wave(m)
+	assert all(isinstance(np.asarray(x), np.ndarray) and
+		not hasattr(x.data, "devices") for x in wo.maps)
+	m3 = wto.wave2map(wo)
+	assert np.abs(np.asarray(m3) - np.asarray(m2)).max() == 0.0
 
 
 def test_nufft_inverse_pair():
