@@ -634,6 +634,12 @@ def _blk_start_table(theta, lmax, mmax, tb):
 	ct = np.zeros(ntp)
 	ct[:nt] = np.cos(th)
 	cta = np.abs(ct).reshape(ntb, tb).max(1)            # [ntb]
+	# tiles containing an exact-pole ring are never eligible: the blocked
+	# folds omit the stepwise pole handling (notpole mask and the m==1/2
+	# seam corrections of the spin modes)
+	stp = np.ones(ntp)
+	stp[:nt] = np.abs(np.sin(th))
+	has_pole = (stp < 1e-6).reshape(ntb, tb).any(1)     # [ntb]
 	ls = np.arange(nlb*BLK_LB, dtype=np.float64)
 	l0s = np.arange(nlb)*BLK_LB
 	start = np.full((nmb, ntb), nlb, np.int32)
@@ -660,6 +666,7 @@ def _blk_start_table(theta, lmax, mmax, tb):
 				if ok[i]: s = i
 				else: break
 			start[imb, itb_] = s
+	start[:, has_pole] = nlb
 	_BLK_TABLE_CACHE[key] = start
 	return start
 
@@ -729,6 +736,34 @@ def _spin2_stream_tables(nlp, nmp):
 	c3 = 2*n2*e*valid
 	c4 = -2*n2*(l - 1)*valid*ones_m
 	return jnp.stack([c1, c2, c3, c4])
+
+
+def _prep_th(theta, tb, cth=None, ctl=None):
+	"""The padded [6, ntp] ring-function table of _prep_inputs (rows: ct_hi,
+	ct/st, 1/st, 1/st^2, notpole, ct_lo) WITHOUT the seed build -- the
+	spin-2 blocked kernels need only the ring factors, and _prep_inputs'
+	scaled-cumprod seed tables are the expensive part. Concrete theta only
+	(the blocked path already requires it); formulas match
+	sht_core._prepare_geom's concrete branch."""
+	nt = int(np.shape(theta)[0])
+	ntp = _ceil(nt, tb)*tb
+	th64 = np.asarray(theta, np.float64)
+	st64 = np.sin(th64); ct64 = np.cos(th64)
+	pole = np.abs(st64) < 1e-6
+	st64 = np.where(pole, 0.0, np.maximum(st64, 0.0))
+	st_safe = np.where(pole, 1.0, st64)
+	ct = np.asarray(ct64, np.float32) if cth is None else np.asarray(cth, np.float32)
+	ctl_ = (ct64 - np.asarray(ct, np.float64)).astype(np.float32) \
+		if ctl is None else np.asarray(ctl, np.float32)
+	rows = np.zeros((6, ntp), np.float32)
+	rows[0, :nt] = ct
+	rows[1, :nt] = (ct64/st_safe).astype(np.float32)
+	rows[2, :nt] = np.where(pole, 0.0, 1/st_safe).astype(np.float32)
+	rows[3, :nt] = np.where(pole, 0.0, 1/(st_safe*st_safe)).astype(np.float32)
+	rows[4, :nt] = np.where(pole, 0.0, 1.0).astype(np.float32)
+	rows[4, nt:] = 1.0  # padding rings are "not pole" like _prep_inputs
+	rows[5, :nt] = ctl_
+	return jnp.asarray(rows)
 
 
 def _blk_pack_tables(T, nlp, nko):
@@ -810,11 +845,9 @@ def _synth_blk_call(A, lmax, mmax, state, start64, ctv, W, interpret=False):
 	# 128-divisible OR the full extent; KU=16 is legal only as the full
 	# last dim (caught on chip: interpret mode accepts non-conforming lane
 	# blocks of a bigger array, hardware doesn't).
-	abT = jnp.moveaxis(_recur_ab_tables(nlp, nmp), 1, 2).reshape(
-		2, nmp, nlp//BLK_LB, nko, BLK_KU).transpose(2, 3, 0, 1, 4)
-	ApT = jnp.zeros((C, nmp, nlp), jnp.float32).at[:, :nm, :nl].set(
-		jnp.transpose(A, (2, 1, 0))).reshape(
-		C, nmp, nlp//BLK_LB, nko, BLK_KU).transpose(2, 3, 0, 1, 4)
+	abT = _blk_pack_tables(_recur_ab_tables(nlp, nmp), nlp, nko)
+	ApT = _blk_pack_tables(jnp.zeros((C, nlp, nmp), jnp.float32)
+		.at[:, :nl, :nm].set(jnp.moveaxis(A, -1, 0)), nlp, nko)
 	grid = (nmp//MB, ntb_n, nlp//BLK_LB)
 	band = np.float32(2.0**S32)
 	invband = np.float32(2.0**-S32)
@@ -1103,7 +1136,7 @@ def _synthesis_scan_pallas_blocked(A, theta, lmax, mmax, interpret=False,
 		lstop=lstop, dump_state=True)
 	# kernel 2: MXU blocks over the eligible suffix
 	if mode == "spin2":
-		th = _prep_inputs(theta, lmax, mmax, mode, tb=tb, cth=cth, ctl=ctl)[0]
+		th = _prep_th(theta, tb, cth=cth, ctl=ctl)
 		G2 = _synth_blk_call_s2(A, lmax, mmax, state, jnp.asarray(start),
 			ctv, W, th, interpret=interpret)
 	else:
@@ -1134,8 +1167,7 @@ def _anal_blk_call(F, lmax, mmax, state, start64, ctv, W, interpret=False):
 	nko = BLK_LB//BLK_KU
 	# k in BLK_KU groups on the last axis (same Mosaic lane-divisibility
 	# rule and fori_loop build as _synth_blk_call's tables)
-	abT = jnp.moveaxis(_recur_ab_tables(nlp, nmp), 1, 2).reshape(
-		2, nmp, nlp//BLK_LB, nko, BLK_KU).transpose(2, 3, 0, 1, 4)
+	abT = _blk_pack_tables(_recur_ab_tables(nlp, nmp), nlp, nko)
 	Fp = jnp.zeros((C, nmp, ntp), jnp.float32).at[:, :nm, :F.shape[-1]].set(F[0])
 	grid = (nmp//MB, ntb_n, nlp//BLK_LB)
 	band = np.float32(2.0**S32)
@@ -1405,7 +1437,7 @@ def _analysis_scan_pallas_blocked(F, theta, lmax, mmax, interpret=False,
 		mode=mode, interpret=interpret, ds=False, cth=cth, ctl=ctl,
 		lstop=lstop, dump_state=True)
 	if mode == "spin2":
-		th = _prep_inputs(theta, lmax, mmax, mode, tb=tb, cth=cth, ctl=ctl)[0]
+		th = _prep_th(theta, tb, cth=cth, ctl=ctl)
 		out2 = _anal_blk_call_s2(F, lmax, mmax, state, jnp.asarray(start),
 			ctv, W, th, interpret=interpret)
 	else:

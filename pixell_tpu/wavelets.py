@@ -197,7 +197,8 @@ class WaveletTransform:
 		if self.mesh is not None: return False
 		pre = int(np.prod(map.shape[:-2], dtype=np.int64)) if map.ndim > 2 else 1
 		tot = sum(int(np.prod(g[0][-2:], dtype=np.int64)) for g in self.geometries)
-		return pre*tot*4 > OFFLOAD_BYTES
+		itemsize = np.dtype(getattr(map, "dtype", np.float32)).itemsize
+		return pre*tot*itemsize > OFFLOAD_BYTES
 	@property
 	def shape(self): return self.uht.shape
 	@property
