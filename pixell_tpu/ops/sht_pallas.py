@@ -611,8 +611,10 @@ BLK_MINL = 1024    # only engage above this lmax (small/sym grids don't gain)
 BLK_ENABLE = False
 FAC_M2 = np.float32(2.0**(-2*S32))  # emission scale for state level -2
 
+BLK_STREAM_MODES = ("spin2", "deriv", "spin1")
+
 def _blk_ok(mode, ds, theta, lmax):
-	return (BLK_ENABLE and mode in ("scalar", "spin2") and not ds
+	return (BLK_ENABLE and mode in ("scalar",) + BLK_STREAM_MODES and not ds
 		and lmax >= BLK_MINL and not isinstance(theta, jax.core.Tracer))
 
 _BLK_TABLE_CACHE = {}
@@ -736,6 +738,67 @@ def _spin2_stream_tables(nlp, nmp):
 	c3 = 2*n2*e*valid
 	c4 = -2*n2*(l - 1)*valid*ones_m
 	return jnp.stack([c1, c2, c3, c4])
+
+
+def _deriv_stream_tables(nlp, nmp):
+	"""Streams [3, nlp, nmp] for the deriv blocked fold (matching _make_funcs
+	midx==1): lam = s0*lam * 1; dlam = s1*lam * ct_st + s2*lam1 * inv_st
+	with s0 = 1, s1 = l, s2 = -e."""
+	l = jnp.arange(nlp, dtype=jnp.float32)[:, None]
+	m = jnp.arange(nmp, dtype=jnp.float32)[None, :]
+	e = jnp.sqrt(jnp.maximum((l - m)*(l + m)*(2*l + 1), 0.0)
+		/ jnp.maximum(2*l - 1, 1.0))
+	ones = jnp.ones((nlp, nmp), jnp.float32)
+	return jnp.stack([ones, l*ones, -e])
+
+
+def _spin1_stream_tables(nlp, nmp):
+	"""Streams [3, nlp, nmp] for the spin-1 blocked fold (_make_funcs
+	midx==2): w1 = s0*lam * ct_st + s1*lam1 * inv_st; x1 = m*(s2*lam * inv_st)
+	with s0 = -n1*l, s1 = n1*e, s2 = n1, n1 = 1/sqrt(l(l+1)), valid l>=1."""
+	l = jnp.arange(nlp, dtype=jnp.float32)[:, None]
+	m = jnp.arange(nmp, dtype=jnp.float32)[None, :]
+	e = jnp.sqrt(jnp.maximum((l - m)*(l + m)*(2*l + 1), 0.0)
+		/ jnp.maximum(2*l - 1, 1.0))
+	n1 = 1.0/jnp.sqrt(jnp.maximum(l*(l + 1), 1.0))
+	valid = jnp.where(l >= 1, 1.0, 0.0)
+	ones_m = jnp.ones((1, nmp), jnp.float32)
+	return jnp.stack([-n1*l*valid*ones_m, n1*e*valid, n1*valid*ones_m])
+
+
+def _blk_mode_spec(mode):
+	"""Static spec driving the generic stream blocked kernels:
+	(nfun, tables_fn, fam, synth_combine, anal_fields).
+	fam[s]: 0 = the stream weights lam (alpha_k / curr family),
+	1 = lam1 (alpha_{k-1} / prev family).
+	synth_combine(ts, th6, marr): ts[s] = the interpolated state-folded
+	stream s at the rings [MB, tb]; th6 = the six [1, tb] ring-function
+	rows; returns the nfun output arrays.
+	anal_fields(F0, F1, th6, marr): the S ring-weighted fields whose
+	lam/lam1 sums the coefficient streams contract against (transpose of
+	synth_combine)."""
+	if mode == "spin2":
+		def synth(ts, th, marr):
+			ist2 = th[3]; ctist2 = th[0]*th[3]
+			return [ts[0] + ist2*ts[1] + ctist2*ts[2],
+				marr*(ctist2*ts[3] + ist2*ts[2])]
+		def fields(F0, F1, th, marr):
+			ist2 = th[3]; ct = th[0]
+			return [F0, ist2*F0, ist2*(ct*F0 + marr*F1), (marr*ct)*(ist2*F1)]
+		return 2, _spin2_stream_tables, (0, 0, 1, 0), synth, fields
+	if mode == "deriv":
+		def synth(ts, th, marr):
+			return [ts[0], th[1]*ts[1] + th[2]*ts[2]]
+		def fields(F0, F1, th, marr):
+			return [F0, th[1]*F1, th[2]*F1]
+		return 2, _deriv_stream_tables, (0, 0, 1), synth, fields
+	if mode == "spin1":
+		def synth(ts, th, marr):
+			return [th[1]*ts[0] + th[2]*ts[1], marr*(th[2]*ts[2])]
+		def fields(F0, F1, th, marr):
+			return [th[1]*F0, th[2]*F0, marr*(th[2]*F1)]
+		return 2, _spin1_stream_tables, (0, 1, 0), synth, fields
+	raise ValueError(mode)
 
 
 def _prep_th(theta, tb, cth=None, ctl=None):
@@ -955,16 +1018,19 @@ def _synth_blk_call(A, lmax, mmax, state, start64, ctv, W, interpret=False):
 	return out
 
 
-@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "interpret"))
-def _synth_blk_call_s2(A, lmax, mmax, state, start64, ctv, W, th, interpret=False):
-	"""Spin-2 block-kernel synthesis over the eligible l-block suffix.
-	Same build/state machinery as _synth_blk_call, but the fold accumulates
-	four coefficient streams per component (formed in-kernel from A times
-	the _spin2_stream_tables columns -- [MB,1] products, nearly free) whose
-	node->ring interpolations combine with the ring factors 1 / ist2 /
-	ct*ist2 into the (w2, x2) mode functions. th is the padded [6, ntp]
-	ring-function table from _prep_inputs (rows: ct, ct/st, 1/st, 1/st^2,
-	notpole, ct_lo). Returns G [2(fun), C, nmp, ntp] padded."""
+@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "interpret"))
+def _synth_blk_call_streams(A, lmax, mmax, state, start64, ctv, W, th,
+		mode="spin2", interpret=False):
+	"""Stream-mode block-kernel synthesis over the eligible l-block suffix
+	(spin2 / deriv / spin1). Same build/state machinery as _synth_blk_call,
+	but the fold accumulates S coefficient streams per component (formed
+	in-kernel from A times the mode's stream-table columns -- [MB,1]
+	products, nearly free) whose node->ring interpolations combine with the
+	mode's ring factors into its output functions (_blk_mode_spec). th is
+	the padded [6, ntp] ring-function table (_prep_th). Returns G
+	[nfun, C, nmp, ntp] padded."""
+	nfun, tables_fn, fam, synth_combine, _ = _blk_mode_spec(mode)
+	NS = len(fam)
 	A = jnp.asarray(A, jnp.float32)
 	C = A.shape[-1]
 	ntb_n, JP, tb = W.shape
@@ -974,7 +1040,7 @@ def _synth_blk_call_s2(A, lmax, mmax, state, start64, ctv, W, th, interpret=Fals
 	ntp = ntb_n*tb
 	nko = BLK_LB//BLK_KU
 	abT = _blk_pack_tables(_recur_ab_tables(nlp, nmp), nlp, nko)
-	csT = _blk_pack_tables(_spin2_stream_tables(nlp, nmp), nlp, nko)
+	csT = _blk_pack_tables(tables_fn(nlp, nmp), nlp, nko)
 	ApT = _blk_pack_tables(jnp.zeros((C, nlp, nmp), jnp.float32)
 		.at[:, :nl, :nm].set(jnp.moveaxis(A, -1, 0)), nlp, nko)
 	grid = (nmp//MB, ntb_n, nlp//BLK_LB)
@@ -1004,14 +1070,13 @@ def _synth_blk_call_s2(A, lmax, mmax, state, start64, ctv, W, th, interpret=Fals
 			ctvv = ctv_ref[0, 0:1, :]                 # [1, JP]
 			one = jnp.ones((MB, JP), jnp.float32)
 			zero = jnp.zeros((MB, JP), jnp.float32)
-			# carry: chain (4) + per ci per stream (1,2,4 on alpha_k; 3 on
-			# alpha_{k-1}) x families (A, B): 8C accumulators
+			# carry: chain (4) + per (ci, stream) x families (A, B)
 			def build(ko, cy):
 				gA_c, gA_p, gB_c, gB_p = cy[:4]
-				S = list(cy[4:])                      # [ci*8 + s] layout
+				S = list(cy[4:])                      # [ci*2*NS + (A/B)*NS + s]
 				ag = ab_ref[0, ko, 0]
 				bg = ab_ref[0, ko, 1]
-				cg = [cs_ref[0, ko, s] for s in range(4)]
+				cg = [cs_ref[0, ko, s] for s in range(NS)]
 				amg = [a_ref[0, ko, ci] for ci in range(C)]
 				for k in range(BLK_KU):
 					a = ag[:, k:k+1]
@@ -1022,22 +1087,17 @@ def _synth_blk_call_s2(A, lmax, mmax, state, start64, ctv, W, th, interpret=Fals
 					gB_p, gB_c = gB_c, gB_n
 					for ci in range(C):
 						am = amg[ci][:, k:k+1]
-						a1 = am*cg[0][:, k:k+1]       # [MB,1]: cheap
-						a2 = am*cg[1][:, k:k+1]
-						a3 = am*cg[2][:, k:k+1]
-						a4 = am*cg[3][:, k:k+1]
-						o = ci*8
-						S[o+0] = S[o+0] + a1*gA_c
-						S[o+1] = S[o+1] + a2*gA_c
-						S[o+2] = S[o+2] + a4*gA_c
-						S[o+3] = S[o+3] + a3*gA_p     # lam1: alpha_{k-1}
-						S[o+4] = S[o+4] + a1*gB_c
-						S[o+5] = S[o+5] + a2*gB_c
-						S[o+6] = S[o+6] + a4*gB_c
-						S[o+7] = S[o+7] + a3*gB_p
+						o = ci*2*NS
+						for s in range(NS):
+							asn = am*cg[s][:, k:k+1]  # [MB,1]: cheap
+							# fam 1 streams weight lam1 = alpha_{k-1}
+							gA = gA_c if fam[s] == 0 else gA_p
+							gB = gB_c if fam[s] == 0 else gB_p
+							S[o+s] = S[o+s] + asn*gA
+							S[o+NS+s] = S[o+NS+s] + asn*gB
 				return (gA_c, gA_p, gB_c, gB_p) + tuple(S)
 			cy = jax.lax.fori_loop(0, nko, build,
-				(one, zero, zero, one) + (zero,)*(8*C))
+				(one, zero, zero, one) + (zero,)*(2*NS*C))
 			gA_c, gA_p, gB_c, gB_p = cy[:4]
 			S = cy[4:]
 			fac = jnp.where(lev == 0, 1.0, jnp.where(lev == -1, fac_m1,
@@ -1046,20 +1106,17 @@ def _synth_blk_call_s2(A, lmax, mmax, state, start64, ctv, W, th, interpret=Fals
 			prevf = prev*fac
 			marr = (im*MB + jax.lax.broadcasted_iota(
 				jnp.int32, (MB, 1), 0)).astype(jnp.float32)
-			ct = th_ref[0, :][None, :]                # [1, tb]
-			ist2 = th_ref[3, :][None, :]
-			ctist2 = ct*ist2
+			th6 = [th_ref[i, :][None, :] for i in range(6)]
 			for ci in range(C):
-				L = jnp.concatenate(S[ci*8:(ci+1)*8], axis=0)  # [8MB, JP]
+				L = jnp.concatenate(S[ci*2*NS:(ci+1)*2*NS], axis=0)
 				E = jax.lax.dot_general(L, w_ref[0], (((1,), (0,)), ((), ())),
 					precision=jax.lax.Precision.HIGH,
-					preferred_element_type=jnp.float32)        # [8MB, tb]
-				t1 = E[0*MB:1*MB]*currf + E[4*MB:5*MB]*prevf
-				t2 = E[1*MB:2*MB]*currf + E[5*MB:6*MB]*prevf
-				t4 = E[2*MB:3*MB]*currf + E[6*MB:7*MB]*prevf
-				t3 = E[3*MB:4*MB]*currf + E[7*MB:8*MB]*prevf
-				out_ref[0, 0, ci] += t1 + ist2*t2 + ctist2*t3
-				out_ref[0, 1, ci] += marr*(ctist2*t4 + ist2*t3)
+					preferred_element_type=jnp.float32)    # [2*NS*MB, tb]
+				ts = [E[s*MB:(s+1)*MB]*currf + E[(NS+s)*MB:(NS+s+1)*MB]*prevf
+					for s in range(NS)]
+				outs = synth_combine(ts, th6, marr)
+				for f in range(nfun):
+					out_ref[0, f, ci] += outs[f]
 			L2 = jnp.concatenate([gA_c, gA_p, gB_c, gB_p], axis=0)
 			E2 = jax.lax.dot_general(L2, w_ref[0], (((1,), (0,)), ((), ())),
 				precision=jax.lax.Precision.HIGH,
@@ -1079,7 +1136,7 @@ def _synth_blk_call_s2(A, lmax, mmax, state, start64, ctv, W, th, interpret=Fals
 				lambda im, it, il: (il, 0, 0, im, 0), memory_space=pltpu.VMEM),
 			pl.BlockSpec((1, nko, 2, MB, BLK_KU),
 				lambda im, it, il: (il, 0, 0, im, 0), memory_space=pltpu.VMEM),
-			pl.BlockSpec((1, nko, 4, MB, BLK_KU),
+			pl.BlockSpec((1, nko, NS, MB, BLK_KU),
 				lambda im, it, il: (il, 0, 0, im, 0), memory_space=pltpu.VMEM),
 			pl.BlockSpec((3, MB, tb), lambda im, it, il: (0, im, it),
 				memory_space=pltpu.VMEM),
@@ -1092,9 +1149,9 @@ def _synth_blk_call_s2(A, lmax, mmax, state, start64, ctv, W, th, interpret=Fals
 			pl.BlockSpec((6, tb), lambda im, it, il: (0, it),
 				memory_space=pltpu.VMEM),
 		],
-		out_specs=pl.BlockSpec((1, 2, C, MB, tb),
+		out_specs=pl.BlockSpec((1, nfun, C, MB, tb),
 			lambda im, it, il: (0, 0, 0, im, it), memory_space=pltpu.VMEM),
-		out_shape=jax.ShapeDtypeStruct((1, 2, C, nmp, ntp), jnp.float32),
+		out_shape=jax.ShapeDtypeStruct((1, nfun, C, nmp, ntp), jnp.float32),
 		scratch_shapes=[pltpu.VMEM((MB, tb), jnp.float32)]*3,
 		compiler_params=pltpu.CompilerParams(
 			dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
@@ -1135,10 +1192,10 @@ def _synthesis_scan_pallas_blocked(A, theta, lmax, mmax, interpret=False,
 		mode=mode, interpret=interpret, ds=False, cth=cth, ctl=ctl,
 		lstop=lstop, dump_state=True)
 	# kernel 2: MXU blocks over the eligible suffix
-	if mode == "spin2":
+	if mode in BLK_STREAM_MODES:
 		th = _prep_th(theta, tb, cth=cth, ctl=ctl)
-		G2 = _synth_blk_call_s2(A, lmax, mmax, state, jnp.asarray(start),
-			ctv, W, th, interpret=interpret)
+		G2 = _synth_blk_call_streams(A, lmax, mmax, state, jnp.asarray(start),
+			ctv, W, th, mode=mode, interpret=interpret)
 	else:
 		G2 = _synth_blk_call(A, lmax, mmax, state, jnp.asarray(start), ctv, W,
 			interpret=interpret)
@@ -1271,14 +1328,16 @@ def _anal_blk_call(F, lmax, mmax, state, start64, ctv, W, interpret=False):
 	return jnp.moveaxis(jnp.sum(out, axis=0), 0, -1)[:nl, :nm]
 
 
-@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "interpret"))
-def _anal_blk_call_s2(F, lmax, mmax, state, start64, ctv, W, th, interpret=False):
-	"""Spin-2 block-kernel analysis (transpose of _synth_blk_call_s2):
-	out_l = c1*T1 + c2*T2 + m*c4*T4 + c3*(T3 + m*T5) with T_i(l) the
-	lam/lam1-weighted ring sums of the factor-combined fields
-	G1 = F0, G2 = ist2*F0, G4 = m*ct*ist2*F1, G35 = ist2*(ct*F0 + m*F1)
-	(the c3 terms share one field). F [2(fun), C, nm, nt] -> [nl, nm, C]
+@functools.partial(jax.jit, static_argnames=("lmax", "mmax", "mode", "interpret"))
+def _anal_blk_call_streams(F, lmax, mmax, state, start64, ctv, W, th,
+		mode="spin2", interpret=False):
+	"""Stream-mode block-kernel analysis (transpose of
+	_synth_blk_call_streams): out_l = sum_s c_s(l)*T_s with T_s(l) the
+	lam/lam1-weighted ring sums of the mode's factor-combined fields
+	(_blk_mode_spec anal_fields). F [nfun, C, nm, nt] -> [nl, nm, C]
 	partial for the blocked region."""
+	nfun, tables_fn, fam, _, anal_fields = _blk_mode_spec(mode)
+	NS = len(fam)
 	F = jnp.asarray(F, jnp.float32)
 	C = F.shape[1]
 	ntb_n, JP, tb = W.shape
@@ -1288,8 +1347,9 @@ def _anal_blk_call_s2(F, lmax, mmax, state, start64, ctv, W, th, interpret=False
 	ntp = ntb_n*tb
 	nko = BLK_LB//BLK_KU
 	abT = _blk_pack_tables(_recur_ab_tables(nlp, nmp), nlp, nko)
-	csT = _blk_pack_tables(_spin2_stream_tables(nlp, nmp), nlp, nko)
-	Fp = jnp.zeros((2, C, nmp, ntp), jnp.float32).at[:, :, :nm, :F.shape[-1]].set(F)
+	csT = _blk_pack_tables(tables_fn(nlp, nmp), nlp, nko)
+	Fp = jnp.zeros((nfun, C, nmp, ntp), jnp.float32) \
+		.at[:, :, :nm, :F.shape[-1]].set(F)
 	grid = (nmp//MB, ntb_n, nlp//BLK_LB)
 	band = np.float32(2.0**S32)
 	invband = np.float32(2.0**-S32)
@@ -1324,8 +1384,7 @@ def _anal_blk_call_s2(F, lmax, mmax, state, start64, ctv, W, th, interpret=False
 			prevf = prev*fac
 			marr = (im*MB + jax.lax.broadcasted_iota(
 				jnp.int32, (MB, 1), 0)).astype(jnp.float32)
-			ct = th_ref[0, :][None, :]
-			ist2 = th_ref[3, :][None, :]
+			th6 = [th_ref[i, :][None, :] for i in range(6)]
 			Wt = w_ref[0]
 			dott = lambda L: jax.lax.dot_general(L, Wt,
 				(((1,), (1,)), ((), ())),
@@ -1333,17 +1392,14 @@ def _anal_blk_call_s2(F, lmax, mmax, state, start64, ctv, W, th, interpret=False
 				preferred_element_type=jnp.float32)
 			Wc, Wp = [], []
 			for ci in range(C):
-				G1 = f_ref[0, ci]
-				G2 = ist2*G1
-				G4 = (marr*ct)*(ist2*f_ref[1, ci])
-				G35 = ist2*(ct*f_ref[0, ci] + marr*f_ref[1, ci])
-				Wc.append([dott(currf*G) for G in (G1, G2, G4, G35)])
-				Wp.append([dott(prevf*G) for G in (G1, G2, G4, G35)])
+				G = anal_fields(f_ref[0, ci], f_ref[nfun - 1, ci], th6, marr)
+				Wc.append([dott(currf*g) for g in G])
+				Wp.append([dott(prevf*g) for g in G])
 			def build(ko, cy):
 				gA_c, gA_p, gB_c, gB_p = cy
 				ag = ab_ref[0, ko, 0]
 				bg = ab_ref[0, ko, 1]
-				cg = [cs_ref[0, ko, s] for s in range(4)]
+				cg = [cs_ref[0, ko, s] for s in range(NS)]
 				for k in range(BLK_KU):
 					a = ag[:, k:k+1]
 					b = bg[:, k:k+1]
@@ -1351,15 +1407,15 @@ def _anal_blk_call_s2(F, lmax, mmax, state, start64, ctv, W, th, interpret=False
 					gB_n = a*(ctvv*gB_c - b*gB_p)
 					gA_p, gA_c = gA_c, gA_n
 					gB_p, gB_c = gB_c, gB_n
-					c1 = cg[0][:, k:k+1]
-					c2 = cg[1][:, k:k+1]
-					c3 = cg[2][:, k:k+1]
-					c4 = cg[3][:, k:k+1]
+					cs = [cg[s][:, k:k+1] for s in range(NS)]
 					for ci in range(C):
-						Pc = c1*Wc[ci][0] + c2*Wc[ci][1] + c4*Wc[ci][2]
-						Pp = c1*Wp[ci][0] + c2*Wp[ci][1] + c4*Wp[ci][2]
-						sbuf[ci][ko*BLK_KU + k] = (gA_c*Pc + gB_c*Pp
-							+ gA_p*(c3*Wc[ci][3]) + gB_p*(c3*Wp[ci][3]))
+						tot = None
+						for s in range(NS):
+							gA = gA_c if fam[s] == 0 else gA_p
+							gB = gB_c if fam[s] == 0 else gB_p
+							t = gA*(cs[s]*Wc[ci][s]) + gB*(cs[s]*Wp[ci][s])
+							tot = t if tot is None else tot + t
+						sbuf[ci][ko*BLK_KU + k] = tot
 				return (gA_c, gA_p, gB_c, gB_p)
 			gA_c, gA_p, gB_c, gB_p = jax.lax.fori_loop(0, nko, build,
 				(one, zero, zero, one))
@@ -1380,11 +1436,11 @@ def _anal_blk_call_s2(F, lmax, mmax, state, start64, ctv, W, th, interpret=False
 		kern,
 		grid=grid,
 		in_specs=[
-			pl.BlockSpec((2, C, MB, tb), lambda im, it, il: (0, 0, im, it),
+			pl.BlockSpec((nfun, C, MB, tb), lambda im, it, il: (0, 0, im, it),
 				memory_space=pltpu.VMEM),
 			pl.BlockSpec((1, nko, 2, MB, BLK_KU),
 				lambda im, it, il: (il, 0, 0, im, 0), memory_space=pltpu.VMEM),
-			pl.BlockSpec((1, nko, 4, MB, BLK_KU),
+			pl.BlockSpec((1, nko, NS, MB, BLK_KU),
 				lambda im, it, il: (il, 0, 0, im, 0), memory_space=pltpu.VMEM),
 			pl.BlockSpec((3, MB, tb), lambda im, it, il: (0, im, it),
 				memory_space=pltpu.VMEM),
@@ -1436,10 +1492,10 @@ def _analysis_scan_pallas_blocked(F, theta, lmax, mmax, interpret=False,
 	out1, state = _analysis_scan_pallas_full(F, theta, lmax, mmax,
 		mode=mode, interpret=interpret, ds=False, cth=cth, ctl=ctl,
 		lstop=lstop, dump_state=True)
-	if mode == "spin2":
+	if mode in BLK_STREAM_MODES:
 		th = _prep_th(theta, tb, cth=cth, ctl=ctl)
-		out2 = _anal_blk_call_s2(F, lmax, mmax, state, jnp.asarray(start),
-			ctv, W, th, interpret=interpret)
+		out2 = _anal_blk_call_streams(F, lmax, mmax, state, jnp.asarray(start),
+			ctv, W, th, mode=mode, interpret=interpret)
 	else:
 		out2 = _anal_blk_call(F, lmax, mmax, state, jnp.asarray(start), ctv, W,
 			interpret=interpret)

@@ -232,7 +232,8 @@ def test_wigner_pallas_matches_scan(s):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("mode,C,tol", [("scalar", 2, 3e-5), ("spin2", 4, 2e-4)])
+@pytest.mark.parametrize("mode,C,tol", [("scalar", 2, 3e-5), ("spin2", 4, 2e-4),
+	("deriv", 2, 5e-5), ("spin1", 2, 5e-5)])
 def test_blocked_legendre_split(monkeypatch, mode, C, tol):
 	"""MXU block-Legendre split (stepwise prefix + Chebyshev block suffix)
 	must match the pure stepwise kernels on the eligible tiles to ~J*eps
