@@ -965,7 +965,9 @@ def _synth_blk_call(A, lmax, mmax, state, start64, ctv, W, interpret=False):
 			# BLK_GMAX eligibility bound.
 			L = jnp.concatenate(BkA + BkB + [gA_c, gA_p, gB_c, gB_p], axis=0)
 			E = jax.lax.dot_general(L, w_ref[0], (((1,), (0,)), ((), ())),
-				precision=jax.lax.Precision.HIGH,
+				# Mosaic supports only DEFAULT/HIGHEST dot precision; DEFAULT
+				# (1-pass bf16, ~2^-8) is too lossy for the O(2^GMAX) summands
+				precision=jax.lax.Precision.HIGHEST,
 				preferred_element_type=jnp.float32)   # [(2C+4)*MB, tb]
 			# emission scale from the (block-constant) entry level; -2 emits
 			# at 2^-120 so only true values < ~2e-17 are dropped
@@ -1110,7 +1112,9 @@ def _synth_blk_call_streams(A, lmax, mmax, state, start64, ctv, W, th,
 			for ci in range(C):
 				L = jnp.concatenate(S[ci*2*NS:(ci+1)*2*NS], axis=0)
 				E = jax.lax.dot_general(L, w_ref[0], (((1,), (0,)), ((), ())),
-					precision=jax.lax.Precision.HIGH,
+					# Mosaic supports only DEFAULT/HIGHEST dot precision; DEFAULT
+				# (1-pass bf16, ~2^-8) is too lossy for the O(2^GMAX) summands
+				precision=jax.lax.Precision.HIGHEST,
 					preferred_element_type=jnp.float32)    # [2*NS*MB, tb]
 				ts = [E[s*MB:(s+1)*MB]*currf + E[(NS+s)*MB:(NS+s+1)*MB]*prevf
 					for s in range(NS)]
@@ -1119,7 +1123,9 @@ def _synth_blk_call_streams(A, lmax, mmax, state, start64, ctv, W, th,
 					out_ref[0, f, ci] += outs[f]
 			L2 = jnp.concatenate([gA_c, gA_p, gB_c, gB_p], axis=0)
 			E2 = jax.lax.dot_general(L2, w_ref[0], (((1,), (0,)), ((), ())),
-				precision=jax.lax.Precision.HIGH,
+				# Mosaic supports only DEFAULT/HIGHEST dot precision; DEFAULT
+				# (1-pass bf16, ~2^-8) is too lossy for the O(2^GMAX) summands
+				precision=jax.lax.Precision.HIGHEST,
 				preferred_element_type=jnp.float32)
 			ncurr = E2[:MB]*curr + E2[2*MB:3*MB]*prev
 			nprev = E2[MB:2*MB]*curr + E2[3*MB:]*prev
@@ -1264,7 +1270,9 @@ def _anal_blk_call(F, lmax, mmax, state, start64, ctv, W, interpret=False):
 			# contract theta FIRST: Wc[m, j] = sum_t curr*fac*F(m,t) W(j,t)
 			dott = lambda L: jax.lax.dot_general(L, Wt,
 				(((1,), (1,)), ((), ())),
-				precision=jax.lax.Precision.HIGH,
+				# Mosaic supports only DEFAULT/HIGHEST dot precision; DEFAULT
+				# (1-pass bf16, ~2^-8) is too lossy for the O(2^GMAX) summands
+				precision=jax.lax.Precision.HIGHEST,
 				preferred_element_type=jnp.float32)
 			Wc = [dott(currf*f_ref[ci]) for ci in range(C)]
 			Wp = [dott(prevf*f_ref[ci]) for ci in range(C)]
@@ -1289,7 +1297,9 @@ def _anal_blk_call(F, lmax, mmax, state, start64, ctv, W, interpret=False):
 			# state propagation to the next block: one fused matmul
 			L2 = jnp.concatenate([gA_c, gA_p, gB_c, gB_p], axis=0)  # [4MB, JP]
 			E = jax.lax.dot_general(L2, Wt, (((1,), (0,)), ((), ())),
-				precision=jax.lax.Precision.HIGH,
+				# Mosaic supports only DEFAULT/HIGHEST dot precision; DEFAULT
+				# (1-pass bf16, ~2^-8) is too lossy for the O(2^GMAX) summands
+				precision=jax.lax.Precision.HIGHEST,
 				preferred_element_type=jnp.float32)
 			ncurr = E[:MB]*curr + E[2*MB:3*MB]*prev
 			nprev = E[MB:2*MB]*curr + E[3*MB:]*prev
@@ -1388,7 +1398,9 @@ def _anal_blk_call_streams(F, lmax, mmax, state, start64, ctv, W, th,
 			Wt = w_ref[0]
 			dott = lambda L: jax.lax.dot_general(L, Wt,
 				(((1,), (1,)), ((), ())),
-				precision=jax.lax.Precision.HIGH,
+				# Mosaic supports only DEFAULT/HIGHEST dot precision; DEFAULT
+				# (1-pass bf16, ~2^-8) is too lossy for the O(2^GMAX) summands
+				precision=jax.lax.Precision.HIGHEST,
 				preferred_element_type=jnp.float32)
 			Wc, Wp = [], []
 			for ci in range(C):
@@ -1423,7 +1435,9 @@ def _anal_blk_call_streams(F, lmax, mmax, state, start64, ctv, W, th,
 				out_ref[0, ci] = jnp.sum(sbuf[ci][:], -1)   # [BLK_LB, MB]
 			L2 = jnp.concatenate([gA_c, gA_p, gB_c, gB_p], axis=0)
 			E = jax.lax.dot_general(L2, Wt, (((1,), (0,)), ((), ())),
-				precision=jax.lax.Precision.HIGH,
+				# Mosaic supports only DEFAULT/HIGHEST dot precision; DEFAULT
+				# (1-pass bf16, ~2^-8) is too lossy for the O(2^GMAX) summands
+				precision=jax.lax.Precision.HIGHEST,
 				preferred_element_type=jnp.float32)
 			ncurr = E[:MB]*curr + E[2*MB:3*MB]*prev
 			nprev = E[MB:2*MB]*curr + E[3*MB:]*prev

@@ -59,6 +59,27 @@ def accuracy(mode):
 	try: yield
 	finally: DS_ACCURACY = old
 
+@contextlib.contextmanager
+def blocked(enable=True):
+	"""Scope the MXU block-Legendre split (fast-tier scalar/spin2/deriv/
+	spin1 kernels at lmax >= 1024): eligible oscillatory l-blocks evaluate
+	as Chebyshev value series + one node->ring matmul on the MXU instead of
+	stepwise VPU recurrence steps. Measured on v5e at lmax 5000: scalar
+	synthesis 600 -> 468 ms at unchanged accuracy (max rel diff vs stepwise
+	2e-5). OFF by default because the split kernels' first compile per
+	geometry is several minutes on remote-compile runtimes; turn it on for
+	production runs that reuse geometries:
+
+	    with sht.blocked():
+	        alm = curvedsky.map2alm(map, lmax=5000)
+	"""
+	from .ops import sht_pallas
+	old = sht_pallas.BLK_ENABLE
+	sht_pallas.BLK_ENABLE = bool(enable)
+	try: yield
+	finally: sht_pallas.BLK_ENABLE = old
+
+
 def _core_dtype(dtype):
 	"""jnp-scan recurrence dtype honoring the accuracy tier."""
 	if DS_ACCURACY and np.dtype(dtype) == np.float32: return np.float64

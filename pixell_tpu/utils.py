@@ -77,14 +77,16 @@ def cached_jit(key, make_fn, **jit_kw):
 	remote-compile runtimes (~25 s per recompile of a big SHT program).
 	make_fn is only called on a cache miss; key must capture everything the
 	closure closes over (shapes, geometry, static parameters).
-	The SHT accuracy tier (sht.DS_ACCURACY) is read at trace time by every
-	SHT scan, so it is folded into the key automatically -- individual call
-	sites cannot forget it (an accuracy="high" call after a default call
-	with identical shapes must NOT reuse the fast-tier program)."""
+	The SHT accuracy tier (sht.DS_ACCURACY) and the MXU block-split flag
+	(sht_pallas.BLK_ENABLE) are read at trace time by every SHT scan, so
+	they are folded into the key automatically -- individual call sites
+	cannot forget them (an accuracy="high" or blocked() call after a
+	default call with identical shapes must NOT reuse the prior program)."""
 	import jax
 	from . import sht
+	from .ops import sht_pallas
 	key = (key if isinstance(key, tuple) else (key,)) \
-		+ (bool(sht.DS_ACCURACY),)
+		+ (bool(sht.DS_ACCURACY), bool(sht_pallas.BLK_ENABLE))
 	f = _JIT_CACHE.get(key)
 	if f is None:
 		f = _JIT_CACHE[key] = jax.jit(make_fn(), **jit_kw)
