@@ -815,9 +815,11 @@ def _prep_th(theta, tb, cth=None, ctl=None):
 	pole = np.abs(st64) < 1e-6
 	st64 = np.where(pole, 0.0, np.maximum(st64, 0.0))
 	st_safe = np.where(pole, 1.0, st64)
-	ct = np.asarray(ct64, np.float32) if cth is None else np.asarray(cth, np.float32)
-	ctl_ = (ct64 - np.asarray(ct, np.float64)).astype(np.float32) \
-		if ctl is None else np.asarray(ctl, np.float32)
+	# cth/ctl from callers may be traced under an enclosing jit; theta is
+	# always concrete on this path and _ct_parts derives exactly these
+	# values from it, so recompute host-side (bit-identical)
+	ct = ct64.astype(np.float32)
+	ctl_ = (ct64 - ct.astype(np.float64)).astype(np.float32)
 	rows = np.zeros((6, ntp), np.float32)
 	rows[0, :nt] = ct
 	rows[1, :nt] = (ct64/st_safe).astype(np.float32)
