@@ -1040,8 +1040,8 @@ def fullsky_geometry(res=None, shape=None, dims=(), proj="car", variant="fejer1"
 	else:
 		res = np.array([1*np.pi, 2*np.pi])/(np.array(shape[-2:]) - np.array([yo, 0]))
 	ny, nx = shape[-2:]
-	assert abs(res[0]*(ny-yo) -   np.pi) < 1e-8, "Vertical resolution does not evenly divide the sky; this is required for SHTs."
-	assert abs(res[1]*nx     - 2*np.pi) < 1e-8, "Horizontal resolution does not evenly divide the sky; this is required for SHTs."
+	assert abs(res[0]*(ny-yo) -   np.pi) < 1e-8, "SHT-exact ring placement needs a whole number of pixel rows spanning the pi of colatitude; got res[0]=%g" % res[0]
+	assert abs(res[1]*nx     - 2*np.pi) < 1e-8, "SHT-exact ring placement needs a whole number of pixel columns spanning the 2*pi of longitude; got res[1]=%g" % res[1]
 	wcs = wcsutils.WCS(naxis=2)
 	wcs.wcs.crval = np.array([res[1]/2/utils.degree, 0])
 	wcs.wcs.cdelt = np.array([-360./nx, 180./(ny-yo)])

@@ -599,15 +599,14 @@ BLK_GMAX = 3.0     # growth-bits eligibility cutoff: the blocked evaluation
 # error is ~BLK_JP*eps*2^G ~ 6e-5 at G=3, below the fast tier's own ~l*eps
 # bulk floor (5.7e-4 at lmax 5000); larger G admits more tiles
 BLK_MINL = 1024    # only engage above this lmax (small/sym grids don't gain)
-# Measured on v5e at lmax 5000 (2026-08-19, scalar C=2 synthesis): stepwise
-# 690 ms; split = stepwise-prefix 404 ms + block kernel ~266 ms = parity,
-# and the spin-0 ROUNDTRIP regressed 1.617 -> 1.716 s with the split on.
-# The eligible (oscillatory, ~48% of tiles) suffix is worth 287 ms of
-# stepwise time, but the block kernel spends it again: its 64-step
-# Chebyshev coefficient build is 64 sequential VPU iterations on small
-# [256,128] tiles (latency-bound), and the rank-66 matmuls are too small
-# to buy it back. Correct (tested) but OFF by default until the build is
-# restructured; the quality win this round came from VMEM_BUDGET instead.
+# Measured on v5e at lmax 5000 (2026-08-20, scalar C=2 synthesis, v2 with
+# BLK_LB=112 + fori_loop build + GMAX=3): blocked 467.6 ms vs 599.6 ms
+# skipped-stepwise = 1.28x (spin-2: 1548.2 vs 1808.2 ms = 1.16x); rel diff
+# vs stepwise 3.3e-5. The split WINS at scale; it is off by default only
+# because the first Mosaic compile per geometry is minutes on
+# remote-compile runtimes (330 s measured through the axon tunnel).
+# Opt in with `with sht.blocked():` (see sht.py) when geometries are
+# reused enough to amortize the compile.
 BLK_ENABLE = False
 FAC_M2 = np.float32(2.0**(-2*S32))  # emission scale for state level -2
 
@@ -706,7 +705,13 @@ def _dead_lstop(theta, lmax, mmax, nfun, C, ds, s=0):
 	"""lstop table [nmb, ntb] (LB-block units) that makes the stepwise
 	kernels skip dead (beyond-horizon) tiles entirely, or None when nothing
 	is dead / theta is traced. ~14% of the live work at lmax 5000 on a
-	full-sky grid, growing with lmax."""
+	full-sky grid, growing with lmax. All fast-tier modes call this with
+	s=0 (they are scalar-Legendre based; spin enters via ring factors, not
+	the recurrence), so the skipped spin1/spin2/deriv tails are the bare
+	~1e-12 Legendre bound amplified by up to ~(lmax/m_lo)^2 of inv_st2 --
+	still <~1e-7, far below the f32 floor; test_dead_tile_skip pins the
+	spin2 worst case. The docs' 'm - s' criterion applies to the wigner
+	engine, which passes its true s."""
 	if isinstance(theta, jax.core.Tracer): return None
 	tb = _pick_tb(nfun, C, nt=int(np.shape(theta)[0]), ds=ds)
 	dead = _dead_table(theta, lmax, mmax, tb, s=s)
@@ -962,9 +967,10 @@ def _synth_blk_call(A, lmax, mmax, state, start64, ctv, W, interpret=False):
 			gA_c, gA_p, gB_c, gB_p = cy[:4]
 			BkA, BkB = list(cy[4:4+C]), list(cy[4+C:])
 			# one fused node->ring matmul: data folds, then the end states.
-			# HIGH precision (3-pass bf16) keeps ~f32 product accuracy at
-			# half the HIGHEST (6-pass) cost; the summands are O(1) by the
-			# BLK_GMAX eligibility bound.
+			# HIGHEST precision (6-pass bf16) keeps full f32 product
+			# accuracy; the summands are O(1) by the BLK_GMAX eligibility
+			# bound. (Mosaic rejects Precision.HIGH, so 3-pass is not an
+			# option -- see the dot_general comment below.)
 			L = jnp.concatenate(BkA + BkB + [gA_c, gA_p, gB_c, gB_p], axis=0)
 			E = jax.lax.dot_general(L, w_ref[0], (((1,), (0,)), ((), ())),
 				# Mosaic supports only DEFAULT/HIGHEST dot precision; DEFAULT

@@ -63,9 +63,11 @@ print("""
 Interpretation: the Legendre stepwise kernel runs at ~85-100%% of the
 VPU's measured f32 ceiling -- it is compute-bound on the vector unit, not
 HBM-bound (the l-loop lives in VMEM; HBM traffic is the O(lmax^2) floor).
-The only way substantially past it is the MXU; the block-Legendre split
-(ops/sht_pallas.py BLK_*) is built and correct but its Chebyshev
-coefficient build is latency-bound, so it currently only reaches parity
-(see PERF.md). In ducc0 terms: the reference's AVX2 Legendre core peaks
-at ~0.2-0.4 Tflop/s on a 64-thread node; the v5e kernel's ~3 Tops/s is
-~10x that per chip, before any multi-chip scaling.""")
+The only way substantially past it is the MXU: the block-Legendre split
+(ops/sht_pallas.py BLK_*, v2 with BLK_LB=112 + fori_loop build) measures
+1.28x on scalar synthesis and 1.16x on spin-2 at lmax 5000 (see PERF.md);
+it is opt-in (`sht.blocked()`) because its first Mosaic compile per
+geometry costs minutes through remote-compile runtimes. In ducc0 terms:
+the reference's AVX2 Legendre core peaks at ~0.2-0.4 Tflop/s on a
+64-thread node; the v5e kernel's ~3 Tops/s is ~10x that per chip, before
+any multi-chip scaling.""")

@@ -214,6 +214,28 @@ def main():
 			return fn, (jnp.zeros((3, nt, nphi), f32),)
 		checks.append(("MXU blocked scalar+spin2 lmax2000", mk_blocked))
 
+		# --- MXU blocked deriv + spin1 streams (BLK_STREAM_MODES): distinct
+		#     coefficient-stream kernels the scalar/spin2 check never lowers ---
+		def mk_blocked_der_s1():
+			from pixell_tpu.ops import sht_pallas
+			sht_pallas.BLK_ENABLE = True
+			lmax = 2000
+			nt, nphi = 2*lmax+2, 2*lmax+4
+			theta = jnp.asarray(sht.ring_theta("F1", nt), f32)
+			w = jnp.asarray(sht.ring_weights("F1", nt), f32)
+			n = sht.nalm(lmax)
+			def fn(ar, ai, maps):
+				a = jax.lax.complex(ar, ai)
+				der = sht.synthesis(a, theta, nphi, lmax=lmax, spin=(0,),
+					deriv=True, map_dtype=f32)
+				alm1 = sht.analysis(maps, theta, lmax, w, spin=(1,))
+				m1 = sht.synthesis(alm1, theta, nphi, lmax=lmax, spin=(1,),
+					map_dtype=f32)
+				return der, m1
+			return fn, (jnp.zeros((1, n), f32), jnp.zeros((1, n), f32),
+				jnp.zeros((2, nt, nphi), f32))
+		checks.append(("MXU blocked deriv+spin1 lmax2000", mk_blocked_der_s1))
+
 	nfail = 0
 	for name, make in checks:
 		if not compile_ok(name, make):

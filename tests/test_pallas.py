@@ -5,6 +5,7 @@ hemisphere-symmetric kernels in particular accumulate north/south pairs
 separately), so each is compared against the float64 scan rather than
 bitwise against the f32 scan."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 from pixell_tpu.ops import sht_core, sht_pallas
@@ -277,34 +278,75 @@ def test_blocked_legendre_split(monkeypatch, mode, C, tol):
 
 
 @pytest.mark.slow
-def test_dead_tile_skip(monkeypatch):
+@pytest.mark.parametrize("mode,C,tol", [("scalar", 2, 1e-9), ("spin2", 4, 1e-7)])
+def test_dead_tile_skip(monkeypatch, mode, C, tol):
 	"""The beyond-horizon (m-tile, theta-tile) skip must leave the kernel
-	outputs unchanged to ~1e-10: the skipped tiles' true contributions are
-	below the _dead_table slack bound. Narrow theta tiles are forced so a
+	outputs unchanged to ~1e-10 (scalar) / ~1e-7 (spin2, whose inv_st2 ring
+	factors amplify the sub-horizon tail by up to ~(lmax/m_lo)^2 on the
+	skippable polar tiles -- the worst case for the s=0 bound _dead_lstop
+	uses for every mode): the skipped tiles' true contributions are below
+	the _dead_table slack bound. Narrow theta tiles are forced so a
 	CPU-sized lmax has dead tiles (production: ~14% of lmax-5000 work)."""
 	monkeypatch.setattr(sht_pallas, "TB", 256)
 	lmax = 600
+	nfun = sht_core.NFUN[mode]
 	theta = np.asarray(sht.ring_theta("F1", 2*lmax + 2), np.float64)[:-3]
 	nt = len(theta)
-	tb = sht_pallas._pick_tb(1, 2, nt=nt)
+	tb = sht_pallas._pick_tb(nfun, C, nt=nt)
 	dead = sht_pallas._dead_table(theta, lmax, lmax, tb)
 	assert dead.any(), "test geometry has no dead tiles"
+	rng = np.random.default_rng(0)
+	A = np.zeros((lmax+1, lmax+1, C), np.float32)
+	mask = np.tril(np.ones((lmax+1, lmax+1), bool))
+	A[mask] = rng.standard_normal((int(mask.sum()), C)).astype(np.float32)
+	F = rng.standard_normal((nfun, C, lmax+1, nt)).astype(np.float32)
+	G_skip = np.asarray(sht_pallas.synthesis_scan_pallas(A, theta, lmax, lmax,
+		mode=mode, interpret=True))
+	O_skip = np.asarray(sht_pallas.analysis_scan_pallas_chunked(F, theta,
+		lmax, lmax, mode=mode, interpret=True))
+	monkeypatch.setattr(sht_pallas, "_dead_lstop",
+		lambda *a, **k: None)
+	G_full = np.asarray(sht_pallas.synthesis_scan_pallas(A, theta, lmax, lmax,
+		mode=mode, interpret=True))
+	O_full = np.asarray(sht_pallas.analysis_scan_pallas_chunked(F, theta,
+		lmax, lmax, mode=mode, interpret=True))
+	es = np.abs(G_skip - G_full).max()/np.abs(G_full).max()
+	ea = np.abs(O_skip - O_full).max()/np.abs(O_full).max()
+	assert es < tol, es
+	assert ea < tol, ea
+
+
+def test_blocked_tracer_fallback(monkeypatch):
+	"""The MXU blocked path must (a) silently fall back to stepwise when
+	theta is a tracer (Chebyshev tables are host-built) WITHOUT crashing --
+	round 4's spin-2 TracerArrayConversionError in _prep_th shipped in a
+	snapshot -- and (b) actually engage when theta is concrete, asserted via
+	a counter on _blk_start_table so a future regression is a test failure,
+	not a silent perf loss."""
+	monkeypatch.setattr(sht_pallas, "TB", 256)
+	monkeypatch.setattr(sht_pallas, "BLK_MINL", 256)
+	monkeypatch.setattr(sht_pallas, "BLK_ENABLE", True)
+	sht_pallas._BLK_TABLE_CACHE.clear()
+	calls = []
+	orig = sht_pallas._blk_start_table
+	def counted(*a, **k):
+		calls.append(1)
+		return orig(*a, **k)
+	monkeypatch.setattr(sht_pallas, "_blk_start_table", counted)
+	lmax = 448
+	theta = np.asarray(sht.ring_theta("F1", 2*lmax + 2), np.float64)[:-3]
 	rng = np.random.default_rng(0)
 	A = np.zeros((lmax+1, lmax+1, 2), np.float32)
 	mask = np.tril(np.ones((lmax+1, lmax+1), bool))
 	A[mask] = rng.standard_normal((int(mask.sum()), 2)).astype(np.float32)
-	F = rng.standard_normal((1, 2, lmax+1, nt)).astype(np.float32)
-	G_skip = np.asarray(sht_pallas.synthesis_scan_pallas(A, theta, lmax, lmax,
+	G_blk = np.asarray(sht_pallas.synthesis_scan_pallas(A, theta, lmax, lmax,
 		mode="scalar", interpret=True))
-	O_skip = np.asarray(sht_pallas.analysis_scan_pallas_chunked(F, theta,
-		lmax, lmax, mode="scalar", interpret=True))
-	monkeypatch.setattr(sht_pallas, "_dead_lstop",
-		lambda *a, **k: None)
-	G_full = np.asarray(sht_pallas.synthesis_scan_pallas(A, theta, lmax, lmax,
-		mode="scalar", interpret=True))
-	O_full = np.asarray(sht_pallas.analysis_scan_pallas_chunked(F, theta,
-		lmax, lmax, mode="scalar", interpret=True))
-	es = np.abs(G_skip - G_full).max()/np.abs(G_full).max()
-	ea = np.abs(O_skip - O_full).max()/np.abs(O_full).max()
-	assert es < 1e-9, es
-	assert ea < 1e-9, ea
+	assert calls, "blocked path did not engage for concrete theta"
+	calls.clear()
+	f = jax.jit(lambda a, th: sht_pallas.synthesis_scan_pallas(
+		a, th, lmax, lmax, mode="scalar", interpret=True))
+	G_stp = np.asarray(f(A, jnp.asarray(theta, jnp.float32)))
+	assert not calls, "blocked path must not run with traced theta"
+	scale = np.abs(G_blk).max()
+	# f32 theta + stepwise-vs-blocked differences only
+	assert np.abs(G_blk - G_stp).max() < 1e-3*scale
