@@ -12,7 +12,7 @@ optional frequency dependence (thermodynamic units)."""
 from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
-from . import enmap, curvedsky, utils, coordinates
+from . import enmap, curvedsky, utils, coordinates, wcsutils
 
 # default direction of our motion w.r.t. the CMB (galactic dipole in equ coords)
 beta    = 0.001235
@@ -21,21 +21,49 @@ dir_ecl = np.array([171.640, -11.154])*utils.degree
 freq_ref = 150e9
 
 
+_OPERATOR_CACHE = {}
+_OPERATOR_CACHE_MAX = 8
+
+
+def _cached_operator(cls, key, make):
+	"""Memoize Aberrator/Modulator instances per geometry+boost parameters.
+	Their construction is host trig over every pixel plus a host->device
+	upload of the position/modulation fields -- ~15 s per call at config-4
+	size through a tunnel-attached runtime, all of it identical between
+	calls. Bounded FIFO cache (the fields are device-resident, ~tens of MB
+	each)."""
+	full = (cls.__name__,) + key
+	hit = _OPERATOR_CACHE.get(full)
+	if hit is None:
+		if len(_OPERATOR_CACHE) >= _OPERATOR_CACHE_MAX:
+			_OPERATOR_CACHE.pop(next(iter(_OPERATOR_CACHE)))
+		hit = _OPERATOR_CACHE[full] = make()
+	return hit
+
+
 def boost_map(imap, dir=None, beta=beta, pol=None, modulation="thermo",
 		T0=utils.T_cmb, freq=freq_ref, boundary="wrap", order=3, recenter=False,
 		dipole=False, aberrate=True, modulate=True, map2=None, return_modulation=False):
 	"""Apply aberration and modulation from velocity beta towards dir
-	[{ra,dec}] to the map (reference aberration.boost_map:10)."""
+	[{ra,dec}] to the map (reference aberration.boost_map:10). The
+	Aberrator/Modulator operators are cached per (geometry, boost), so
+	repeated boosts of same-geometry maps pay only the device work."""
 	if dir is None: dir = dir_equ
+	gkey = (tuple(imap.shape[-2:]), wcsutils.describe(imap.wcs),
+		tuple(np.asarray(dir).ravel()), float(beta))
 	res = imap
 	A = None
 	if aberrate:
-		ab = Aberrator(imap.shape, imap.wcs, dir=dir, beta=beta, pol=pol,
-			boundary=boundary, order=order)
+		ab = _cached_operator(Aberrator,
+			gkey + (pol, boundary, order, tuple(imap.shape)),
+			lambda: Aberrator(imap.shape, imap.wcs, dir=dir, beta=beta,
+				pol=pol, boundary=boundary, order=order))
 		res = ab.aberrate(res)
 	if modulate:
-		mod = Modulator(imap.shape, imap.wcs, dir=dir, beta=beta,
-			modulation=modulation, T0=T0, freq=freq, dipole=dipole)
+		mod = _cached_operator(Modulator,
+			gkey + (modulation, float(T0), float(freq), bool(dipole)),
+			lambda: Modulator(imap.shape, imap.wcs, dir=dir, beta=beta,
+				modulation=modulation, T0=T0, freq=freq, dipole=dipole))
 		res = mod.modulate(res)
 		A = mod.A
 	if return_modulation: return res, A
@@ -59,16 +87,48 @@ class Aberrator:
 		self.ipos = np.stack([sdec, sra])
 		self.gamma = gamma.reshape(shape[-2:])
 		self.pol = pol
+		# geometry-only precomputes, device-resident: the source pixel
+		# positions and the polarization rotation phases. Uploading these per
+		# aberrate() call (f64 [2, ny, nx] + [ny, nx]) dominates warm cost on
+		# tunnel-attached runtimes; f32 pix keeps ~1e-4 px resolution, far
+		# below the interpolation error.
+		self._pix_host = np.asarray(enmap.sky2pix((0,) + self.shape, wcs,
+			self.ipos, safe=False)).reshape((2,) + self.shape)
+		self._pix_dev = jnp.asarray(self._pix_host.astype(np.float32))
+		self._c2 = jnp.asarray(np.cos(2*self.gamma).astype(np.float32))
+		self._s2 = jnp.asarray(np.sin(2*self.gamma).astype(np.float32))
 	def aberrate(self, imap):
-		pix = np.asarray(enmap.sky2pix(imap.shape, imap.wcs, self.ipos, safe=False))
 		from . import interpol
 		arr = jnp.asarray(imap)
-		vals = interpol.map_coordinates(arr, jnp.asarray(pix), order=self.order,
+		same_geo = tuple(imap.shape[-2:]) == self.shape \
+			and wcsutils.describe(imap.wcs) == wcsutils.describe(self.wcs)
+		if same_geo and arr.dtype == jnp.float32:
+			# fast path: cached device positions (f32 quantization ~1e-6 px,
+			# below the f32 interpolation floor)
+			pix = self._pix_dev.reshape(2, -1)
+		elif same_geo:
+			# f64 maps keep full f64 positions (uploaded per call)
+			pix = jnp.asarray(self._pix_host.reshape(2, -1))
+		else:
+			pixh = np.asarray(enmap.sky2pix(imap.shape, imap.wcs, self.ipos,
+				safe=False))
+			pix = jnp.asarray(pixh if arr.dtype != jnp.float32
+				else pixh.astype(np.float32))
+		vals = interpol.map_coordinates(arr, pix, order=self.order,
 			border="cyclic" if self.boundary == "wrap" else self.boundary)
 		res = enmap.ndmap(vals.reshape(arr.shape[:-2] + tuple(self.shape)), imap.wcs)
 		pol = (imap.ndim >= 3 and imap.shape[-3] >= 3) if self.pol is None else self.pol
 		if pol:
-			res = enmap.rotate_pol(res, self.gamma)
+			q = jnp.asarray(res)[..., 1, :, :]
+			u = jnp.asarray(res)[..., 2, :, :]
+			if q.dtype == jnp.float32:
+				c2, s2 = self._c2, self._s2
+			else:
+				c2 = jnp.asarray(np.cos(2*self.gamma))
+				s2 = jnp.asarray(np.sin(2*self.gamma))
+			out = jnp.asarray(res).at[..., 1, :, :].set(c2*q - s2*u) \
+				.at[..., 2, :, :].set(s2*q + c2*u)
+			res = enmap.ndmap(out, imap.wcs)
 		return res
 	def __call__(self, imap): return self.aberrate(imap)
 
@@ -88,8 +148,13 @@ class Modulator:
 		gamma_l = 1/np.sqrt(1-beta**2)
 		# Doppler factor: T'(n') = T(n) / (gamma (1 - beta cos t'))
 		self.A = enmap.ndmap(1.0/(gamma_l*(1 - beta*cost)), wcs)
+		# device-resident copy: uploading the f64 field per modulate() call
+		# is the warm cost on tunnel-attached runtimes
+		self._A_dev = jnp.asarray(np.asarray(self.A).astype(np.float32))
 	def modulate(self, imap, return_dipole=None):
-		A = jnp.asarray(self.A)
+		arr0 = jnp.asarray(imap)
+		A = self._A_dev.astype(arr0.dtype) if arr0.dtype == jnp.float32 \
+			else jnp.asarray(self.A)
 		arr = jnp.asarray(imap)
 		if self.modulation in ["thermo", "freq"]:
 			# frequency-dependent correction for thermodynamic units

@@ -33,8 +33,11 @@ def main():
 	ps[2, 2] = 0.1/np.maximum(l, 1)**2
 	ps[3, 3] = 0.01/np.maximum(l, 1)**2
 	phi_alm, cmb_alm = lensing.rand_alm(ps, lmax=lmax, dtype=np.float64, seed=1)
-	phi_alm = phi_alm.astype(np.complex64)
-	cmb_alm = cmb_alm.astype(np.complex64)
+	# device-resident alm (the TPU-native operating point): re-uploading
+	# ~256 MB of host alm per call dominated the round-5 first A/B (18.1 s
+	# rowband warm vs 2.0 s with device alm)
+	phi_alm = utils.to_device(phi_alm.astype(np.complex64))
+	cmb_alm = utils.to_device(cmb_alm.astype(np.complex64))
 	outs = {}
 	for mode in ["rowband", "gather"]:
 		def run():
