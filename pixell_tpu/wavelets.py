@@ -183,12 +183,31 @@ class WaveletTransform:
 		self.basis = basis
 		self.geometries = []
 		self.uhts = []
+		ires = float(np.max(np.asarray(enmap.pixshapebounds(shape, wcs)))) \
+			if self.uht.mode == "curved" else None
 		for i in range(basis.n):
 			lo, hi = basis.lbounds(i) if hasattr(basis, "lbounds") else (0, lmax)
-			ogeo = make_wavelet_geometry(shape, wcs, hi)
+			hi_eff = min(hi if hi > 0 else lmax, lmax)
+			if self.uht.mode == "curved":
+				# fresh minimal geometry at ~pi/lmax_scale, like the reference
+				# (reference wavelets.py WaveletTransform.__init__: oress =
+				# max(pi/basis.lmaxs, ires)): a scale bandlimited to hi needs
+				# only ~hi+1 rings (analysis theta-upsamples spectrally). The
+				# earlier power-of-2 DOWNGRADE of the input grid left scales
+				# up to 4x oversampled -- at lmax 10000 that was a 7.5 GB
+				# wavelet set (forcing host offload through a ~26 MB/s tunnel)
+				# instead of ~1.1 GB that stays in HBM.
+				# margin: pi/hi would give exactly hi rings and 2*hi columns,
+				# one short of the nt >= hi+1 / nphi >= 2*hi+1 needed for the
+				# analysis to be EXACT (the reference accepts %-level aliasing
+				# there; we keep exactness for a few extra rows)
+				ores = max(np.pi/(hi_eff + 4), ires)
+				ogeo = make_wavelet_geometry_curved(shape, wcs, ores)
+			else:
+				ogeo = make_wavelet_geometry(shape, wcs, hi)
 			self.geometries.append(ogeo)
 			self.uhts.append(uharm.UHT(ogeo[0], ogeo[1], mode=self.uht.mode,
-				lmax=min(hi if hi > 0 else lmax, lmax), mesh=mesh))
+				lmax=hi_eff, mesh=mesh))
 	@property
 	def nlevel(self): return self.basis.n
 	def _offload_now(self, map):
@@ -424,8 +443,14 @@ def make_wavelet_geometry_curved(ishape, iwcs, ores, minres=2*np.pi/180*2):
 	pbox[np.argmax(pbox[:, 0]), 0] += 1
 	pbox = utils.nint(pbox)
 	# y ascending; x kept at its full (possibly wrapped) width, anchored at
-	# the rewound left edge
-	y1, y2 = int(min(pbox[:, 0])), int(max(pbox[:, 0]))
+	# the rewound left edge. Clamp y to the sphere: a fullsky input's corners
+	# land on pixel EDGES of the target grid, and the +1 above (which exists
+	# to include the boundary row of interior patches) can then push one row
+	# past the pole -- a phantom off-sphere ring that silently breaks the
+	# scale's analysis quadrature (banker's rounding made this intermittent:
+	# 45.5 -> 46 but 54.5 -> 54).
+	y1 = max(int(min(pbox[:, 0])), 0)
+	y2 = min(int(max(pbox[:, 0])), int(tshape[-2]))
 	# width from the sky box itself (pixbox x coords may wrap)
 	wx = min(int(utils.nint(abs(box[1, 1] - box[0, 1])/(2*np.pi)*tshape[-1])),
 		tshape[-1])
