@@ -57,12 +57,14 @@ def main():
 					np.sqrt(np.mean(err**2))/scale))
 			sys.stdout.flush()
 			# warm timing: fresh input each call so the axon execution cache
-			# cannot replay, fused scalar fetch
-			g = jax.jit(lambda a: jnp.sum(jnp.abs(rt(a))))
-			float(g(a_d))
+			# cannot replay, fused scalar fetch. The perturbation rides inside
+			# the jit as a REAL scalar arg (axon cannot move complex host
+			# constants, and a fresh eager constant would recompile per rep)
+			g = jax.jit(lambda a, eps: jnp.sum(jnp.abs(rt(a*(1 + eps)))))
+			float(g(a_d, jnp.float32(0)))
 			t0 = time.perf_counter()
 			for i in range(args.nrep):
-				float(g(a_d + jnp.asarray(1e-6j*(i + 1), jnp.complex64)))
+				float(g(a_d, jnp.float32(1e-6*(i + 1))))
 			dt = (time.perf_counter() - t0)/args.nrep
 			print("%-5s roundtrip %.3f s (nrep %d, incl ~28 ms RPC each)"
 				% (tier, dt, args.nrep))

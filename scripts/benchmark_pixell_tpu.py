@@ -32,15 +32,20 @@ def main():
 		def rt(m):
 			alm = sht.analysis(m, theta, lmax, w, spin=spin)
 			return sht.synthesis(alm, theta, nphi, lmax=lmax, spin=spin, map_dtype=dtype)
-		f = jax.jit(rt)
+		# fori-loop chaining inside ONE jit closed by a fused scalar fetch:
+		# block_until_ready does NOT sync axon remote executions, and fresh
+		# per-step inputs stop the runtime's execution cache from replaying
+		f = jax.jit(lambda m: jnp.sum(jnp.abs(
+			jax.lax.fori_loop(0, args.nrep, lambda i, x: rt(x*(1 + 1e-7)), m))))
 		rng = np.random.default_rng(0)
 		m = jnp.asarray(rng.standard_normal((ncomp, nt, nphi)).astype(dtype))
-		r = f(m); r.block_until_ready()
+		assert np.isfinite(float(f(m)))  # compile + warm
+		m2 = m*(1 + 1e-5)
 		t0 = time.perf_counter()
-		for _ in range(args.nrep): r = f(r)
-		r.block_until_ready()
+		assert np.isfinite(float(f(m2)))
 		dt = (time.perf_counter()-t0)/args.nrep
 		print("lmax %5d  %s  spin %s: %8.3f s/roundtrip" % (lmax, args.dtype, spin, dt))
+		sys.stdout.flush()
 
 if __name__ == "__main__":
 	main()
