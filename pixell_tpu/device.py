@@ -24,6 +24,7 @@ classes (reference device.py:127-340) intentionally have no counterpart;
 """
 from __future__ import annotations
 import gc
+import os
 import time
 import functools
 import numpy as np
@@ -126,6 +127,26 @@ def anypy(arr):
 	"""The array module (numpy or jax.numpy) that made arr."""
 	from . import utils
 	return utils._xp(arr)
+
+
+def enable_compilation_cache(directory=None, min_compile_secs=5.0):
+	"""Turn on jax's persistent compilation cache: compiled executables are
+	serialized to `directory` (default ~/.cache/pixell_tpu_xla) and reloaded
+	by hash on later runs, making expensive first compiles a per-MACHINE
+	cost instead of per-process. This is what makes the opt-in MXU
+	block-Legendre split (`sht.blocked()`, minutes of Mosaic compile per
+	geometry through remote-compile runtimes) practical to leave on in
+	production pipelines. Safe to call more than once."""
+	import jax
+	if directory is None:
+		directory = os.path.join(os.path.expanduser("~"), ".cache",
+			"pixell_tpu_xla")
+	os.makedirs(directory, exist_ok=True)
+	jax.config.update("jax_compilation_cache_dir", directory)
+	jax.config.update("jax_persistent_cache_min_compile_time_secs",
+		float(min_compile_secs))
+	jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+	return directory
 
 
 # ---------------------------------------------------------------------------
