@@ -217,23 +217,48 @@ def _pack_tri_fold(S, lmax, mmax):
 		A, Bc, W, R = 2*A - Bc, 4*Bc, V, R//2
 	return X[:, 0, :n].reshape(bshape + (n,))
 
+def _unpack_tri_fold(alm, lmax, mmax):
+	"""Packed triangular [..., nalm] -> sheared m-major rows [..., nm, nl]
+	(S[m, i] = a(l=m+i, m), zeros for i >= nl-m).
+
+	Gather-free, via jax.linear_transpose of _pack_tri_fold: the fold is a
+	linear map built purely from pad/reshape/add whose action on the valid
+	(masked) domain is a coefficient-1 selection onto the packed positions
+	-- adds only ever combine disjoint supports, and junk paths either
+	originate in the entry mask (structurally zero) or land beyond the
+	final [:n] crop. Its transpose is therefore EXACTLY the inverse
+	placement, and XLA transposes pad/reshape/add into slice/reshape/dup:
+	still pure bandwidth work, no gathers. (A hand-rolled level-by-level
+	inverse founders on the fold's junk-spill corner cases: the A - B*j
+	row-length formula both over- AND under-estimates true run lengths
+	once padding rows enter the pairing.)"""
+	nl = lmax + 1; nm = mmax + 1
+	alm = jnp.asarray(alm)
+	example = jax.ShapeDtypeStruct(alm.shape[:-1] + (nm, nl), alm.dtype)
+	fwd = lambda S: _pack_tri_fold(S, lmax, mmax)
+	S = jax.linear_transpose(fwd, example)(alm)[0]
+	# re-apply the entry mask: the transpose of the fold's defensive
+	# where() already zeroes the invalid region, but keep this explicit
+	mi = jax.lax.broadcasted_iota(jnp.int32, (nm, nl), 0)
+	ii = jax.lax.broadcasted_iota(jnp.int32, (nm, nl), 1)
+	return jnp.where(ii < nl - mi, S, 0)
+
+
 def alm2rect(alm, lmax, mmax=None):
 	"""Triangular alm [..., nalm] -> rectangular [..., nl, nm] (l-major).
 
 	TPU-native fast path: elementwise gathers are very slow on TPU (~100M
-	elem/s), but the m-major triangular layout is a concatenation of
-	CONTIGUOUS l-runs, so we (1) window-gather nl-wide slices at each run
-	start (one efficient gather of whole slices), giving the sheared matrix
-	S[m, i] = a(l=m+i, m), then (2) unshear with a pure pad+reshape: padding
-	rows to width nl+1 and re-viewing at width nl shifts row m right by
-	exactly m. Junk lands only in the masked l<m region."""
+	elem/s), so the sheared m-major rows S[m, i] = a(l=m+i, m) are
+	recovered by the pure pad/reshape inverse fold (_unpack_tri_fold; the
+	previous window-gather of nl-wide slices per run start measured 2.5 ms
+	at lmax 750, ~half the synthesis glue), then unsheared with one more
+	pad+reshape: padding rows to width nl+1 and re-viewing at width nl
+	shifts row m right by exactly m. Junk lands only in the masked l<m
+	region."""
 	if mmax is None: mmax = lmax
 	nl, nm = lmax+1, mmax+1
 	alm = _utils.to_device(alm)
-	starts = jnp.asarray(_tri_starts(lmax, mmax))
-	pad = jnp.pad(alm, [(0, 0)]*(alm.ndim-1) + [(0, nl)])
-	S = jax.vmap(lambda o: jax.lax.dynamic_slice_in_dim(pad, o, nl, axis=-1),
-		in_axes=0, out_axes=-2)(starts)              # [..., nm, nl]
+	S = _unpack_tri_fold(alm, lmax, mmax)            # [..., nm, nl]
 	P = jnp.pad(S, [(0, 0)]*(S.ndim-1) + [(0, 1)])   # rows of width nl+1
 	U = P.reshape(P.shape[:-2] + (-1,))[..., :nm*nl] \
 		.reshape(P.shape[:-2] + (nm, nl))            # U[m, l] = a(l, m)

@@ -46,7 +46,15 @@ def main():
 			f = jax.jit(rt)
 			a_d = utils.to_device(alm0[None])
 			t0 = time.perf_counter()
-			out = f(a_d)
+			try:
+				out = f(a_d)
+			except Exception as e:
+				# transient remote-compile tunnel error (truncated HTTP body):
+				# a real Mosaic rejection reproduces, a flake does not
+				print("%-5s transient compile error, retrying: %s"
+					% (tier, str(e)[:100]))
+				sys.stdout.flush()
+				out = f(a_d)
 			out.block_until_ready()
 			print("%-5s compile+warm %.1f s" % (tier, time.perf_counter() - t0))
 			sys.stdout.flush()
