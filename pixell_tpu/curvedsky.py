@@ -355,10 +355,13 @@ def quad_weights(shape, wcs, pix_tol=1e-6):
 # Map-level transforms
 # ---------------------------------------------------------------------------
 def _to_rings(map_arr, minfo):
-	"""Reorient map pixel axes to (theta ascending, phi ascending), pad x."""
+	"""Reorient map pixel axes to (theta ascending, phi ascending), pad x.
+	Both flips fuse into ONE lax.rev: XLA reverses are not free at these
+	sizes (~0.2 ms per pass at the headline 900x1800), so op count matters."""
 	d = jnp.asarray(map_arr)
-	if minfo.flip[0]: d = d[..., ::-1, :]
-	if minfo.flip[1]: d = d[..., :, ::-1]
+	if minfo.flip[0] and minfo.flip[1]: d = d[..., ::-1, ::-1]
+	elif minfo.flip[0]: d = d[..., ::-1, :]
+	elif minfo.flip[1]: d = d[..., :, ::-1]
 	padx = minfo.xpad[1]
 	if padx:
 		pad = [(0, 0)]*(d.ndim-1) + [(0, padx)]
@@ -367,8 +370,9 @@ def _to_rings(map_arr, minfo):
 
 def _from_rings(d, minfo, nx):
 	d = d[..., :, :nx]
-	if minfo.flip[1]: d = d[..., :, ::-1]
-	if minfo.flip[0]: d = d[..., ::-1, :]
+	if minfo.flip[0] and minfo.flip[1]: d = d[..., ::-1, ::-1]
+	elif minfo.flip[1]: d = d[..., :, ::-1]
+	elif minfo.flip[0]: d = d[..., ::-1, :]
 	return d
 
 def _to_rings_slice(arr, minfo, i0, i1):
@@ -377,10 +381,11 @@ def _to_rings_slice(arr, minfo, i0, i1):
 	copy of the map (3.2 GB at lmax 10000)."""
 	ny = arr.shape[-2]
 	if minfo.flip[0]:
-		d = arr[..., ny - i1:ny - i0, :][..., ::-1, :]
+		d = arr[..., ny - i1:ny - i0, :]
+		d = d[..., ::-1, ::-1] if minfo.flip[1] else d[..., ::-1, :]
 	else:
 		d = arr[..., i0:i1, :]
-	if minfo.flip[1]: d = d[..., :, ::-1]
+		if minfo.flip[1]: d = d[..., :, ::-1]
 	padx = minfo.xpad[1]
 	if padx:
 		d = jnp.pad(d, [(0, 0)]*(d.ndim - 1) + [(0, padx)])

@@ -265,14 +265,18 @@ def _resample_jit(fa, ns, axes):
 			fa = fa2
 		elif n_new > n_old:
 			keep_lo = (n_old+1)//2
-			zeros = utils.czeros(fa.shape[:-1] + (n_new-n_old,), fa.dtype)
-			fa2 = jnp.concatenate([fa[..., :keep_lo], zeros, fa[..., keep_lo:]], -1)
 			if n_old % 2 == 0:
-				# split the old Nyquist bin symmetrically between +-n_old/2
-				nyq = fa[..., nh_old]
-				fa2 = fa2.at[..., n_new-nh_old].set(nyq/2)
-				fa2 = fa2.at[..., nh_old].set(nyq/2)
-			fa = fa2
+				# split the old Nyquist bin symmetrically between +-n_old/2,
+				# built as ONE concat (the .at[].set updates each cost a full
+				# array pass on TPU; this path sits in the hot theta-upsample)
+				nyq = fa[..., nh_old:nh_old+1]/2
+				fa = jnp.concatenate([fa[..., :nh_old], nyq,
+					utils.czeros(fa.shape[:-1] + (n_new - n_old - 1,), fa.dtype),
+					nyq, fa[..., nh_old+1:]], -1)
+			else:
+				zeros = utils.czeros(fa.shape[:-1] + (n_new-n_old,), fa.dtype)
+				fa = jnp.concatenate([fa[..., :keep_lo], zeros,
+					fa[..., keep_lo:]], -1)
 		fa = jnp.moveaxis(fa, -1, ax)
 	return fa
 

@@ -209,11 +209,17 @@ def _pack_tri_fold(S, lmax, mmax):
 			X = jnp.pad(X, ((0, 0), (0, 1), (0, 0)))
 			R += 1
 		V = W + A + 2*Bc
-		O1 = jnp.pad(X[:, 1::2, :], ((0, 0), (0, 0), (A, 0)))  # pitch W+A
+		# even/odd rows via reshape + contiguous slice, NOT strided slices
+		# (X[:, 1::2]): _unpack_tri_fold linear-transposes this function, and
+		# a strided slice transposes to a scatter-add -- both slow on TPU and
+		# a scoped-VMEM blowup at lmax 5000 (XLA allocates the whole scatter
+		# operand on stack). Slices of a reshape transpose to pad+reshape.
+		Xp = X.reshape(Bn, R//2, 2, W)
+		O1 = jnp.pad(Xp[:, :, 1, :], ((0, 0), (0, 0), (A, 0)))  # pitch W+A
 		flat = O1.reshape(Bn, (R//2)*(W + A))
 		Ov = jnp.pad(flat, ((0, 0), (0, (R//2)*V - flat.shape[1]))) \
 			.reshape(Bn, R//2, V)                     # col A + c - 2Bj
-		X = jnp.pad(X[:, 0::2, :], ((0, 0), (0, 0), (0, V - W))) + Ov
+		X = jnp.pad(Xp[:, :, 0, :], ((0, 0), (0, 0), (0, V - W))) + Ov
 		A, Bc, W, R = 2*A - Bc, 4*Bc, V, R//2
 	return X[:, 0, :n].reshape(bshape + (n,))
 
