@@ -209,17 +209,11 @@ def _pack_tri_fold(S, lmax, mmax):
 			X = jnp.pad(X, ((0, 0), (0, 1), (0, 0)))
 			R += 1
 		V = W + A + 2*Bc
-		# even/odd rows via reshape + contiguous slice, NOT strided slices
-		# (X[:, 1::2]): _unpack_tri_fold linear-transposes this function, and
-		# a strided slice transposes to a scatter-add -- both slow on TPU and
-		# a scoped-VMEM blowup at lmax 5000 (XLA allocates the whole scatter
-		# operand on stack). Slices of a reshape transpose to pad+reshape.
-		Xp = X.reshape(Bn, R//2, 2, W)
-		O1 = jnp.pad(Xp[:, :, 1, :], ((0, 0), (0, 0), (A, 0)))  # pitch W+A
+		O1 = jnp.pad(X[:, 1::2, :], ((0, 0), (0, 0), (A, 0)))  # pitch W+A
 		flat = O1.reshape(Bn, (R//2)*(W + A))
 		Ov = jnp.pad(flat, ((0, 0), (0, (R//2)*V - flat.shape[1]))) \
 			.reshape(Bn, R//2, V)                     # col A + c - 2Bj
-		X = jnp.pad(Xp[:, :, 0, :], ((0, 0), (0, 0), (0, V - W))) + Ov
+		X = jnp.pad(X[:, 0::2, :], ((0, 0), (0, 0), (0, V - W))) + Ov
 		A, Bc, W, R = 2*A - Bc, 4*Bc, V, R//2
 	return X[:, 0, :n].reshape(bshape + (n,))
 
@@ -227,24 +221,45 @@ def _unpack_tri_fold(alm, lmax, mmax):
 	"""Packed triangular [..., nalm] -> sheared m-major rows [..., nm, nl]
 	(S[m, i] = a(l=m+i, m), zeros for i >= nl-m).
 
-	Gather-free, via jax.linear_transpose of _pack_tri_fold: the fold is a
-	linear map built purely from pad/reshape/add whose action on the valid
-	(masked) domain is a coefficient-1 selection onto the packed positions
-	-- adds only ever combine disjoint supports, and junk paths either
-	originate in the entry mask (structurally zero) or land beyond the
-	final [:n] crop. Its transpose is therefore EXACTLY the inverse
-	placement, and XLA transposes pad/reshape/add into slice/reshape/dup:
-	still pure bandwidth work, no gathers. (A hand-rolled level-by-level
-	inverse founders on the fold's junk-spill corner cases: the A - B*j
-	row-length formula both over- AND under-estimates true run lengths
-	once padding rows enter the pairing.)"""
+	Gather-free: the hand-written adjoint of _pack_tri_fold. The fold is a
+	linear pad/reshape/add map whose action on the valid (masked) domain is
+	a coefficient-1 selection onto the packed positions, so its adjoint is
+	exactly the inverse placement. The adjoint of each level's
+	  merged = pad(even, V-W) + shear(odd)
+	sends the SAME cotangent to both branches -- even_cot = merged[:, :W],
+	odd_cot = shear^T(merged) (the flat re-view at pitch W+A, then the
+	fixed column-A window) -- with NO subtraction and NO masking: junk this
+	creates flows down paths that terminate either in the entry mask's
+	zeroed region or beyond the final [:n] crop, both of which have zero
+	adjoint. (Two rejected variants, for the record: masking rows to the
+	A - B*j formula length is WRONG -- the formula both over- and
+	under-estimates true runs once padding rows enter the pairing -- and
+	jax.linear_transpose of the fold is exact but transposes the strided
+	even/odd slices into scatter-adds, which blew scoped VMEM at
+	lmax 5000.)"""
 	nl = lmax + 1; nm = mmax + 1
-	alm = jnp.asarray(alm)
-	example = jax.ShapeDtypeStruct(alm.shape[:-1] + (nm, nl), alm.dtype)
-	fwd = lambda S: _pack_tri_fold(S, lmax, mmax)
-	S = jax.linear_transpose(fwd, example)(alm)[0]
-	# re-apply the entry mask: the transpose of the fold's defensive
-	# where() already zeroes the invalid region, but keep this explicit
+	n = nalm(lmax, mmax)
+	bshape = alm.shape[:-1]
+	Bn = int(np.prod(bshape, dtype=int)) if bshape else 1
+	X = jnp.asarray(alm).reshape((Bn, n))
+	# replay the forward level parameters
+	levels = []
+	A, Bc, W, R = nl, 1, nl, nm
+	while R > 1:
+		Rp = R + (R % 2)
+		V = W + A + 2*Bc
+		levels.append((A, W, R, Rp, V))
+		A, Bc, W, R = 2*A - Bc, 4*Bc, V, Rp//2
+	X = jnp.pad(X, ((0, 0), (0, W - n)))[:, None, :]     # [Bn, 1, W_top]
+	for (A, W1, R, Rp, V) in reversed(levels):
+		R2 = Rp//2
+		flat = X.reshape(Bn, R2*V)[:, :R2*(W1 + A)]
+		odd = flat.reshape(Bn, R2, W1 + A)[:, :, A:]     # [Bn, R2, W1]
+		even = X[:, :, :W1]
+		X = jnp.stack([even, odd], 2).reshape(Bn, Rp, W1)[:, :R]
+	S = X.reshape(bshape + (nm, nl))
+	# the entry mask (adjoint of the fold's defensive where): kills the
+	# junk the unmasked adjoint flow deposits in the invalid region
 	mi = jax.lax.broadcasted_iota(jnp.int32, (nm, nl), 0)
 	ii = jax.lax.broadcasted_iota(jnp.int32, (nm, nl), 1)
 	return jnp.where(ii < nl - mi, S, 0)
@@ -398,6 +413,39 @@ def _phase_ramp(nm, phi0, rdt, sign):
 	return jax.lax.complex(jnp.asarray(np.cos(ph), rdt),
 		jnp.asarray(np.sin(ph), rdt))
 
+# ---------------------------------------------------------------------------
+# MXU ring-DFT: below this ring width the ring FFTs run as two real matmuls
+# against device-generated cos/sin tables instead of jnp.fft. XLA's TPU FFT
+# achieves only ~65 Gflop/s at small-to-mid sizes (measured: the 900x1800
+# rfft costs 1.5 ms of a 12 ms lmax-750 roundtrip; a [900,1800]@[1800,751]
+# HIGHEST-precision matmul pair is ~10 Gflop and runs on the MXU at tens of
+# Tflop/s). Crossover vs the FFT's N log N is far above 4k columns; the gate
+# stays conservative. f32 only (f64 matmuls are emulated on TPU).
+# ---------------------------------------------------------------------------
+DFT_MM_MAX_NPHI = 4200
+_DFT_SPLIT = 128   # m = m1*_DFT_SPLIT + m0 angle split for the trig tables
+
+
+def _dft_trig(nphi, nm, phi0, sign):
+	"""Device [nm, nphi] tables C = cos(sign*m*phi_j), S = sin(sign*m*phi_j),
+	phi_j = phi0 + 2 pi j/nphi, built by the angle-addition combine of two
+	SMALL host-f64 tables (m = m1*K + m0): full f64 phase accuracy at
+	m ~ 1e4 (a f32 m*phi product would carry ~1e-3 rad) without baking an
+	O(nm*nphi) constant into the program (remote-compile payload limits)."""
+	K = _DFT_SPLIT
+	n1 = -(-nm//K)
+	j = np.arange(nphi)*(2*np.pi/nphi) + float(phi0)
+	a1 = float(sign)*np.outer(np.arange(n1)*K, j)     # [n1, nphi] f64
+	a0 = float(sign)*np.outer(np.arange(K), j)        # [K, nphi] f64
+	cA = jnp.asarray(np.cos(a1), jnp.float32)[:, None, :]
+	sA = jnp.asarray(np.sin(a1), jnp.float32)[:, None, :]
+	cB = jnp.asarray(np.cos(a0), jnp.float32)[None, :, :]
+	sB = jnp.asarray(np.sin(a0), jnp.float32)[None, :, :]
+	C = (cA*cB - sA*sB).reshape(n1*K, nphi)[:nm]
+	S = (sA*cB + cA*sB).reshape(n1*K, nphi)[:nm]
+	return C, S
+
+
 @functools.partial(jax.jit, static_argnames=("phi0", "nphi"))
 def ring_synthesis(G, phi0, nphi):
 	"""G[..., nm, nt] complex -> map [..., nt, nphi]:
@@ -405,6 +453,20 @@ def ring_synthesis(G, phi0, nphi):
 	Handles mmax >= nphi by aliasing m onto m mod nphi. phi0 is static."""
 	G = jnp.asarray(G)
 	nm = G.shape[-2]
+	if (nm <= nphi//2 and nphi <= DFT_MM_MAX_NPHI
+			and G.dtype == jnp.complex64):
+		# MXU path: map[t,j] = G[0,t] + 2 sum_{m>0} Re(G[m,t] e^{i m phi_j})
+		# as two real matmuls (phi0 folded into the tables; m_max < nphi/2 so
+		# there is no Nyquist bin to special-case)
+		C, S = _dft_trig(nphi, nm, phi0, +1)
+		eps = jnp.asarray(np.where(np.arange(nm) == 0, 1.0, 2.0), jnp.float32)
+		Gt = jnp.moveaxis(G, -2, -1)  # [..., nt, nm]
+		Gr = Gt.real*eps
+		Gi = Gt.imag*eps
+		return (jnp.einsum("...tm,mj->...tj", Gr, C,
+				precision=jax.lax.Precision.HIGHEST)
+			- jnp.einsum("...tm,mj->...tj", Gi, S,
+				precision=jax.lax.Precision.HIGHEST))
 	Gp = G if float(phi0) == 0.0 else \
 		G*_phase_ramp(nm, phi0, G.real.dtype, +1)[:, None]
 	Gt = jnp.moveaxis(Gp, -2, -1)  # [..., nt, nm]
@@ -429,6 +491,16 @@ def ring_analysis(maps, phi0, nm):
 	F[m, t] = sum_j map(t,j) e^{-i m phi_j}. phi0 is static."""
 	maps = jnp.asarray(maps)
 	nphi = maps.shape[-1]
+	if (nm <= nphi//2 + 1 and nphi <= DFT_MM_MAX_NPHI
+			and maps.dtype == jnp.float32):
+		# MXU path: F[m,t] = sum_j map(t,j) e^{-i m phi_j} as two real
+		# matmuls (a direct DFT: no Hermitian bookkeeping; phi0 folded in)
+		C, S = _dft_trig(nphi, nm, phi0, -1)
+		Fr = jnp.einsum("...tj,mj->...tm", maps, C,
+			precision=jax.lax.Precision.HIGHEST)
+		Fi = jnp.einsum("...tj,mj->...tm", maps, S,
+			precision=jax.lax.Precision.HIGHEST)
+		return jnp.moveaxis(jax.lax.complex(Fr, Fi), -1, -2)
 	if nm <= nphi//2 + 1:
 		spec = jnp.fft.rfft(maps, axis=-1)
 		F = spec[..., :nm]
@@ -723,18 +795,94 @@ def analysis_phase(F, theta, lmax, weights, nphi, mmax=None, spin=(0, 2),
 MCHUNK_RESAMPLE = 1024  # m-columns per resample chunk (bounds the ~2x-nt
 # torus buffers to a few hundred MB at lmax 5000 instead of several GB)
 
+RESAMPLE_MM_MAX = 2_200_000  # nt*nt_out cap for the matrix resample path
+
+
+@functools.lru_cache(maxsize=8)
+def _resample_matrices(variant, nt, nt_out):
+	"""Host-built REAL [nt_out, nt] matrices (Mb, Mm) with
+	resampled = Mb @ F + (sgn_m*sgn_s) * (Mm @ F): the exact torus
+	resample's action on the base rows and on the (un-signed) mirror rows.
+	The combined torus operation (mirror extension, half-sample phase
+	shifts, spectrum pad, inverse FFT, crop) is C-linear, so a complex
+	matrix represents it EXACTLY; the kernel is the real shifted
+	periodic-sinc except for a small imaginary part sourced entirely by
+	the input torus Nyquist bin (the e^{-i pi f} half-sample phase is
+	one-sided at f = -1/2). That bin is zero for bandlimited data, but
+	keeping the complex matrix makes the matmul path bit-comparable to the
+	FFT path on ARBITRARY inputs. Built column-wise with f64 numpy FFTs."""
+	if variant in ("F1", "FEJER1"):
+		NT_in, NT_out = 2*nt, 2*nt_out
+		mir = np.zeros((NT_in, nt))
+		mir[nt:, :] = np.eye(nt)[::-1]
+	else:  # CC
+		NT_in, NT_out = 2*(nt - 1), 2*(nt_out - 1)
+		mir = np.zeros((NT_in, nt))
+		mir[nt:, :] = np.eye(nt)[nt - 2:0:-1]
+	base = np.zeros((NT_in, nt))
+	base[:nt, :] = np.eye(nt)
+	def run(B):
+		ft = np.fft.fft(B, axis=0)
+		if variant in ("F1", "FEJER1"):
+			ft = ft*np.exp(-1j*np.pi*np.fft.fftfreq(NT_in))[:, None]
+		# frequency-domain pad with symmetric Nyquist split (NT_in even)
+		nh = NT_in//2
+		out = np.zeros((NT_out,) + ft.shape[1:], complex)
+		out[:nh] = ft[:nh]
+		out[nh] = ft[nh]/2
+		out[NT_out - nh] = ft[nh]/2
+		out[NT_out - nh + 1:] = ft[nh + 1:]
+		out = out/NT_in*NT_out
+		if variant in ("F1", "FEJER1"):
+			out = out*np.exp(+1j*np.pi*np.fft.fftfreq(NT_out))[:, None]
+		return np.ascontiguousarray(np.fft.ifft(out, axis=0)[:nt_out])
+	return run(base), run(mir)
+
+
+@functools.partial(jax.jit, static_argnames=("variant", "nt_out", "spins", "m0"))
+def _resample_theta_phase_mm_jit(F, variant, nt_out, spins, m0=0):
+	"""MXU matrix path: the whole torus resample as two real matmuls per
+	re/im plane (~0.25 ms at the lmax-750 900->1512 upsample vs ~3.4 ms for
+	the FFT chain: XLA's TPU FFT runs at ~65 Gflop/s at these sizes)."""
+	nm = F.shape[-2]
+	nt = F.shape[-1]
+	Mb, Mm = _resample_matrices(variant, nt, int(nt_out))
+	Mbr = jnp.asarray(Mb.real.astype(np.float32))
+	Mbi = jnp.asarray(Mb.imag.astype(np.float32))
+	Mmr = jnp.asarray(Mm.real.astype(np.float32))
+	Mmi = jnp.asarray(Mm.imag.astype(np.float32))
+	m = np.arange(m0, m0 + nm)
+	sgn_m = jnp.asarray(np.where(m % 2 == 0, 1.0, -1.0), jnp.float32)[:, None]
+	sgn_s = jnp.asarray([(-1.0)**s for s in spins], jnp.float32)[:, None, None]
+	def app(M, x):
+		return jnp.einsum("...mt,ot->...mo", x, M,
+			precision=jax.lax.Precision.HIGHEST)
+	sgn = sgn_m*sgn_s
+	# complex (Mb + sgn*Mm) @ (Fr + i Fi), expanded into real matmuls
+	yr = app(Mbr, F.real) - app(Mbi, F.imag) \
+		+ sgn*(app(Mmr, F.real) - app(Mmi, F.imag))
+	yi = app(Mbr, F.imag) + app(Mbi, F.real) \
+		+ sgn*(app(Mmr, F.imag) + app(Mmi, F.real))
+	return jax.lax.complex(yr, yi)
+
+
 def resample_theta_phase(F, variant, nt_out, spins):
 	"""Exactly resample phase coefficients F[..., ncomp, nm, nt] on a
 	full-sky CC/F1 ring grid to nt_out rings of the same variant, via the
 	torus extension entirely in the m-domain: the phi -> phi + pi shift of
 	the southern extension is the elementwise factor (-1)^m, so no
 	full-width map FFTs are needed, and theta stays on the minor axis.
-	Processed in m-chunks: each m-column resamples independently, and the
-	2*nt-long torus buffers would otherwise reach GBs at high lmax."""
+	Small grids take the MXU matrix path (_resample_theta_phase_mm_jit);
+	large ones the FFT chain, processed in m-chunks: each m-column
+	resamples independently, and the 2*nt-long torus buffers would
+	otherwise reach GBs at high lmax."""
 	F = jnp.asarray(F)
 	nm = F.shape[-2]
+	nt = F.shape[-1]
 	variant = variant.upper()
 	spins = tuple(int(s) for s in spins)
+	if F.dtype == jnp.complex64 and nt*int(nt_out) <= RESAMPLE_MM_MAX:
+		return _resample_theta_phase_mm_jit(F, variant, int(nt_out), spins, 0)
 	if nm <= MCHUNK_RESAMPLE:
 		return _resample_theta_phase_jit(F, variant, int(nt_out), spins, 0)
 	parts = []

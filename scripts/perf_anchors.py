@@ -19,7 +19,10 @@ v5e peaks: 197 Tflop/s bf16 MXU, ~3.3 Tops/s VPU f32 (8x128 x 2 ALUs x
 """
 import numpy as np
 
-VPU_PEAK = 3.3e12    # f32 VPU ops/s (measured kernel ceiling ~3.2e12)
+VPU_PEAK = 2.886e12  # f32 VPU ops/s, measured INDEPENDENTLY by the pure
+# FMA-chain Pallas microbenchmark scripts/vpu_peak.py (2026-08-20, 4 reps,
+# best 0.1905 s for 5.5e11 flop). Earlier rounds used the best SHT kernel's
+# own throughput as the ceiling, which made its "~100% of peak" circular.
 MXU_PEAK = 197e12    # bf16 Tflop/s
 HBM_PEAK = 819e9     # bytes/s
 
@@ -60,9 +63,13 @@ print("== config anchors ==")
 # config 2: lmax 2000 roundtrip 0.122 s, fullsky CAR 2002x4004ish
 sht_anchor(2000, 4002, 4032, 2, 0.122/2, "config2/2 lmax2000 spin0")
 print("""
-Interpretation: the Legendre stepwise kernel runs at ~85-100%% of the
-VPU's measured f32 ceiling -- it is compute-bound on the vector unit, not
-HBM-bound (the l-loop lives in VMEM; HBM traffic is the O(lmax^2) floor).
+Interpretation: the Legendre stepwise kernel runs at ~85-120%% of the
+independently measured FMA-chain ceiling -- it is compute-bound on the
+vector unit, not HBM-bound (the l-loop lives in VMEM; HBM traffic is the
+O(lmax^2) floor). Fractions above 100%% mean the ~15-17 ops/(l,m,t) flop
+model over-counts relative to what the VPU issues (selects and constant
+multiplies can co-issue with FMAs); treat the model as +-20%%. Either
+way the kernel sits at the unit's measured throughput.
 The only way substantially past it is the MXU: the block-Legendre split
 (ops/sht_pallas.py BLK_*, v2 with BLK_LB=112 + fori_loop build) measures
 1.28x on scalar synthesis and 1.16x on spin-2 at lmax 5000 (see PERF.md);
