@@ -279,6 +279,10 @@ def alm2rect(alm, lmax, mmax=None):
 	if mmax is None: mmax = lmax
 	nl, nm = lmax+1, mmax+1
 	alm = _utils.to_device(alm)
+	if jnp.iscomplexobj(alm):
+		# run the adjoint fold once over stacked re/im (see rect2alm)
+		both = alm2rect(jnp.stack([alm.real, alm.imag]), lmax, mmax)
+		return jax.lax.complex(both[0], both[1])
 	S = _unpack_tri_fold(alm, lmax, mmax)            # [..., nm, nl]
 	P = jnp.pad(S, [(0, 0)]*(S.ndim-1) + [(0, 1)])   # rows of width nl+1
 	U = P.reshape(P.shape[:-2] + (-1,))[..., :nm*nl] \
@@ -302,9 +306,12 @@ def rect2alm(rect, lmax, mmax=None):
 	n = nalm(lmax, mmax)
 	rect = jnp.asarray(rect)
 	if jnp.iscomplexobj(rect):
-		# axon cannot move complex across host<->device; keep re/im split
-		return jax.lax.complex(rect2alm(rect.real, lmax, mmax),
-			rect2alm(rect.imag, lmax, mmax))
+		# axon cannot move complex across host<->device; keep re/im split.
+		# Stacked on a leading batch axis, the fold runs ONCE (its ~30
+		# pad/reshape passes are op-overhead-bound, so two sequential real
+		# folds cost ~2x one double-batch fold)
+		both = rect2alm(jnp.stack([rect.real, rect.imag]), lmax, mmax)
+		return jax.lax.complex(both[0], both[1])
 	U = jnp.moveaxis(rect, -1, -2)                   # [..., nm, nl]
 	l = jax.lax.broadcasted_iota(jnp.int32, (nm, nl), 1)
 	m = jax.lax.broadcasted_iota(jnp.int32, (nm, nl), 0)
