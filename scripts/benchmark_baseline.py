@@ -226,14 +226,27 @@ def main():
 	cfgs = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
 	want = sorted(int(t) for t in args.only.split(",")) if args.only else sorted(cfgs)
 	for i in want:
-		try:
-			res = cfgs[i](args.quick)
-			print(json.dumps(res), flush=True)
-		except Exception as e:
-			if args.tb:
-				import traceback; traceback.print_exc()
-			print(json.dumps(dict(config=str(i),
-				error=(type(e).__name__ + ": " + str(e))[:300])), flush=True)
+		for attempt in range(3):
+			try:
+				res = cfgs[i](args.quick)
+				print(json.dumps(res), flush=True)
+				break
+			except Exception as e:
+				if args.tb:
+					import traceback; traceback.print_exc()
+				msg = str(e)
+				transient = any(t in msg for t in ("read body",
+					"remote_compile", "DEADLINE_EXCEEDED", "UNAVAILABLE"))
+				if transient and attempt < 2:
+					# transient remote-compile tunnel flake: retry (already-
+					# compiled programs replay from the in-process cache, so
+					# the retry resumes roughly where the flake hit)
+					print(json.dumps(dict(config=str(i), retry=attempt + 1,
+						transient=msg[:160])), flush=True)
+					continue
+				print(json.dumps(dict(config=str(i),
+					error=(type(e).__name__ + ": " + msg)[:300])), flush=True)
+				break
 
 
 if __name__ == "__main__":
