@@ -186,9 +186,52 @@ def _transfer_alm_core(alm, ii, oi, nelem, op):
 def _transfer_alm_core_out(alm, ii, oi, out, op):
 	return out.at[..., oi].set(op(out[..., oi], alm[..., ii]))
 
-def transfer_alm(iainfo, alm, oainfo, out=None, op=lambda a, b: b):
-	"""Convert alm between layouts/lmax (reference cmisc.transfer_alm)."""
+def _op_replace(a, b): return b
+
+@functools.partial(jax.jit,
+	static_argnames=("ilmax", "immax", "olmax", "ommax", "op"))
+def _transfer_alm_tri(alm, out, ilmax, immax, olmax, ommax, op):
+	# triangular->triangular transfer as a pad/reshape fold roundtrip:
+	# per m the layouts are contiguous runs, so the whole transfer is a
+	# static slice/pad of the rectangular [nl, nm] view
+	from . import sht as _sht
+	L = min(ilmax, olmax)+1; M = min(immax, ommax)+1
+	rect = _sht.alm2rect(alm, ilmax, immax)[..., :L, :M]
+	if out is None and op is _op_replace:
+		pad = [(0, 0)]*(rect.ndim-2) + [(0, olmax+1-L), (0, ommax+1-M)]
+		return _sht.rect2alm(jnp.pad(rect, pad), olmax, ommax)
+	base = _sht.alm2rect(out, olmax, ommax) if out is not None else \
+		jnp.zeros(alm.shape[:-1] + (olmax+1, ommax+1), alm.dtype)
+	# apply op only at valid (l >= m) overlap positions; everything else in
+	# the output (including beyond-overlap entries of out) is untouched
+	l = jax.lax.broadcasted_iota(jnp.int32, (L, M), 0)
+	m = jax.lax.broadcasted_iota(jnp.int32, (L, M), 1)
+	block = jnp.where(l >= m, op(base[..., :L, :M], rect), base[..., :L, :M])
+	full = base.at[..., :L, :M].set(block.astype(base.dtype))
+	return _sht.rect2alm(full, olmax, ommax)
+
+def transfer_alm(iainfo, alm, oainfo, out=None, op=_op_replace):
+	"""Convert alm between layouts/lmax (reference cmisc.transfer_alm).
+
+	Triangular->triangular transfers are pure per-m truncation/zero-padding,
+	so they run through the pad/reshape fold (alm2rect -> static slice/pad
+	-> rect2alm) with no index arrays at all. The previous elementwise
+	gather/scatter built two [nvalid] int32 index arrays (~200 MB each at
+	lmax 10000) and re-uploaded them on every call -- minutes per top-scale
+	wavelet transfer through the ~26 MB/s remote tunnel, and the residency
+	spike that OOMed big reconstructions. Identical layouts short-circuit
+	to the input. Non-triangular layouts keep the general gather path."""
 	alm = utils.to_device(alm)
+	if out is None and op is _op_replace \
+			and iainfo.lmax == oainfo.lmax and iainfo.mmax == oainfo.mmax \
+			and iainfo.stride == oainfo.stride \
+			and np.array_equal(iainfo.mstart, oainfo.mstart):
+		return alm
+	if iainfo._is_tri() and oainfo._is_tri():
+		if out is not None: out = utils.to_device(out)
+		res = _transfer_alm_tri(alm, out, iainfo.lmax, iainfo.mmax,
+			oainfo.lmax, oainfo.mmax, op)
+		return res.astype(out.dtype if out is not None else alm.dtype)
 	lmax = min(iainfo.lmax, oainfo.lmax)
 	mmax = min(iainfo.mmax, oainfo.mmax)
 	l = np.arange(lmax+1)[:, None]; m = np.arange(mmax+1)[None, :]

@@ -246,13 +246,27 @@ class WaveletTransform:
 		harm = self.uht.map2harm(map, spin=0)
 		offload = self._offload_now(map)
 		outs = [None]*self.basis.n
+		# curved mode: unfold the big alm to its rectangular [nl, nm] view
+		# ONCE; each scale is then a static slice * l-profile + one fold to
+		# the scale's (smaller) triangular layout. The previous per-scale
+		# transfer_alm+hmul pair cost two full fold roundtrips per scale.
+		rect = None
+		if self.uht.mode == "curved" and self.uht.ainfo._is_tri() \
+				and all(u.ainfo._is_tri() and u.ainfo.lmax <= self.uht.ainfo.lmax
+					and u.ainfo.mmax <= self.uht.ainfo.mmax for u in self.uhts):
+			rect = self.uht.ainfo._rect(utils.to_device(harm))
 		for i in reversed(range(self.basis.n)):
 			u = self.uhts[i]
 			prof = self.basis.kernel(i, np.arange(u.lmax+1, dtype=float))
 			if self.uht.mode == "curved":
 				from . import curvedsky
-				sub = curvedsky.transfer_alm(self.uht.ainfo, utils.to_device(harm), u.ainfo)
-				sub = u.hmul(prof, sub)
+				if rect is not None:
+					L, M = u.ainfo.lmax+1, u.ainfo.mmax+1
+					pf = jnp.asarray(np.asarray(prof, rect.real.dtype))
+					sub = u.ainfo._unrect(rect[..., :L, :M]*pf[:L, None])
+				else:
+					sub = curvedsky.transfer_alm(self.uht.ainfo, utils.to_device(harm), u.ainfo)
+					sub = u.hmul(prof, sub)
 				m = u.harm2map(sub, spin=0)
 				sub = None
 			else:
@@ -271,13 +285,32 @@ class WaveletTransform:
 		return multimap.ndmaps(outs)
 	def wave2map(self, wave, omap=None):
 		"""Adjoint-inverse: reassemble the map from wavelet maps (device- or
-		host-resident; host scales are uploaded one at a time)."""
+		host-resident; host scales are uploaded one at a time).
+
+		Curved mode accumulates scales in the rectangular [nl, nm] view --
+		each scale contributes one dynamic-update-slice add at its own
+		bandlimit -- and folds to the triangular layout ONCE at the end,
+		instead of zero-padding every scale's alm to the full layout."""
 		total = None
+		rect_ok = self.uht.mode == "curved" and self.uht.ainfo._is_tri() \
+			and all(u.ainfo._is_tri() and u.ainfo.lmax <= self.uht.ainfo.lmax
+				and u.ainfo.mmax <= self.uht.ainfo.mmax for u in self.uhts)
 		for i in range(self.basis.n):
 			u = self.uhts[i]
 			m = wave.maps[i]
 			prof = self.basis.kernel(i, np.arange(u.lmax+1, dtype=float))
-			if self.uht.mode == "curved":
+			if self.uht.mode == "curved" and rect_ok:
+				sub = u.map2harm(m, spin=0)
+				srect = u.ainfo._rect(utils.to_device(sub))
+				pf = jnp.asarray(np.asarray(prof, srect.real.dtype))
+				srect = srect*pf[:srect.shape[-2], None]
+				if total is None:
+					total = utils.czeros(srect.shape[:-2]
+						+ (self.uht.ainfo.lmax+1, self.uht.ainfo.mmax+1), srect.dtype)
+				L, M = srect.shape[-2:]
+				total = total.at[..., :L, :M].add(srect)
+				continue
+			elif self.uht.mode == "curved":
 				from . import curvedsky
 				sub = u.map2harm(m, spin=0)
 				sub = u.hmul(prof, sub)
@@ -288,6 +321,8 @@ class WaveletTransform:
 				l2 = np.asarray(enmap.modlmap(self.uht.shape, self.uht.wcs))
 				big = jnp.asarray(h)*jnp.asarray(self.basis.kernel(i, l2))
 			total = big if total is None else total + big
+		if rect_ok and total is not None:
+			total = self.uht.ainfo._unrect(total)
 		res = self.uht.harm2map(total, spin=0)
 		if isinstance(res, enmap.ndmap): return res.real if np.iscomplexobj(np.asarray(res)) else res
 		return res

@@ -137,6 +137,16 @@ def test_cyl_method_cea():
 	# spaced, so convergence is slower than on CAR grids)
 	assert e5 < e0*0.1
 
+def _transfer_alm_oracle(ia, alm, oa, out=None, op=lambda a, b: b):
+	lmax = min(ia.lmax, oa.lmax); mmax = min(ia.mmax, oa.mmax)
+	res = np.zeros(alm.shape[:-1] + (oa.nelem,), alm.dtype) if out is None \
+		else np.array(out)
+	for m in range(mmax+1):
+		for l in range(m, lmax+1):
+			oi = oa.mstart[m] + l*oa.stride
+			res[..., oi] = op(res[..., oi], alm[..., ia.mstart[m] + l*ia.stride])
+	return res
+
 def test_transfer_alm():
 	a1 = curvedsky.alm_info(lmax=LMAX)
 	a2 = curvedsky.alm_info(lmax=LMAX+10)
@@ -144,6 +154,23 @@ def test_transfer_alm():
 	big = np.asarray(curvedsky.transfer_alm(a1, jnp.asarray(alm), a2))
 	for (l, m) in [(0, 0), (LMAX, 3), (7, 7)]:
 		assert np.allclose(big[a2.lm2ind(l, m)], alm[a1.lm2ind(l, m)])
+	# pad/crop/mixed-mmax fold paths, with and without out=/op=, against a
+	# per-(l,m) loop oracle (the fold rewrite must match exactly)
+	rng = np.random.default_rng(3)
+	for (l1, m1), (l2, m2) in [((LMAX, LMAX), (LMAX-7, LMAX-7)),
+			((LMAX, LMAX-9), (LMAX-4, LMAX-4)), ((LMAX, LMAX), (LMAX, LMAX))]:
+		ai = curvedsky.alm_info(lmax=l1, mmax=m1)
+		ao = curvedsky.alm_info(lmax=l2, mmax=m2)
+		a = (rng.standard_normal((2, ai.nelem))
+			+ 1j*rng.standard_normal((2, ai.nelem)))
+		got = np.asarray(curvedsky.transfer_alm(ai, a, ao))
+		assert np.abs(got - _transfer_alm_oracle(ai, a, ao)).max() < 1e-13
+		out = (rng.standard_normal((2, ao.nelem))
+			+ 1j*rng.standard_normal((2, ao.nelem)))
+		opadd = lambda x, y: x + y
+		got = np.asarray(curvedsky.transfer_alm(ai, a, ao, out=out.copy(), op=opadd))
+		want = _transfer_alm_oracle(ai, a, ao, out=out, op=opadd)
+		assert np.abs(got - want).max() < 1e-13
 
 
 def test_f32_sht():
