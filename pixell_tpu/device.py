@@ -129,7 +129,7 @@ def anypy(arr):
 	return utils._xp(arr)
 
 
-def enable_compilation_cache(directory=None, min_compile_secs=5.0):
+def enable_compilation_cache(directory=None, min_compile_secs=0.0):
 	"""Turn on jax's persistent compilation cache: compiled executables are
 	serialized to `directory` (default ~/.cache/pixell_tpu_xla) and reloaded
 	by hash on later runs, making expensive first compiles a per-MACHINE

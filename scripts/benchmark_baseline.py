@@ -26,24 +26,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timed(fn, *args, nrep=1):
-	"""Compile + warm, then time nrep fused executions with a fresh input
-	perturbation. fn must return a jax array (or pytree); we fetch a fused
-	scalar sum to synchronize."""
+	"""Compile + warm, then time nrep fused executions, each with a DISTINCT
+	input perturbation folded in inside the jit: the axon execution cache
+	replays identical (program, arguments) executions near-instantly, so
+	reusing one input across reps would time only the first rep (measured:
+	a whole lmax-10000 wavelet roundtrip 'warm pass' reported 0.8 s that
+	way). fn must return a jax array (or pytree); we fetch a fused scalar
+	sum to synchronize."""
 	import jax
 	import jax.numpy as jnp
 	@jax.jit
-	def run(*a):
+	def run(k, *a):
+		a = [x + k.astype(x.dtype) if hasattr(x, "dtype")
+			and jnp.issubdtype(x.dtype, jnp.floating) else x for x in a]
 		out = fn(*a)
 		leaves = jax.tree.leaves(out)
 		return sum(jnp.sum(jnp.abs(l.astype(jnp.float32))) for l in leaves)
-	s = run(*args)  # compile + warm
+	ks = [jnp.asarray(np.float32(1.2345e-5*(k + 1))) for k in range(nrep + 1)]
+	s = run(ks[-1], *args)  # compile + warm
 	assert bool(np.isfinite(float(s))), "non-finite warmup output"
-	# fresh inputs so the axon execution cache cannot replay the warmup
-	args2 = [a + jnp.asarray(1.2345e-5, a.dtype) if hasattr(a, "dtype")
-		and np.issubdtype(a.dtype, np.floating) else a for a in args]
 	t0 = time.perf_counter()
-	for _ in range(nrep):
-		s = run(*args2)
+	for k in range(nrep):
+		s = run(ks[k], *args)
 	ok = bool(np.isfinite(float(s)))
 	t1 = time.perf_counter()
 	assert ok
@@ -146,16 +150,19 @@ def config4(quick):
 	# (measured: 18.1 s vs 2.0 s warm at this config).
 	phi_alm = utils.to_device(phi_alm.astype(np.complex64))
 	cmb_alm = utils.to_device(cmb_alm.astype(np.complex64))
-	def run():
+	def run(pa, ca):
 		lensed = lensing.lens_map_curved(shape=(3,) + shape, wcs=wcs,
-			phi_alm=phi_alm, cmb_alm=cmb_alm, dtype=np.float32,
+			phi_alm=pa, cmb_alm=ca, dtype=np.float32,
 			delta_theta=2*utils.degree)
 		ab = aberration.boost_map(lensed, modulation=None)
 		return float(jnp.sum(jnp.abs(jnp.asarray(ab))))
-	s = run()  # compile + warm
+	s = run(phi_alm, cmb_alm)  # compile + warm
 	assert np.isfinite(s)
+	# distinct alm values for the timed pass (axon execution-cache rule)
+	phi2 = jax.block_until_ready(phi_alm*np.float32(1 + 1e-4))
+	cmb2 = jax.block_until_ready(cmb_alm*np.float32(1 + 1e-4))
 	t0 = time.perf_counter()
-	s = run()
+	s = run(phi2, cmb2)
 	assert np.isfinite(s)
 	dt = time.perf_counter() - t0
 	return dict(config="4_lens_aberrate_%dx%d_lmax%d" % (shape[0], shape[1], lmax),
@@ -180,8 +187,11 @@ def config5(quick):
 	amps = rng.uniform(0.5, 2.0, nsrc).astype(np.float32)
 	r = np.linspace(0, 30*utils.arcmin, 1000)
 	br = np.exp(-0.5*(r/(2*utils.arcmin))**2)
-	def stage_srcsim():
-		omap = pointsrcs.sim_objects(shape, wcs, poss, amps, (r, br))
+	def stage_srcsim(it):
+		# distinct amplitudes per pass: identical inputs would let the axon
+		# execution cache replay the whole warm pass (timed() docstring)
+		omap = pointsrcs.sim_objects(shape, wcs, poss,
+			amps*np.float32(1 + 1e-4*it), (r, br))
 		omap = enmap.ndmap(jnp.asarray(omap), wcs)
 		float(jnp.sum(jnp.abs(jnp.asarray(omap))))
 		return omap
@@ -191,7 +201,7 @@ def config5(quick):
 	omap = None
 	for it in range(2):
 		t0 = time.perf_counter()
-		omap = stage_srcsim()
+		omap = stage_srcsim(it)
 		t_parts["srcsim"] = time.perf_counter() - t0
 		t0 = time.perf_counter()
 		wave = wt.map2wave(omap)
@@ -220,8 +230,16 @@ def main():
 	ap.add_argument("--only", type=str, default=None,
 		help="comma-separated config numbers, e.g. 1,3")
 	ap.add_argument("--tb", action="store_true", help="print tracebacks")
+	ap.add_argument("--no-cache", action="store_true",
+		help="disable the persistent compilation cache (on by default: on "
+		"remote-compile runtimes even a jit(squeeze) costs ~0.5 s to "
+		"compile, and a full config-5 cold pass is ~55 min of compiles; "
+		"the cache does not affect the timed warm passes)")
 	args = ap.parse_args()
 	import jax
+	if not args.no_cache:
+		from pixell_tpu import device
+		device.enable_compilation_cache()
 	print("# device:", jax.devices()[0], file=sys.stderr)
 	cfgs = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
 	want = sorted(int(t) for t in args.only.split(",")) if args.only else sorted(cfgs)

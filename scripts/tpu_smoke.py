@@ -59,11 +59,17 @@ def main():
 	ap = argparse.ArgumentParser()
 	ap.add_argument("--quick", action="store_true",
 		help="skip the lmax-5000 configs (several minutes of compile)")
+	ap.add_argument("--no-cache", action="store_true",
+		help="disable the persistent compilation cache (on by default so "
+		"repeat smokes only pay for programs whose code actually changed)")
 	args = ap.parse_args()
 
 	import jax
 	import jax.numpy as jnp
 	from pixell_tpu import sht, curvedsky, enmap, utils
+	if not args.no_cache:
+		from pixell_tpu import device
+		device.enable_compilation_cache()
 
 	print("backend:", jax.default_backend())
 	f32 = np.float32
