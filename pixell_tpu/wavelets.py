@@ -144,9 +144,15 @@ class CosineNeedlet:
 	def __call__(self, i, l): return self.kernel(i, l)
 
 
-OFFLOAD_BYTES = 1 << 31  # auto-offload wavelet maps to host above 2 GB total:
+OFFLOAD_BYTES = 1 << 32  # auto-offload wavelet maps to host above 4 GB total:
 # the decomposition RESULT does not need to sit in HBM while further scales
-# (or the reconstruction's analysis passes) run their multi-GB transients
+# (or the reconstruction's analysis passes) run their multi-GB transients.
+# Threshold history: 2 GB in round 4, when the gather-based transfer_alm
+# spiked residency by ~1.6 GB of index arrays + scatter transients per top
+# scale; the fold-based transfer removed that, and an lmax-10000 fullsky
+# decomposition (2.7 GB set) now completes device-resident with room to
+# spare -- and host offload costs ~40 s/GB each way through tunnel-attached
+# runtimes, so offloading a set that fits is a large pure loss.
 
 
 class WaveletTransform:
