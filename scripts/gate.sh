@@ -32,6 +32,7 @@ rm -f /tmp/gate_rows.md; touch /tmp/gate_rows.md
 FAILURES=0
 run_gate tpu_smoke python scripts/tpu_smoke.py $QUICK || FAILURES=$((FAILURES+1))
 run_gate bench python bench.py || FAILURES=$((FAILURES+1))
+run_gate multichip_dryrun python -c "import __graft_entry__ as g; g.dryrun_multichip(8); print('dryrun ok')" || FAILURES=$((FAILURES+1))
 run_gate fast_tests python -m pytest tests/ -q -m "not slow" || FAILURES=$((FAILURES+1))
 
 END=$(date -u +"%Y-%m-%dT%H:%M:%SZ")
