@@ -20,10 +20,20 @@ def main():
 	ap.add_argument("--lmax", type=int, default=5000)
 	ap.add_argument("--tiers", type=str, default="fast,high")
 	ap.add_argument("--nrep", type=int, default=2)
+	ap.add_argument("--spin", type=str, default="0",
+		help='"0" (scalar, C=1) or "0,2" (IQU-like, C=3)')
+	ap.add_argument("--blocked", action="store_true",
+		help="run with the MXU block-Legendre split enabled")
+	ap.add_argument("--no-cache", action="store_true")
 	args = ap.parse_args()
 	import jax, jax.numpy as jnp
-	from pixell_tpu import sht, utils
+	from pixell_tpu import sht, utils, device
 	from pixell_tpu import fft as enfft
+	import contextlib
+	if not args.no_cache:
+		device.enable_compilation_cache()
+	spin = tuple(int(t) for t in args.spin.split(","))
+	C = 1 if spin == (0,) else 3
 	lmax = args.lmax
 	nt = 2*lmax + 2
 	nphi = enfft.fft_len(2*lmax + 2, "above")
@@ -31,20 +41,27 @@ def main():
 	w = jnp.asarray(sht.ring_weights("F1", nt), np.float32)
 	rng = np.random.default_rng(0)
 	nelem = (lmax + 1)*(lmax + 2)//2
-	alm0 = (rng.standard_normal(nelem) + 1j*rng.standard_normal(nelem)) \
-		.astype(np.complex64)
-	alm0[:lmax + 1] = alm0[:lmax + 1].real
+	alm0 = (rng.standard_normal((C, nelem))
+		+ 1j*rng.standard_normal((C, nelem))).astype(np.complex64)
+	alm0[:, :lmax + 1] = alm0[:, :lmax + 1].real
+	if C > 1:
+		# no monopole/dipole in the spin-2 components
+		for comp in (1, 2):
+			alm0[comp, :2] = 0
+			alm0[comp, lmax + 1] = 0
 	scale = np.abs(alm0).max()
-	print("device:", jax.devices()[0], "lmax", lmax, "grid %dx%d" % (nt, nphi))
+	print("device:", jax.devices()[0], "lmax", lmax, "grid %dx%d" % (nt, nphi),
+		"spin", spin, "blocked", args.blocked)
 	sys.stdout.flush()
 	for tier in args.tiers.split(","):
-		with sht.accuracy(tier):
+		with sht.accuracy(tier), \
+				(sht.blocked() if args.blocked else contextlib.nullcontext()):
 			def rt(a):
-				m = sht.synthesis(a, theta, nphi, lmax=lmax, spin=(0,),
+				m = sht.synthesis(a, theta, nphi, lmax=lmax, spin=spin,
 					map_dtype=np.float32)
-				return sht.analysis(m, theta, lmax, w, spin=(0,))
+				return sht.analysis(m, theta, lmax, w, spin=spin)
 			f = jax.jit(rt)
-			a_d = utils.to_device(alm0[None])
+			a_d = utils.to_device(alm0)
 			t0 = time.perf_counter()
 			try:
 				out = f(a_d)
@@ -58,7 +75,7 @@ def main():
 			out.block_until_ready()
 			print("%-5s compile+warm %.1f s" % (tier, time.perf_counter() - t0))
 			sys.stdout.flush()
-			alm1 = utils.from_device(out)[0]
+			alm1 = utils.from_device(out)
 			err = np.abs(alm1 - alm0)
 			print("%-5s alm roundtrip err: max %.3e rel-to-scale %.3e rms %.3e"
 				% (tier, err.max(), err.max()/scale,
