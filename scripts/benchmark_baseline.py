@@ -198,8 +198,12 @@ def config5(quick):
 	# pass 1 = compile + warm (every wavelet scale is its own SHT geometry,
 	# each a separate remote compile through the tunnel); pass 2 = timed
 	t_parts = {}
-	omap = None
+	omap = wave = rec = None
 	for it in range(2):
+		# release the previous pass's wavelet set and reconstruction BEFORE
+		# this pass allocates: holding the pass-1 set (2.7 GB device-resident
+		# at lmax 10000) through pass-2's map2wave doubles peak residency
+		wave = rec = None
 		t0 = time.perf_counter()
 		omap = stage_srcsim(it)
 		t_parts["srcsim"] = time.perf_counter() - t0
