@@ -453,6 +453,39 @@ def _dft_trig(nphi, nm, phi0, sign):
 	return C, S
 
 
+# XLA expands an FFT whose length is not 2357-smooth into Bluestein chirp
+# convolutions padded to the next power of two, and allocates that workspace
+# for the WHOLE batch at once: a [10002, 20004] fullsky ring transform
+# (20004 = 2^2*3*1667) wants ~10 GB of c64 scratch and OOMs a 16 GB chip.
+# When the ring count nphi is user-fixed and hostile, run the FFT over row
+# chunks (lax.map) so the scratch is bounded; smooth lengths are untouched.
+FFT_CHUNK_BYTES = float(1 << 28)
+
+def _fft_row_chunk(nphi, shape):
+	"""Rows per chunk for a length-nphi FFT over shape[..., nt, *], or None
+	if no chunking is needed (smooth length or small batch)."""
+	from . import fft as _enfft
+	if _enfft.fft_len(nphi, "above") == nphi: return None
+	pre = int(np.prod(shape[:-2], dtype=np.int64)) if len(shape) > 2 else 1
+	nt = int(shape[-2])
+	work_row = (1 << int(np.ceil(np.log2(max(2*nphi, 2)))))*16*2
+	if pre*nt*work_row <= FFT_CHUNK_BYTES: return None
+	return max(64, int(FFT_CHUNK_BYTES//max(pre*work_row, 1)))
+
+def _rows_chunked(fn, x, tc):
+	"""Apply fn ([..., tc, n] -> [..., tc, n']) over row chunks of axis -2."""
+	nt = x.shape[-2]
+	if tc is None or nt <= tc: return fn(x)
+	nchunk = -(-nt//tc)
+	pad = nchunk*tc - nt
+	xp = jnp.pad(x, [(0, 0)]*(x.ndim - 2) + [(0, pad), (0, 0)])
+	xp = jnp.moveaxis(
+		xp.reshape(xp.shape[:-2] + (nchunk, tc, xp.shape[-1])), -3, 0)
+	out = jax.lax.map(fn, xp)
+	out = jnp.moveaxis(out, 0, -3)
+	out = out.reshape(out.shape[:-3] + (nchunk*tc, out.shape[-1]))
+	return out[..., :nt, :]
+
 @functools.partial(jax.jit, static_argnames=("phi0", "nphi"))
 def ring_synthesis(G, phi0, nphi):
 	"""G[..., nm, nt] complex -> map [..., nt, nphi]:
@@ -481,7 +514,9 @@ def ring_synthesis(G, phi0, nphi):
 		# fast path: no aliasing -- place m directly in the rfft half-spectrum
 		g = _utils.czeros(G.shape[:-2] + (G.shape[-1], nphi//2 + 1), G.dtype)
 		g = g.at[..., :nm].set(Gt)
-		return jnp.fft.irfft(g, n=nphi, axis=-1)*nphi
+		tc = _fft_row_chunk(nphi, g.shape)
+		return _rows_chunked(
+			lambda b: jnp.fft.irfft(b, n=nphi, axis=-1), g, tc)*nphi
 	# aliasing-safe general path: build the full complex spectrum
 	c = _utils.czeros(G.shape[:-2] + (G.shape[-1], nphi), G.dtype)
 	mpos = np.arange(nm) % nphi
@@ -490,7 +525,9 @@ def ring_synthesis(G, phi0, nphi):
 	# negative-m (conjugate) part; m=0 only counted once
 	scale = jnp.asarray(np.where(np.arange(nm) == 0, 0.0, 1.0), G.real.dtype)
 	c = c.at[..., jnp.asarray(mneg)].add(jnp.conj(Gt)*scale)
-	return jnp.fft.ifft(c, axis=-1).real*nphi
+	tc = _fft_row_chunk(nphi, c.shape)
+	return _rows_chunked(
+		lambda b: jnp.fft.ifft(b, axis=-1).real, c, tc)*nphi
 
 @functools.partial(jax.jit, static_argnames=("phi0", "nm"))
 def ring_analysis(maps, phi0, nm):
@@ -508,11 +545,14 @@ def ring_analysis(maps, phi0, nm):
 		Fi = jnp.einsum("...tj,mj->...tm", maps, S,
 			precision=jax.lax.Precision.HIGHEST)
 		return jnp.moveaxis(jax.lax.complex(Fr, Fi), -1, -2)
+	tc = _fft_row_chunk(nphi, maps.shape)
 	if nm <= nphi//2 + 1:
-		spec = jnp.fft.rfft(maps, axis=-1)
-		F = spec[..., :nm]
+		spec = _rows_chunked(
+			lambda b: jnp.fft.rfft(b, axis=-1)[..., :nm], maps, tc)
+		F = spec
 	else:
-		spec = jnp.fft.fft(maps, axis=-1)  # sum_j map e^{-2pi i jk/nphi}
+		spec = _rows_chunked(  # sum_j map e^{-2pi i jk/nphi}
+			lambda b: jnp.fft.fft(b, axis=-1), maps, tc)
 		midx = np.arange(nm) % nphi
 		F = spec[..., jnp.asarray(midx)]
 	if float(phi0) != 0.0:

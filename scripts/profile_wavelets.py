@@ -20,18 +20,36 @@ def main():
 	ap.add_argument("--quick", action="store_true")
 	ap.add_argument("--offload", type=str, default="auto",
 		help="auto (library policy), 0 (force device), 1 (force host)")
+	ap.add_argument("--bench-geometry", action="store_true",
+		help="use BASELINE config 5's exact grid (res pi/(lmax+2))")
+	ap.add_argument("--srcsim", action="store_true",
+		help="use the config-5 srcsim map as input instead of noise")
 	args = ap.parse_args()
 	import jax, jax.numpy as jnp
 	from pixell_tpu import enmap, curvedsky, wavelets, uharm, utils, device
 	device.enable_compilation_cache()
 	lmax = 1000 if args.quick else args.lmax
-	res = np.pi/(lmax+1)
+	res = np.pi/(lmax + (2 if args.bench_geometry else 1))
 	shape, wcs = enmap.fullsky_geometry(res=res, variant="fejer1")
 	print("map %s  lmax %d" % (shape, lmax)); sys.stdout.flush()
 	rng = np.random.default_rng(0)
-	# random band-limited map: cheap white map is fine for timing
-	m = enmap.ndmap(jnp.asarray(rng.standard_normal(shape).astype(np.float32)),
-		wcs)
+	if args.srcsim:
+		from pixell_tpu import pointsrcs
+		nsrc = 10000
+		poss = np.array([rng.uniform(-1.2, 1.2, nsrc),
+			rng.uniform(-np.pi, np.pi, nsrc)])
+		amps = rng.uniform(0.5, 2.0, nsrc).astype(np.float32)
+		r = np.linspace(0, 30*utils.arcmin, 1000)
+		br = np.exp(-0.5*(r/(2*utils.arcmin))**2)
+		t0 = time.perf_counter()
+		m = pointsrcs.sim_objects(shape, wcs, poss, amps, (r, br))
+		m = enmap.ndmap(jnp.asarray(m), wcs)
+		float(jnp.sum(jnp.abs(jnp.asarray(m))))
+		print("srcsim %.1f s" % (time.perf_counter() - t0)); sys.stdout.flush()
+	else:
+		# random band-limited map: cheap white map is fine for timing
+		m = enmap.ndmap(jnp.asarray(rng.standard_normal(shape).astype(np.float32)),
+			wcs)
 	kw = {} if args.offload == "auto" else {"offload": bool(int(args.offload))}
 	wt = wavelets.WaveletTransform((shape, wcs), basis=wavelets.ButterTrim(),
 		**kw)

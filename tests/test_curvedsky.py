@@ -502,3 +502,31 @@ def test_cached_jit_accuracy_tier_key():
 		assert len(builds) == 2
 	finally:
 		utils._JIT_CACHE.clear()
+
+
+def test_ring_fft_row_chunking(monkeypatch):
+	# Bluestein-hostile nphi beyond the MXU-DFT gate: the row-chunked FFT
+	# (bounds XLA's whole-batch chirp workspace) must match the unchunked
+	# transform exactly. 4600 = 2^3 5^2 23 is not 2357-smooth.
+	from pixell_tpu import sht
+	from pixell_tpu.fft import fft_len
+	nphi = 4600
+	assert fft_len(nphi, "above") != nphi and nphi > sht.DFT_MM_MAX_NPHI
+	nt, nm = 150, 60
+	rng = np.random.default_rng(0)
+	G = (rng.standard_normal((2, nm, nt))
+		+ 1j*rng.standard_normal((2, nm, nt))).astype(np.complex64)
+	m0 = np.asarray(sht.ring_synthesis(jnp.asarray(G), 0.3, nphi))
+	maps = rng.standard_normal((2, nt, nphi)).astype(np.float32)
+	F0 = np.asarray(sht.ring_analysis(jnp.asarray(maps), 0.1, nm))
+	monkeypatch.setattr(sht, "FFT_CHUNK_BYTES", 1.0)
+	sht.ring_synthesis._clear_cache()
+	sht.ring_analysis._clear_cache()
+	try:
+		m1 = np.asarray(sht.ring_synthesis(jnp.asarray(G), 0.3, nphi))
+		F1 = np.asarray(sht.ring_analysis(jnp.asarray(maps), 0.1, nm))
+	finally:
+		sht.ring_synthesis._clear_cache()
+		sht.ring_analysis._clear_cache()
+	assert np.abs(m1 - m0).max() <= 1e-4*np.abs(m0).max()
+	assert np.abs(F1 - F0).max() <= 1e-4*np.abs(F0).max()
