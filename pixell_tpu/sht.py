@@ -265,6 +265,7 @@ def _unpack_tri_fold(alm, lmax, mmax):
 	return jnp.where(ii < nl - mi, S, 0)
 
 
+@functools.partial(jax.jit, static_argnames=("lmax", "mmax"))
 def alm2rect(alm, lmax, mmax=None):
 	"""Triangular alm [..., nalm] -> rectangular [..., nl, nm] (l-major).
 
@@ -581,10 +582,14 @@ def _coef2c(r, K):
 # maps: [..., ncomp, nt, nphi]. spin handled like the reference: the spin
 # list consumes components (spin 0 -> 1 comp, else 2).
 # ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("lmax", "mmax"))
 def alm2coef(alm, lmax, mmax=None):
 	"""Triangular complex alm [..., K, nalm] -> real coef rect
 	[..., nl, nm, 2K] via the window-gather alm2rect (TPU-fast) plus the
-	elementwise complex split."""
+	elementwise complex split. Jitted as ONE program: run eagerly, the
+	~30-step fold enqueues ~30 full-size async intermediates whose buffers
+	all stay live until their executions drain -- at lmax 10000 that
+	transient pile-up (vs XLA's in-program buffer reuse) OOMed the chip."""
 	if mmax is None: mmax = lmax
 	alm = _utils.to_device(alm)
 	rect = alm2rect(alm, lmax, mmax)    # [..., K, nl, nm]

@@ -110,6 +110,24 @@ def to_device(x, dtype=None):
 	return out
 
 
+_FENCE = [None]
+def fence():
+	"""Block until every device execution enqueued so far has finished.
+
+	jax.block_until_ready does not synchronize execution on some remote
+	runtimes (axon): dispatch returns immediately and buffers stay live
+	until their producing executions drain, so a long eager chain of
+	full-size intermediates can pile multi-GB of transients in HBM. On a
+	single device execution is FIFO, so fetching the value of a fresh tiny
+	scalar enqueued NOW fences everything before it (validated on the axon
+	tunnel: a 1.8 s matmul chain dispatches in ~0 s and this waits it out).
+	The probe value changes per call so the execution cache cannot replay."""
+	import jax.numpy as jnp
+	if _FENCE[0] is None: _FENCE[0] = jnp.zeros((), np.float32)
+	_FENCE[0] = _FENCE[0] + np.float32(1)
+	float(_FENCE[0])
+
+
 def czeros(shape, dtype):
 	"""jnp.zeros that also works EAGERLY for complex dtypes on backends whose
 	runtime lacks complex host->device transfer (see to_device): lax.full

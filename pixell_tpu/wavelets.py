@@ -287,6 +287,11 @@ class WaveletTransform:
 				# fetch to host and release the device buffer before the
 				# next (or any accumulated) scale allocates
 				m = enmap.ndmap(np.asarray(m), m.wcs)
+			elif np.prod(m.shape, dtype=np.int64)*4 >= 1 << 26:
+				# fence big scales: dispatch is async, so without it every
+				# scale's eager slice/filter intermediates are enqueued at
+				# once and their buffers pile up in device memory
+				utils.fence()
 			outs[i] = m
 		return multimap.ndmaps(outs)
 	def wave2map(self, wave, omap=None):
@@ -315,6 +320,8 @@ class WaveletTransform:
 						+ (self.uht.ainfo.lmax+1, self.uht.ainfo.mmax+1), srect.dtype)
 				L, M = srect.shape[-2:]
 				total = total.at[..., :L, :M].add(srect)
+				if np.prod(m.shape[-2:], dtype=np.int64)*4 >= 1 << 26:
+					utils.fence()  # see map2wave: bound async transients
 				continue
 			elif self.uht.mode == "curved":
 				from . import curvedsky
