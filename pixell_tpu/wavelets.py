@@ -481,8 +481,15 @@ def make_wavelet_geometry_flat(ishape, iwcs, ires, ores, margin=4):
 
 def make_wavelet_geometry_curved(ishape, iwcs, ores, minres=2*np.pi/180*2):
 	"""Fullsky-compatible geometry at resolution ores covering the input
-	patch (reference wavelets.make_wavelet_geometry_curved)."""
-	res = min(np.pi/np.ceil(np.pi/ores), minres)
+	patch (reference wavelets.make_wavelet_geometry_curved). The ring count
+	is rounded up to the next 2357-smooth column count: a large-prime nphi
+	sends every ring FFT down XLA's Bluestein path (~50x slower and a
+	whole-batch chirp workspace)."""
+	from . import fft as enfft
+	N = max(int(np.ceil(np.pi/ores)), int(np.ceil(np.pi/minres)))
+	while enfft.fft_len(2*N, "above") != 2*N:
+		N += 1
+	res = np.pi/N
 	box = np.array(enmap.corners(ishape, iwcs))
 	box[:, 0] = np.clip(box[:, 0], -np.pi/2, np.pi/2)
 	box[1, 1] = box[0, 1] + np.clip(box[1, 1] - box[0, 1], -2*np.pi, 2*np.pi)

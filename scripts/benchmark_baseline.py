@@ -175,8 +175,16 @@ def config5(quick):
 	40004 map (3.2 GB f32)."""
 	import jax.numpy as jnp
 	from pixell_tpu import enmap, uharm, wavelets, pointsrcs, utils
+	from pixell_tpu import fft as enfft
 	lmax = 1000 if quick else 10000
-	res = 180.0*60/(lmax + 2)*utils.arcmin
+	# smallest fullsky F1 grid with >= lmax+2 rings and a 2357-smooth column
+	# count (a large-prime nphi like 20004 = 2^2*3*1667 sends every ring FFT
+	# down XLA's Bluestein path; the reference's ducc0/FFTW users pick smooth
+	# grid sizes for the same reason)
+	ny = lmax + 2
+	while enfft.fft_len(2*ny, "above") != 2*ny:
+		ny += 1
+	res = 180.0*60/ny*utils.arcmin
 	shape, wcs = enmap.fullsky_geometry(res=res, variant="fejer1")
 	uht = uharm.UHT(shape, wcs, mode="curved", lmax=lmax)
 	wt = wavelets.WaveletTransform(uht, basis=wavelets.ButterTrim(step=2))
