@@ -29,7 +29,16 @@ def main():
 	from pixell_tpu import enmap, curvedsky, wavelets, uharm, utils, device
 	device.enable_compilation_cache()
 	lmax = 1000 if args.quick else args.lmax
-	res = np.pi/(lmax + (2 if args.bench_geometry else 1))
+	if args.bench_geometry:
+		# BASELINE config 5's grid: smallest F1 fullsky with >= lmax+2 rings
+		# and a 2357-smooth column count (see benchmark_baseline.config5)
+		from pixell_tpu import fft as enfft
+		ny = lmax + 2
+		while enfft.fft_len(2*ny, "above") != 2*ny:
+			ny += 1
+		res = np.pi/ny
+	else:
+		res = np.pi/(lmax + 1)
 	shape, wcs = enmap.fullsky_geometry(res=res, variant="fejer1")
 	print("map %s  lmax %d" % (shape, lmax)); sys.stdout.flush()
 	rng = np.random.default_rng(0)
